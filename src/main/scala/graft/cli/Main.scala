@@ -1,0 +1,111 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.ConfigLoader
+import graft.model._
+import graft.run.Migrator
+import graft.sinks.{JdbcSink, ParquetSink, Sink}
+import graft.sources.SourceReader
+
+/** CLI entry point (SURVEY.md §2.9 O8, §3.1; reference: cli.py).
+  *
+  * Usage:
+  *   graft.cli.Main --source-dir DIR --source-table T --dest-table T
+  *     [--dest parquet:DIR | jdbc:URL] [--mode append|overwrite]
+  *     [--limit N] [--config FILE] [--dry-run] [--yes]
+  *     [--null-policy fail|fill|skip] [--null-fill-sentinel S]
+  *     [--strip-null-tokens] [--empty-string-as-null]
+  *
+  * Precedence: CLI > config file > env (reference: config_loader.py:171-248).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cli = parseArgs(args)
+    val fileCfg = cli.get("config").map(ConfigLoader.loadFlat(_)).getOrElse(Map.empty)
+    val cfg = ConfigLoader.merge(cli, fileCfg, sys.env.map {
+      case (k, v) => k.toLowerCase -> v })
+
+    def req(k: String): String = cfg.getOrElse(k,
+      sys.error(s"missing required option --${k.replace('_', '-')}"))
+
+    val spark = SparkSession.builder()
+      .master(cfg.getOrElse("master", "local[*]"))
+      .appName("graft-migrate")
+      .config("spark.sql.shuffle.partitions",
+        cfg.getOrElse("shuffle_partitions", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val sourceTable = req("source_table")
+      val mapping = cli.get("config")
+        .map(ConfigLoader.selectTableMapping(_, sourceTable))
+        .getOrElse(MappingPlan())
+      val compat0 = ConfigLoader.compatFrom(cfg)
+      val compat = compat0.copy(
+        preserveStringNullTokens =
+          compat0.preserveStringNullTokens && !cfg.contains("strip_null_tokens"),
+        treatEmptyStringAsNull =
+          compat0.treatEmptyStringAsNull || cfg.contains("empty_string_as_null"))
+      val spec = MigrationSpec(
+        sourceTable = sourceTable,
+        destTable = req("dest_table"),
+        mode = WriteMode.parse(cfg.getOrElse("mode", "append")),
+        limit = cfg.get("limit").map(_.toLong),
+        mapping = mapping,
+        compat = compat,
+        dryRun = cfg.contains("dry_run"))
+
+      // overwrite confirmation (reference: cli.py:257-260)
+      if (spec.mode == WriteMode.Overwrite && !spec.dryRun && !cfg.contains("yes")) {
+        print(s"Overwrite ${spec.destTable}? [y/N] ")
+        val ans = Option(scala.io.StdIn.readLine()).getOrElse("")
+        if (!Set("y", "yes").contains(ans.trim.toLowerCase)) {
+          println("aborted"); return
+        }
+      }
+
+      val source = new SourceReader(spark, req("source_dir"))
+      val sink: Sink = cfg.getOrElse("dest", s"parquet:/tmp/graft-out") match {
+        case d if d.startsWith("parquet:") =>
+          new ParquetSink(spark, d.stripPrefix("parquet:"))
+        case d if d.startsWith("jdbc:") => new JdbcSink(d)
+        case other => sys.error(s"unknown destination: $other")
+      }
+      val report = new Migrator(source, sink).migrate(spec)
+      if (report.dryRun) {
+        println(s"[dry-run] source=${report.sourceTable} dest=${report.destTable} mode=${report.mode.name}")
+        println(s"[dry-run] source columns (${report.sourceColumns.size}):")
+        report.sourceColumns.foreach(c =>
+          println(s"  ${c.name} ${c.typeName}${if (c.isPartition) " [partition]" else ""}"))
+        println(s"[dry-run] destination DDL (${report.destColumns.size}):")
+        report.destColumns.foreach(c =>
+          println(s"  ${c.name} ${c.typeName}${if (c.nullable) "" else " NOT NULL"}"))
+      } else {
+        println(s"migrated ${report.rowsWritten} rows: " +
+          s"${report.sourceTable} -> ${report.destTable} (${report.mode.name}" +
+          s"${if (report.createdTable) ", created" else ""})")
+      }
+    } finally spark.stop()
+  }
+
+  /** `--key value` / `--flag` → map with snake_case keys. */
+  private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.stripPrefix("--").replace('-', '_')
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          out += k -> args(i + 1); i += 2
+        } else { out += k -> "true"; i += 1 }
+      } else i += 1
+    }
+    out.result()
+  }
+}

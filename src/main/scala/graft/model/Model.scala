@@ -1,0 +1,116 @@
+package graft.model
+
+/** Core domain model for the migration engine.
+  *
+  * Mirrors the reference's capability contract (SURVEY.md §0.1, §2.5-2.6;
+  * reference: /root/reference/migrator.py:23-27, config.py:26-72) as plain
+  * Scala data. All plan-time; no Spark types here.
+  */
+
+/** A column as described by the SOURCE catalog — the single source of type
+  * truth (reference: maxcompute_client.py:79-95). Types are catalog type
+  * strings ("bigint", "decimal(10,2)", "array<string>", ...), never
+  * inferred from data.
+  */
+final case class SourceColumn(
+    name: String,
+    typeName: String,
+    comment: Option[String] = None,
+    isPartition: Boolean = false)
+
+/** A column as described by the DESTINATION catalog
+  * (reference: mysql_writer.py:69-96 — information_schema read).
+  */
+final case class DestColumn(
+    name: String,
+    typeName: String,
+    nullable: Boolean = true,
+    default: Option[String] = None)
+
+/** Write mode (reference: migrator.py:23-27). */
+sealed abstract class WriteMode(val name: String)
+object WriteMode {
+  case object Append extends WriteMode("append")
+  case object Overwrite extends WriteMode("overwrite")
+  def parse(s: String): WriteMode = s.trim.toLowerCase match {
+    case "overwrite" => Overwrite
+    case _           => Append
+  }
+}
+
+/** Policy when a non-nullable destination column holds NULLs
+  * (reference: migrator.py:616-679; invalid values coerce to Fail,
+  * migrator.py:624-626).
+  */
+sealed abstract class NullPolicy(val name: String)
+object NullPolicy {
+  case object Fail extends NullPolicy("fail")
+  case object Fill extends NullPolicy("fill")
+  case object Skip extends NullPolicy("skip")
+  def parse(s: String): NullPolicy = s.trim.toLowerCase match {
+    case "fill" => Fill
+    case "skip" => Skip
+    case _      => Fail
+  }
+}
+
+/** One computed column: whitelisted function + args
+  * (reference: migrator.py:875-977; README.md:265-321). Args may name
+  * existing columns (then the column value is used) or be literals.
+  */
+final case class ComputedColumn(name: String, func: String, args: Seq[String])
+
+/** Declarative column-mapping layer (reference: migrator.py:827-871).
+  * Applied in order: include/exclude → rename → computed → defaults →
+  * order. All column matching is case-insensitive, like the reference.
+  */
+final case class MappingPlan(
+    include: Option[Seq[String]] = None,
+    exclude: Seq[String] = Nil,
+    rename: Map[String, String] = Map.empty,
+    computed: Seq[ComputedColumn] = Nil,
+    defaults: Map[String, String] = Map.empty,
+    typeOverrides: Map[String, String] = Map.empty,
+    order: Seq[String] = Nil) {
+  def isEmpty: Boolean =
+    include.isEmpty && exclude.isEmpty && rename.isEmpty &&
+      computed.isEmpty && defaults.isEmpty && typeOverrides.isEmpty &&
+      order.isEmpty
+}
+
+/** Null-token & compat policy surface (SURVEY.md §2.6;
+  * reference: config.py:49-56). The dead knob
+  * `string_null_tokens_case_insensitive` is intentionally not carried
+  * over (SURVEY.md §2.6) — matching is always case-insensitive.
+  */
+final case class CompatConfig(
+    preserveStringNullTokens: Boolean = true,
+    stringNullTokens: Seq[String] = CompatConfig.DefaultNullTokens,
+    treatEmptyStringAsNull: Boolean = false,
+    nullOnNonNullable: NullPolicy = NullPolicy.Fail,
+    nullFillSentinel: String = "")
+object CompatConfig {
+  /** reference: migrator.py:95-96 — 'nan','None','null','<NA>','NaN',
+    * matched lowercase.
+    */
+  val DefaultNullTokens: Seq[String] = Seq("nan", "none", "null", "<na>")
+  val default: CompatConfig = CompatConfig()
+}
+
+/** One migration run = one table copy (reference: migrator.py:122-167). */
+final case class MigrationSpec(
+    sourceTable: String,
+    destTable: String,
+    mode: WriteMode = WriteMode.Append,
+    limit: Option[Long] = None,
+    fullScanGuardLimit: Option[Long] = Some(100000L),
+    mapping: MappingPlan = MappingPlan(),
+    compat: CompatConfig = CompatConfig.default,
+    dryRun: Boolean = false)
+
+/** Errors — reference exceptions.py defines a small hierarchy; we keep
+  * the two load-bearing ones.
+  */
+class DataMigrationError(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+class MappingValidationError(msg: String) extends DataMigrationError(msg)

@@ -1,0 +1,122 @@
+package graft.run
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model._
+import graft.schema.SchemaMapper
+import graft.sinks.Sink
+import graft.sources.SourceReader
+import graft.transform.{CastPipeline, ConstraintEnforcer, MappingTransform}
+
+/** Migration run report (counts + staged facts, feeding dry-run output
+  * and logs; reference: migrator.py:122-167, cli.py:332-412).
+  */
+final case class MigrationReport(
+    sourceTable: String,
+    destTable: String,
+    mode: WriteMode,
+    sourceColumns: Seq[SourceColumn],
+    destColumns: Seq[DestColumn],
+    createdTable: Boolean,
+    rowsWritten: Long,
+    dryRun: Boolean)
+
+/** The orchestrator (SURVEY.md §2.9 O1-O6, §3.1).
+  *
+  * The reference's serial read→transform→write batch loop collapses into
+  * ONE Spark job: a narrow (shuffle-free) chain of projections from scan
+  * to sink. The only extra actions are the tiny aggregate jobs the
+  * reference also ran: latest-partition lookup and (policy=fail) the
+  * null-count pass. At 100 TB this plan moves each row exactly once,
+  * through whole-stage-codegen'd projections, with scan pruning handled
+  * by Catalyst.
+  */
+class Migrator(source: SourceReader, sink: Sink) {
+
+  def migrate(spec: MigrationSpec): MigrationReport = {
+    // 1. connections (reference: migrator.py:169-179)
+    if (!source.testConnection())
+      throw new DataMigrationError("source connection test failed")
+    if (!sink.testConnection())
+      throw new DataMigrationError("destination connection test failed")
+
+    // 2. source schema + plan-time mapping validation (D5 — fail before
+    //    any data is read)
+    val srcCols = source.schemaOf(spec.sourceTable)
+    MappingTransform.validate(spec.mapping, srcCols.map(_.name))
+
+    // 3. destination schema handling (reference: migrator.py:181-275)
+    val exists = sink.tableExists(spec.destTable)
+    val created = !exists && !spec.dryRun
+    val translatedDdl = translateDdl(srcCols, spec)
+    if (!spec.dryRun) {
+      if (!exists) sink.createTable(spec.destTable, translatedDdl)
+      else if (spec.mode == WriteMode.Overwrite) sink.truncateOrDrop(spec.destTable)
+    }
+    val destCols = sink.destSchema(spec.destTable).getOrElse(translatedDdl)
+
+    if (spec.dryRun)
+      return MigrationReport(spec.sourceTable, spec.destTable, spec.mode,
+        srcCols, destCols, createdTable = false, rowsWritten = 0L, dryRun = true)
+
+    // 4. the one distributed job: scan → cast → map → align → defaults →
+    //    policy → write (reference: migrator.py:288-337, per-batch)
+    val out = transform(source.buildScan(spec), srcCols, destCols, spec)
+    val rows = out.count() // reference reports row counts per run (O3)
+    sink.write(out, spec.destTable,
+      // truncate/drop already handled above; the write itself appends
+      if (created) WriteMode.Append else WriteMode.Append)
+    MigrationReport(spec.sourceTable, spec.destTable, spec.mode,
+      srcCols, destCols, created, rows, dryRun = false)
+  }
+
+  /** The pure transformation chain — exposed for tests and for query
+    * registration (no actions except inside enforceNullPolicy for
+    * fail/fill).
+    */
+  def transform(df: DataFrame, srcCols: Seq[SourceColumn],
+      destCols: Seq[DestColumn], spec: MigrationSpec): DataFrame = {
+    val casted = CastPipeline(df, srcCols, spec.compat)
+    val mapped = MappingTransform(casted, spec.mapping)
+    // partition columns are never created at the destination
+    // (reference: schema_mapper.py:55-57)
+    val noPart = srcCols.filter(_.isPartition).map(_.name)
+      .foldLeft(mapped)((d, c) => d.drop(c))
+    val aligned = ConstraintEnforcer.projectToDestination(noPart, destCols)
+    val defaulted = ConstraintEnforcer.applyDbDefaults(aligned, destCols)
+    ConstraintEnforcer.enforceNullPolicy(defaulted, destCols,
+      spec.compat.nullOnNonNullable, spec.compat.nullFillSentinel)
+  }
+
+  /** Schema translation honoring mapping (include/exclude/rename/computed
+    * columns appear in DDL too; reference: migrator.py:681-749).
+    */
+  def translateDdl(srcCols: Seq[SourceColumn], spec: MigrationSpec): Seq[DestColumn] = {
+    val m = spec.mapping
+    val kept = SchemaMapper.dedupe(srcCols.filterNot(_.isPartition))
+      .filter { c =>
+        m.include.forall(_.exists(_.equalsIgnoreCase(c.name))) &&
+          !m.exclude.exists(_.equalsIgnoreCase(c.name))
+      }
+    val renamed = kept.map { c =>
+      m.rename.find(_._1.equalsIgnoreCase(c.name)) match {
+        case Some((_, nw)) => c.copy(name = nw)
+        case None          => c
+      }
+    }
+    val withComputed = renamed ++ m.computed.map { cc =>
+      val t = cc.func.toLowerCase match {
+        case "now"  => "timestamp"
+        case _      => "string"
+      }
+      SourceColumn(cc.name, t)
+    }
+    val ordered =
+      if (m.order.isEmpty) withComputed
+      else {
+        val listed = m.order.flatMap(o => withComputed.find(_.name.equalsIgnoreCase(o)))
+        listed ++ withComputed.filterNot(listed.contains)
+      }
+    SchemaMapper.toMySqlDdl(ordered, m.typeOverrides)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.types._
+
+import graft.model.{DestColumn, WriteMode}
+import graft.schema.SchemaMapper
+
+/** Relational DDL dialect — quoting + DDL type mapping. MySQL is the
+  * reference's dialect (mysql_writer.py); Derby exists so the sink can be
+  * integration-tested live in this offline container (derby jars ship with
+  * Spark).
+  */
+sealed trait SqlDialect {
+  def quote(ident: String): String
+  def ddlType(dt: DataType): String
+}
+object MySqlDialect extends SqlDialect {
+  /** Backtick quoting (reference: mysql_writer.py:22-44). */
+  def quote(ident: String): String = s"`${ident.replace("`", "``")}`"
+  def ddlType(dt: DataType): String = SchemaMapper.toMySqlType(dt)
+}
+object DerbyDialect extends SqlDialect {
+  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  def ddlType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "BIGINT"
+    case DoubleType | FloatType                        => "DOUBLE"
+    case d: DecimalType                                => s"DECIMAL(${d.precision.min(31)},${d.scale})"
+    case BooleanType                                   => "BOOLEAN"
+    case TimestampType | TimestampNTZType              => "TIMESTAMP"
+    case DateType                                      => "DATE"
+    case BinaryType                                    => "BLOB"
+    case _                                             => "VARCHAR(4000)"
+  }
+}
+
+/** JDBC sink (SURVEY.md §2.1 S10-S12; reference: mysql_writer.py).
+  *
+  * DDL + catalog reads go through a plain JDBC connection (the
+  * reference's information_schema reads become the portable
+  * `DatabaseMetaData.getColumns`, which also yields nullability and
+  * column defaults); bulk data movement goes through Spark's JDBC writer
+  * so every executor writes its partitions in parallel — at scale, set
+  * `numPartitions`/`batchsize` instead of the reference's serial 10k-row
+  * loop.
+  */
+class JdbcSink(url: String, props: Properties = new Properties(),
+    dialect: SqlDialect = MySqlDialect,
+    writeOptions: Map[String, String] = Map.empty) extends Sink {
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url, props)
+    try f(c) finally c.close()
+  }
+
+  override def testConnection(): Boolean =
+    try withConn { c =>
+      val st = c.createStatement()
+      try { st.execute("SELECT 1"); true }
+      catch { case _: Exception => c.isValid(5) }
+      finally st.close()
+    } catch { case _: Exception => false }
+
+  override def tableExists(table: String): Boolean =
+    withConn { c =>
+      val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+      try {
+        var found = false
+        while (rs.next() && !found)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    }
+
+  /** CREATE TABLE with dialect quoting; duplicate names already deduped
+    * upstream (SchemaMapper.dedupe) — the reference deduped in three
+    * layers, we do it once (SURVEY.md D4).
+    */
+  override def createTable(table: String, columns: Seq[DestColumn]): Unit = {
+    val cols = columns.map { c =>
+      val nn = if (c.nullable) "" else " NOT NULL"
+      val dflt = c.default.map(d => s" DEFAULT $d").getOrElse("")
+      s"${dialect.quote(c.name)} ${c.typeName}$nn$dflt"
+    }
+    val ddl = s"CREATE TABLE ${dialect.quote(table)} (${cols.mkString(", ")})"
+    withConn { c => val st = c.createStatement(); try st.execute(ddl) finally st.close() }
+    ()
+  }
+
+  /** Overwrite = TRUNCATE for relational sinks (reference:
+    * mysql_writer.py:63-67, migrator.py:212-214) — preserves DDL,
+    * indexes, grants.
+    */
+  override def truncateOrDrop(table: String): Unit =
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(s"TRUNCATE TABLE ${dialect.quote(table)}") finally st.close()
+    }
+
+  /** Destination catalog via JDBC metadata: name, type, IS_NULLABLE,
+    * COLUMN_DEF (reference: mysql_writer.py:69-96 information_schema).
+    */
+  override def destSchema(table: String): Option[Seq[DestColumn]] = {
+    if (!tableExists(table)) return None
+    withConn { c =>
+      val rs = c.getMetaData.getColumns(null, null, null, null)
+      try {
+        val buf = Seq.newBuilder[(Int, DestColumn)]
+        while (rs.next()) {
+          if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) {
+            val dc = DestColumn(
+              rs.getString("COLUMN_NAME"),
+              rs.getString("TYPE_NAME"),
+              nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+              default = Option(rs.getString("COLUMN_DEF")).map(_.trim)
+                .filter(_.nonEmpty).map(stripQuotes))
+            buf += rs.getInt("ORDINAL_POSITION") -> dc
+          }
+        }
+        val cols = buf.result().sortBy(_._1).map(_._2)
+        if (cols.isEmpty) None else Some(cols)
+      } finally rs.close()
+    }
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'') s.substring(1, s.length - 1)
+    else s
+
+  /** Spark JDBC parallel write. Complex types (array/map/struct) are
+    * JSON-serialized to strings first — the reference stored them as TEXT
+    * (SURVEY.md §1 rows array/map/struct).
+    */
+  override def write(df: DataFrame, table: String, mode: WriteMode): Unit = {
+    val flat = df.select(df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          org.apache.spark.sql.functions.to_json(df(f.name)).as(f.name)
+        case _ => df(f.name)
+      }
+    }: _*)
+    val writer = flat.write.mode(mode match {
+      case WriteMode.Overwrite => SaveMode.Overwrite
+      case WriteMode.Append    => SaveMode.Append
+    }).option("truncate", "true") // overwrite keeps DDL, like the reference
+    writeOptions.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+      .jdbc(url, dialect.quote(table), props)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.{DestColumn, WriteMode}
+
+/** The ONE real sink interface the reference never quite had
+  * (SURVEY.md §0.2: the duck-typed `write_dataframe` vs
+  * `load_data_from_dataframe` mismatch would AttributeError on the
+  * BigQuery path; the intended design per
+  * MYSQL_DESTINATION_MIGRATION_PLAN.md:9-17 is exactly this trait).
+  */
+trait Sink {
+  /** S12: connection probe. */
+  def testConnection(): Boolean
+
+  /** S9/S11: does the destination table exist. */
+  def tableExists(table: String): Boolean
+
+  /** S9/S11: create the destination table from translated DDL columns. */
+  def createTable(table: String, columns: Seq[DestColumn]): Unit
+
+  /** O2 overwrite semantics: MySQL truncates, BigQuery drops+recreates,
+    * files overwrite in place (reference: migrator.py:210-224).
+    */
+  def truncateOrDrop(table: String): Unit
+
+  /** S11: destination catalog schema (nullability + defaults) — drives
+    * D2/D3 constraint enforcement. None when the table doesn't exist.
+    */
+  def destSchema(table: String): Option[Seq[DestColumn]]
+
+  /** S8/S10: the write itself. One distributed job — the reference's
+    * serial batch loop collapses into this (SURVEY.md §3.1).
+    */
+  def write(df: DataFrame, table: String, mode: WriteMode): Unit
+}

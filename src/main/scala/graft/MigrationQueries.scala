@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MigrateFunctions
+import graft.model._
+import graft.transform.{CastPipeline, MappingTransform}
+
+/** SURVEY.md §2 operator inventory as driver-checkable queries. Each entry
+  * exercises one reference operator family THROUGH the library code
+  * (CastPipeline / MappingTransform / MigrateFunctions), with a DuckDB
+  * oracle expressing identical semantics in ANSI SQL.
+  */
+object MigrationQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2/S3 + P1/P2: partition-style pruning — resolve the latest day via
+    // a MAX probe (the reference's two-query pattern,
+    // maxcompute_client.py:219-259), then scan only that day.
+    "mig_scan_prune" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val latest = ev.filter($"ts".isNotNull)
+        .agg(max(date_trunc("DAY", $"ts"))).head().getTimestamp(0)
+      ev.filter(date_trunc("DAY", $"ts") === lit(latest))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"))
+    },
+
+    // P3/P5/P6: projection + rename + reorder.
+    "mig_projection_rename" -> { (s, dir) =>
+      val df = Tables(s, dir, "customer")
+      MappingTransform(df, MappingPlan(
+        include = Some(Seq("c_custkey", "c_name", "c_acctbal")),
+        rename = Map("c_custkey" -> "id", "c_name" -> "name"),
+        order = Seq("id", "name", "c_acctbal")))
+    },
+
+    // T1/T2: catalog-driven casts with malformed → null (errors='coerce').
+    "mig_cast_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val casted = CastPipeline(docs, Seq(
+        SourceColumn("doc_id", "string"), // numeric-looking stays string
+        SourceColumn("n_chars", "bigint"),
+        SourceColumn("lang", "string")))
+      casted.select($"doc_id", $"n_chars", $"lang",
+        $"source".try_cast("bigint").as("source_as_int")) // malformed → null
+    },
+
+    // T4: lenient boolean parse over real data ('N' parses false, rest null).
+    "mig_bool_parse" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          MigrateFunctions.lenientBool($"l_returnflag").as("flag_bool"))
+    },
+
+    // T5/§2.6: null-token stripping (the non-default compat mode).
+    "mig_null_tokens" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          MigrateFunctions.stripNullTokens($"source",
+            CompatConfig.DefaultNullTokens).as("source_tok"))
+    },
+
+    // T8 + D1: empty-string → null, then default fill.
+    "mig_empty_null_default" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          coalesce(MigrateFunctions.emptyToNull($"lang"), lit("und")).as("lang_filled"))
+    },
+
+    // §2.4: every whitelisted computed function in one mapping.
+    "mig_computed" -> { (s, dir) =>
+      val df = Tables(s, dir, "customer")
+      MappingTransform(df, MappingPlan(
+        rename = Map("c_mktsegment" -> "segment"),
+        computed = Seq(
+          ComputedColumn("seg_code", "upper", Seq("segment")),
+          ComputedColumn("seg3", "substr", Seq("segment", "0", "3")),
+          ComputedColumn("who", "concat", Seq("c_name", "@", "segment")),
+          ComputedColumn("label", "format", Seq("{c_custkey:08d}-{seg3}"))),
+        include = None,
+        order = Seq("c_custkey", "label", "who", "seg_code", "seg3", "segment"),
+        exclude = Seq("c_nationkey", "c_acctbal")))
+    },
+
+    // D3 fail policy's one-pass null-count aggregate.
+    "mig_null_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events").agg(
+        count(when($"value".isNull, lit(1))).as("n_value_nulls"),
+        count(when($"props".isNull, lit(1))).as("n_props_nulls"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // P7/D3 skip policy: drop rows violating non-null.
+    "mig_skip_policy" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events").na.drop("any", Seq("value"))
+        .select($"event_id", $"value")
+    },
+
+    // S3/S4: latest-"partition" value lookup (global max + count probe).
+    "mig_latest_partition" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .agg(max($"o_orderdate").as("latest_date"), count(lit(1)).as("n"))
+    },
+
+    // O1-O3 end-to-end: the full transform chain (cast → mapping → order)
+    // exactly as Migrator.transform wires it.
+    "mig_migrate_e2e" -> { (s, dir) =>
+      val df = Tables(s, dir, "customer")
+      val casted = CastPipeline(df, Seq(
+        SourceColumn("c_custkey", "bigint"),
+        SourceColumn("c_name", "string"),
+        SourceColumn("c_nationkey", "bigint"),
+        SourceColumn("c_acctbal", "decimal(18,4)"),
+        SourceColumn("c_mktsegment", "string")))
+      MappingTransform(casted, MappingPlan(
+        exclude = Seq("c_nationkey"),
+        rename = Map("c_mktsegment" -> "segment"),
+        computed = Seq(
+          ComputedColumn("seg3", "substr", Seq("segment", "0", "3")),
+          ComputedColumn("label", "format", Seq("{c_custkey:08d}-{seg3}"))),
+        order = Seq("label", "c_custkey", "c_name", "segment", "seg3", "c_acctbal")))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mig_scan_prune" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM events
+        |WHERE date_trunc('day', ts) =
+        |  (SELECT max(date_trunc('day', ts)) FROM events WHERE ts IS NOT NULL)
+        |GROUP BY event_type""".stripMargin,
+
+    "mig_projection_rename" ->
+      "SELECT c_custkey AS id, c_name AS name, c_acctbal FROM customer",
+
+    "mig_cast_pipeline" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars, lang,
+        |  TRY_CAST(source AS BIGINT) AS source_as_int
+        |FROM documents""".stripMargin,
+
+    "mig_bool_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN lower(trim(l_returnflag)) IN ('true','1','yes','y') THEN TRUE
+        |       WHEN lower(trim(l_returnflag)) IN ('false','0','no','n','') THEN FALSE
+        |       ELSE NULL END AS flag_bool
+        |FROM lineitem""".stripMargin,
+
+    "mig_null_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN lower(source) IN ('nan','none','null','<na>') THEN NULL
+        |       ELSE source END AS source_tok
+        |FROM documents""".stripMargin,
+
+    "mig_empty_null_default" ->
+      """SELECT doc_id,
+        |  COALESCE(CASE WHEN trim(lang) = '' THEN NULL ELSE lang END, 'und')
+        |    AS lang_filled
+        |FROM documents""".stripMargin,
+
+    "mig_computed" ->
+      """SELECT c_custkey, c_name,
+        |  printf('%08d-%s', c_custkey, substring(c_mktsegment, 1, 3)) AS label,
+        |  COALESCE(c_name,'') || '@' || COALESCE(c_mktsegment,'') AS who,
+        |  upper(c_mktsegment) AS seg_code,
+        |  substring(c_mktsegment, 1, 3) AS seg3,
+        |  c_mktsegment AS segment
+        |FROM customer""".stripMargin,
+
+    "mig_null_counts" ->
+      """SELECT COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_value_nulls,
+        |  COUNT(CASE WHEN props IS NULL THEN 1 END) AS n_props_nulls,
+        |  COUNT(*) AS n_rows
+        |FROM events""".stripMargin,
+
+    "mig_skip_policy" ->
+      "SELECT event_id, value FROM events WHERE value IS NOT NULL",
+
+    "mig_latest_partition" ->
+      "SELECT max(o_orderdate) AS latest_date, COUNT(*) AS n FROM orders",
+
+    "mig_migrate_e2e" ->
+      """SELECT printf('%08d-%s', c_custkey, substring(c_mktsegment, 1, 3)) AS label,
+        |  c_custkey, c_name, c_mktsegment AS segment,
+        |  substring(c_mktsegment, 1, 3) AS seg3,
+        |  CAST(c_acctbal AS DECIMAL(18,4)) AS c_acctbal
+        |FROM customer""".stripMargin
+  )
+}

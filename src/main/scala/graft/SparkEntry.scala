@@ -51,6 +51,63 @@ object CoreQueries {
           decSum($"l_extendedprice").as("sum_base_price"),
           decSum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    },
+
+    // 3-way join: small dims broadcast, fact shuffles once. At 100 TB the
+    // same plan holds: customer broadcasts (or AQE converts), lineitem
+    // never moves twice.
+    "q3_join" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          decSum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+    },
+
+    // Window function: top order per customer (deterministic tiebreak).
+    "q_window" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          $"o_totalprice".cast("decimal(18,4)").as("top_price"))
+    },
+
+    // Top-k with total ordering (sort + limit → TakeOrderedAndProject,
+    // no full sort at scale).
+    "q_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,4)").as("o_totalprice"))
+    },
+
+    // Set operation: nations having both customers and suppliers.
+    "q_setops" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer").select("c_nationkey").distinct()
+      val supp = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").as("c_nationkey")).distinct()
+      cust.intersect(supp).withColumnRenamed("c_nationkey", "nationkey")
+    },
+
+    // Semi/anti join: customers with no orders.
+    "q_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
     }
   )
 
@@ -63,17 +120,39 @@ object CoreQueries {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) AS top_price
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_setops" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
   )
-}
-
-/** Placeholder objects filled in as operator families land. */
-object MigrationQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
-}
-
-object PipelineQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
 }

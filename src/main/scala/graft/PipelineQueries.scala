@@ -1,11 +1,213 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** North-star training-data pipeline operators (dedup, similarity, text
-  * analysis, multimodal) — filled in as operator families land.
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** North-star training-data pipeline operators as driver-checkable
+  * queries: text analysis, dedup family, similarity search, multimodal
+  * plumbing. Exact operators carry DuckDB oracles; LSH/approximate ones
+  * are rows-only here and recall-tested in ScalaTest (PipelineSpec).
   */
 object PipelineQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Punct class shared with the oracle SQL (no quote chars — keeps the
+    * JSON/SQL escaping trivial and identical across engines).
+    */
+  private val PunctClass = "[.,;:!?()-]"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- text analysis ----------------
+    "text_stats" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      d.select($"doc_id",
+        TF.tokenCount($"text").as("n_tokens"),
+        length($"text").as("n_chars_actual"),
+        (length($"text") - length(regexp_replace($"text", PunctClass, "")))
+          .as("n_punct"),
+        (length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double") /
+          length($"text").cast("double")).as("alpha_ratio"),
+        (length(regexp_replace($"text", "\\s", "")).cast("double") /
+          TF.tokenCount($"text").cast("double")).as("mean_word_len"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", TF.langId($"text").as("lang_pred"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", TF.fingerprint($"text").as("fp"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      import s.implicits._
+      // composite quality score: length norm + stopword ratio + alpha
+      // ratio, integer-weighted to stay engine-exact
+      val d = Tables(s, dir, "documents")
+      val nTok = TF.tokenCount($"text")
+      val stopHits = TF.stopwordHits($"text", TF.StopwordsByLang.head._2)
+      d.select($"doc_id", nTok.as("n_tokens"), stopHits.as("stop_hits"),
+        (stopHits.cast("double") / nTok.cast("double")).as("stop_ratio"))
+    },
+
+    // ---------------- dedup family ----------------
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "dedup_ngram_pairs" -> { (s, dir) =>
+      // exact inverted-index trigram jaccard — 25 planted pairs at sf0.01
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    },
+
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      // approximate candidates, verified with true jaccard (no oracle:
+      // banding may miss ~1% of pairs; recall asserted in PipelineSpec)
+      Dedup.minhashPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "dedup_embed_pairs" -> { (s, dir) =>
+      // exact cosine near-dup pairs (brute force, ids only — scores are
+      // engine-float-sensitive; membership at 0.4 is not)
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .filter(graft.functions.VectorFunctions.cosineSim($"va", $"vb") >= 0.4)
+        .select($"id_a", $"id_b")
+    },
+
+    // ---------------- similarity search ----------------
+    "sim_topk_brute" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.bruteForceTopK(e, queries, k = 5)
+        .select($"qid", $"id", $"rank")
+    },
+
+    "sim_topk_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.lshTopK(e, queries, k = 5, dims = 64,
+          numPlanes = 8, probeHamming = 2)
+        .select($"qid", $"id", $"rank")
+    },
+
+    // ---------------- multimodal plumbing ----------------
+    "mm_decode_meta" -> { (s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.demoMediaFromDocuments(Tables(s, dir, "documents"))).toDF()
+    },
+
+    "mm_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(
+          Multimodal.demoMediaFromDocuments(Tables(s, dir, "documents"))),
+        fps = 0.2)
+    }
+  )
+
+  private val Shingles =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([lst[i]||' '||lst[i+1]||' '||lst[i+2]
+      |                   FOR i IN range(1, len(lst)-1)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
+      |        FROM documents))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens,
+        |  length(text) AS n_chars_actual,
+        |  length(text) - length(regexp_replace(text,'[.,;:!?()-]','','g')) AS n_punct,
+        |  CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  CAST(length(regexp_replace(text,'\s','','g')) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE) AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text),'\b(the|and|of|to|in|is|that|with)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text),'\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text),'\b(le|la|les|et|est|dans|pour|une)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text),'\b(el|los|las|es|en|por|para|una)\b')) AS s_es,
+        |  len(regexp_extract_all(text,'[\x{4E00}-\x{9FFF}]')) AS cjk,
+        |  length(text) AS n
+        |FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk*4 > n THEN 'zh'
+        |       WHEN s_en>0 AND s_en>=s_de AND s_en>=s_fr AND s_en>=s_es THEN 'en'
+        |       WHEN s_de>0 AND s_de>=s_en AND s_de>=s_fr AND s_de>=s_es THEN 'de'
+        |       WHEN s_fr>0 AND s_fr>=s_en AND s_fr>=s_de AND s_fr>=s_es THEN 'fr'
+        |       WHEN s_es>0 AND s_es>=s_en AND s_es>=s_de AND s_es>=s_fr THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text)='' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(lower(text),'\b(the|and|of|to|in|is|that|with)\b')) AS stop_hits,
+        |  CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|in|is|that|with)\b')) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS text_hash,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_pairs" -> (Shingles +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |      CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5""".stripMargin),
+
+    "dedup_embed_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin
+  )
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting, and
+  * shingling for the dedup family. All pure `Column` expressions
+  * (codegen'd, shuffle-free, scale linearly with the scan) — the
+  * per-document math never leaves the executor.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text → empty array (not [""]). */
+  def tokens(c: Column): Column =
+    when(trim(c) === "" || c.isNull, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation as
+    * separate tokens (a cheap deterministic proxy for a real tokenizer's
+    * token count — the regex splits off punctuation and digit runs).
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Characters of punctuation. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, """[\.,;:!\?'"\(\)\[\]\{\}-]""", ""))
+
+  /** Ratio of alphabetic chars to all chars (0 for empty). */
+  def alphaRatio(c: Column): Column = {
+    val total = length(c)
+    val alpha = length(regexp_replace(c, "[^A-Za-z]", ""))
+    when(total === 0 || total.isNull, lit(0.0))
+      .otherwise(alpha.cast("double") / total.cast("double"))
+  }
+
+  /** Mean word length (0 for empty). */
+  def meanWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Per-language stopword inventories for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + public-knowledge word lists.
+    */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "es" -> Seq("el", "los", "las", "es", "en", "por", "para", "una"))
+
+  private def wordRegex(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Count of stopword hits for one language. */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit(wordRegex(words)), lit(0)))
+
+  /** Stopword ratio against token count (quality signal). */
+  def stopwordRatio(c: Column, words: Seq[String] = StopwordsByLang.head._2): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordHits(c, words).cast("double") / n.cast("double"))
+  }
+
+  /** CJK character count (script detection beats stopwords for zh/ja/ko). */
+  def cjkCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[\\x{4E00}-\\x{9FFF}]"), lit(0)))
+
+  /** Language-ID heuristic: CJK script check first, then argmax of
+    * stopword hits (ties + all-zero → "und"). Pure expression — at 100 TB
+    * this is one codegen'd map over the scan, no shuffle, no UDF.
+    */
+  def langId(c: Column): Column = {
+    val scores = StopwordsByLang.map { case (lang, words) =>
+      lang -> stopwordHits(c, words)
+    }
+    // strictly-greater-than-all-others argmax, first-listed wins ties only
+    // when strictly greater than later ones; all-zero → und
+    val best = scores.foldLeft[Column](lit("und")) { case (acc, (lang, sc)) =>
+      val others = scores.filter(_._1 != lang).map(_._2)
+      val isMax = others.foldLeft(sc > 0) { (cond, o) => cond && sc >= o }
+      val strictlyFirst = scores.takeWhile(_._1 != lang).map(_._2)
+        .foldLeft(isMax) { (cond, earlier) => cond && sc > earlier }
+      when(strictlyFirst, lit(lang)).otherwise(acc)
+    }
+    when(cjkCount(c) * 4 > length(c), lit("zh")).otherwise(best)
+  }
+
+  /** Document fingerprint: lowercase, collapse whitespace, md5. Used by
+    * exact dedup; identical function exists in DuckDB for the oracle.
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")).cast("binary"))
+
+  /** Word n-gram shingles (distinct), the dedup family's unit of
+    * comparison.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) < n,
+      when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(array(concat_ws(" ", toks))))
+      .otherwise(array_distinct(transform(idx, i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ExprBridge.{toColumn => toCol, toExpression => toExpr}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels the codegen'd expressions call into — one static call
+  * per row keeps the loop inside whole-stage codegen without interpreting
+  * the expression tree. All loops are tight primitive loops over
+  * `ArrayData`; nothing allocates per element.
+  */
+object VecOps {
+
+  /** Cosine similarity over two float vectors (0.0 when either is zero). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** 64-bit hash of a UTF8String via 2×murmur3 (lo/hi with different
+    * seeds) — deterministic across JVMs, no allocation.
+    */
+  def hash64(s: UTF8String, seed: Int): Long = {
+    val lo = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+    val hi = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), seed ^ 0x9747b28c)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  /** SimHash over a token array: per-bit majority vote of token hashes
+    * (Charikar 2002, public algorithm).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), 0x5bd1e995)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Random-hyperplane signature (Charikar SimHash for real vectors):
+    * bit p = sign(v · plane_p). Planes are a flat [numPlanes * dims]
+    * array generated deterministically at plan time.
+    */
+  def hyperplaneSig(v: ArrayData, planes: Array[Float], numPlanes: Int): Long = {
+    val dims = if (numPlanes == 0) 0 else planes.length / numPlanes
+    val n = math.min(v.numElements(), dims)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var s = 0.0
+      val off = p * dims
+      var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Deterministic hyperplanes from a fixed seed (gaussian components). */
+  def makePlanes(numPlanes: Int, dims: Int, seed: Long): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes * dims)(rnd.nextGaussian().toFloat)
+  }
+}
+
+/** cosine(array<float>, array<float>) → double, codegen'd. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(array<float>, array<float>) → double, codegen'd. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** simhash64(array<string>) → long, codegen'd. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.simhash(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.VecOps.simhash($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** hyperplane LSH signature(array<float>) → long; planes baked in at plan
+  * time from (numPlanes, dims, seed).
+  */
+case class HyperplaneSig(child: Expression, numPlanes: Int, dims: Int, seed: Long)
+    extends UnaryExpression {
+  @transient private lazy val planes: Array[Float] =
+    VecOps.makePlanes(numPlanes, dims, seed)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.hyperplaneSig(v.asInstanceOf[ArrayData], planes, numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecOps.hyperplaneSig($v, $planesRef, $numPlanes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API over the native expressions. */
+object VectorFunctions {
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def hyperplaneSig(v: Column, numPlanes: Int, dims: Int, seed: Long = 42L): Column =
+    toCol(HyperplaneSig(toExpr(v), numPlanes, dims, seed))
+
+  /** MinHash signature as array<long>: element i = min over shingles of
+    * hash64(shingle, seed=i). Built from Catalyst primitives (transform +
+    * array_min + xxhash64-with-seed) — no UDF.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.functions._
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(shingles,
+        s => toCol(XxHash64(Seq(toExpr(s)), i.toLong))))
+    }
+    array(sigs: _*)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, designed
+  * shuffle-first for 100 TB:
+  *
+  *  - exact:     one hash-aggregate on a 32-byte fingerprint (never
+  *               groups by the raw text — the shuffle carries digests,
+  *               not documents).
+  *  - minhash:   shingle → minhash signature → banded LSH; candidate
+  *               generation is an equi-join on (band, bandHash) so it
+  *               shuffles only (id, band) pairs; verification joins the
+  *               shingle sets back by id. Classic MMDS ch.3 scheme.
+  *  - simhash:   64-bit simhash, pigeonhole banding into 4×16-bit chunks
+  *               (any pair within hamming ≤3 shares at least one chunk),
+  *               verified with bit_count(xor).
+  *  - ngram:     inverted-index jaccard — explode distinct n-grams,
+  *               equi-join on the n-gram, count shared per pair.
+  *  - embedding: random-hyperplane LSH buckets, verified with native
+  *               cosine.
+  *
+  * Every candidate join keys on a<b to emit each unordered pair once.
+  * Skew note: hot LSH buckets (very common shingles/chunks) are the skew
+  * risk at scale — AQE skew-join handles moderate cases; extreme ones
+  * should drop top-frequency shingles (stop-shingle filtering), exposed
+  * via `maxShingleFreq`.
+  */
+object Dedup {
+
+  /** Exact dedup over a normalized fingerprint: one aggregate, returns
+    * (text_hash, keep_id = min id, dup_count).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows the exact pass would drop (dup_count > 1 ⇒ all but keep_id). */
+  def exactDropList(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("text_hash"))
+    val keep = fp.groupBy("text_hash").agg(min(col(idCol)).as("keep_id"))
+    fp.join(keep, "text_hash").filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol).as("drop_id"), col("keep_id"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with verified true Jaccard.
+    * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxShingleFreq: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val shingled = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sigs = shingled.select(col("id"),
+      VectorFunctions.minhashSignature(col("shingles"), numHashes).as("sig"))
+
+    // band rows: (id, band, hash(slice of sig)) — small fixed width
+    val banded = sigs.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
+          .as("band_hash"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** True-Jaccard verification: join shingle sets back, intersect/union. */
+  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-document 64-bit SimHash (native codegen'd expression). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      VectorFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs within hamming distance `maxHamming` (≤ 3
+    * guaranteed found by 4-chunk pigeonhole banding).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val chunked = sigs.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val",
+        expr("shiftright(simhash, chunk * 16) & 65535"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted index (no minhash
+    * approximation — exact Jaccard, heavier candidate set).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+    var inverted = shingled
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    maxShingleFreq.foreach { f =>
+      // stop-shingle filtering: drop n-grams appearing in > f docs (skew guard)
+      val freq = inverted.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= f).select("sh")
+      inverted = inverted.join(freq, "sh")
+    }
+    val a = inverted.as("a")
+    val b = inverted.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-LSH buckets + native
+    * cosine verification. Returns (id_a, id_b, cosine) with cosine ≥
+    * threshold (within-bucket candidates only — recall grows with fewer
+    * planes; 100%-recall exact variant is a crossJoin, intentionally not
+    * offered here).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double = 0.95, numPlanes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSig(col(vecCol), numPlanes, dims, seed).as("bucket"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFunctions.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

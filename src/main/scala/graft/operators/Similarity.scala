@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: queries are the SMALL side — always broadcast; the
+  * corpus is scanned exactly once (brute force) or pre-bucketed (LSH).
+  * Ranking uses a per-query window with a deterministic id tiebreak.
+  *
+  *  - bruteForceTopK: exact. One corpus scan × |Q| cosine evals, all
+  *    inside whole-stage codegen via the native CosineSim expression;
+  *    the only shuffle is the final per-query top-k (rows ≤ |corpus|,
+  *    pre-pruned by a local window would require a partial top-k — at
+  *    100 TB add a `repartition(qid)`-free two-stage top-k; here the
+  *    window over qid is already the scalable shape since |Q| bounds
+  *    partitions).
+  *  - lshTopK: hyperplane-LSH bucketed. Corpus bucketed once (can be
+  *    persisted/bucketed-by in storage at scale); each query probes its
+  *    own bucket plus all buckets within hamming ≤ `probeHamming` of its
+  *    signature (multi-probe trades compute for recall).
+  */
+object Similarity {
+
+  /** Exact cosine top-k. corpus(idCol, vecCol), queries(qidCol, vecCol) →
+    * (qid, id, cosine, rank ≤ k).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k with multi-probe. Same output shape as
+    * bruteForceTopK; approximate (recall measured in tests).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+      numPlanes: Int = 12, probeHamming: Int = 1, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    val sig = (v: org.apache.spark.sql.Column) =>
+      VectorFunctions.hyperplaneSig(v, numPlanes, dims, seed)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"),
+      sig(col(vecCol)).as("bucket"))
+
+    // multi-probe: each query expands to its signature + all signatures
+    // within hamming <= probeHamming (numPlanes choose <=h buckets)
+    val flips: Seq[Long] = {
+      val singles = (0 until numPlanes).map(1L << _)
+      val base = Seq(0L)
+      if (probeHamming <= 0) base
+      else if (probeHamming == 1) base ++ singles
+      else base ++ singles ++ (for {
+        i <- 0 until numPlanes; j <- (i + 1) until numPlanes
+      } yield (1L << i) | (1L << j))
+    }
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
+        sig(col(vecCol)).as("qsig"))
+      .withColumn("flip", explode(lit(flips.toArray)))
+      .select(col("qid"), col("qvec"),
+        col("qsig").bitwiseXOR(col("flip")).as("bucket"))
+
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy("qid", "id").agg(max("cosine").as("cosine")) // dedupe probes
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

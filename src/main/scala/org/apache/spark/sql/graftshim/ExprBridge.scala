@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column⇄Expression converters so the
+  * engine's native Catalyst expressions (graft.functions) can surface as
+  * public `Column`s. Lives under org.apache.spark.sql to satisfy the
+  * qualified-private access — the ONLY package-private Spark API this
+  * project touches.
+  */
+object ExprBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators: planted-duplicate detection, LSH
+  * recall against exact baselines, language ID on real sentences, and
+  * multimodal plumbing.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf001, "documents")
+  private lazy val embeddings = Tables(spark, sf001, "embeddings")
+
+  test("exact dedup finds planted exact duplicates") {
+    val planted = docs.limit(5).withColumn("doc_id", $"doc_id" + 100000)
+    val withDups = docs.unionByName(planted)
+    val res = Dedup.exact(withDups, "doc_id", "text")
+    assert(res.filter($"dup_count" === 2).count() == 5)
+    // keep_id is always the lower id (the original)
+    assert(res.filter($"dup_count" === 2).filter($"keep_id" >= 100000).count() == 0)
+    val drops = Dedup.exactDropList(withDups, "doc_id", "text")
+    assert(drops.count() == 5 && drops.filter($"drop_id" < 100000).count() == 0)
+  }
+
+  test("fingerprint normalizes case + whitespace") {
+    val d = Seq("Hello  World", "hello world", "HELLO\tWORLD ").toDF("text")
+    assert(d.select(TF.fingerprint($"text")).distinct().count() == 1)
+  }
+
+  test("minhash LSH recovers planted near-dups with high recall") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // generator plants near-dup pairs at every sf
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash candidates are verified with TRUE jaccard → no false
+    // positives; banding with 16 bands of 4 at s>=0.5 has >97% recall
+    assert(mh.subsetOf(exact))
+    assert(mh.size >= exact.size * 9 / 10,
+      s"minhash recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = docs.limit(20).select($"doc_id", $"text")
+    // perturb: replace one word occurrence → tiny token-set change
+    val perturbed = base
+      .select(($"doc_id" + 100000).as("doc_id"),
+        regexp_replace($"text", "\\bthe\\b", "thee").as("text"))
+    val all = base.unionByName(perturbed)
+    val pairs = Dedup.simhashPairs(all, "doc_id", "text", maxHamming = 12)
+      .filter($"id_b" === $"id_a" + 100000)
+    // every planted pair should surface (identical token multisets ±1 word)
+    assert(pairs.count() >= 18, s"simhash found only ${pairs.count()} of 20")
+  }
+
+  test("simhash signature is deterministic") {
+    val a = Dedup.simhash(docs, "doc_id", "text").orderBy("id").limit(5)
+      .collect().map(_.getLong(1)).toSeq
+    val b = Dedup.simhash(docs, "doc_id", "text").orderBy("id").limit(5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(a == b && a.distinct.size > 1)
+  }
+
+  test("embedding near-dup pairs: LSH subset of exact, cosine verified") {
+    val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairs(embeddings, "vec_id", "embedding",
+      dims = 64, threshold = 0.4, numPlanes = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification kills false positives
+  }
+
+  test("brute-force top-k: exact, deterministic, k rows per query") {
+    val queries = embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    val res = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+    val counts = res.groupBy("qid").count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 5))
+    // rank 1 really is the max-cosine neighbor (spot check qid=0)
+    val top = res.filter($"qid" === 0 && $"rank" === 1)
+      .select("cosine").as[Double].head()
+    val maxCos = embeddings.filter($"vec_id" =!= 0)
+      .crossJoin(embeddings.filter($"vec_id" === 0).select($"embedding".as("qv")))
+      .select(VF.cosineSim($"embedding", $"qv").as("c"))
+      .agg(max($"c")).as[Double].head()
+    assert(math.abs(top - maxCos) < 1e-12)
+  }
+
+  test("LSH top-k recall against brute force (random vectors, lenient)") {
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embeddings, queries, k = 5, dims = 64,
+      numPlanes = 8, probeHamming = 2)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-random vectors are LSH's worst case; still expect usable recall
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("language ID: correct on real sentences, CJK via script") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is that simple", "en"),
+      ("der hund ist nicht mit der katze und das ist gut", "de"),
+      ("le chat est dans la maison et les oiseaux pour une fois", "fr"),
+      ("el perro es grande y los gatos en la casa por para una", "es"),
+      ("这是一个中文句子用来测试语言识别", "zh"),
+      ("xyzzy plugh quux", "und")).toDF("text", "expected")
+    val got = samples.select($"expected", TF.langId($"text").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("word shingles: correct n-gram construction") {
+    val d = Seq("a b c d").toDF("t")
+    val sh = d.select(TF.wordShingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    // short doc → single whole-doc shingle; empty → empty
+    val short = Seq("a b").toDF("t")
+      .select(TF.wordShingles($"t", 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+    val empty = Seq("").toDF("t")
+      .select(TF.wordShingles($"t", 3)).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("multimodal: stub decode plumbing — schema, determinism, batching") {
+    val media = Multimodal.demoMediaFromDocuments(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(media)
+    val rows = meta.collect()
+    assert(rows.length == docs.count())
+    // deterministic across runs
+    val again = Multimodal.decodeMeta(media).collect()
+    assert(rows.map(_.sha1).toSeq == again.map(_.sha1).toSeq)
+    // kinds map to sensible stub metadata
+    assert(rows.filter(_.kind == "image").forall(m => m.width > 0 && m.height > 0))
+    assert(rows.filter(_.kind == "audio").forall(m => m.sample_rate == 16000))
+    assert(rows.filter(_.kind == "video").forall(m => m.duration_ms > 0))
+  }
+
+  test("multimodal: frame sampling + resize plans") {
+    val meta = Multimodal.decodeMeta(Multimodal.demoMediaFromDocuments(docs))
+    val frames = Multimodal.sampleFrames(meta, fps = 0.2) // 1 frame / 5s
+    val perVideo = frames.groupBy("media_id").count()
+    val joined = perVideo.join(meta.toDF().filter($"kind" === "video"), "media_id")
+      .select($"count", $"duration_ms")
+      .collect()
+    joined.foreach { r =>
+      assert(r.getLong(0) == (r.getLong(1) - 1) / 5000 + 1)
+    }
+    val resized = Multimodal.resizePlan(meta, 640, 360)
+    resized.collect().foreach { r =>
+      assert(r.getInt(3) <= 640 && r.getInt(4) <= 360)
+    }
+  }
+
+  test("cosine expression matches a reference implementation") {
+    val rows = embeddings.limit(3).select($"embedding").as[Seq[Float]].collect()
+    val sparkCos = embeddings.limit(3)
+      .crossJoin(embeddings.limit(3).select($"embedding".as("e2"), $"vec_id".as("v2")))
+      .filter($"vec_id" === 0 && $"v2" === 1)
+      .select(VF.cosineSim($"embedding", $"e2")).as[Double].head()
+    def ref(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    assert(math.abs(sparkCos - ref(rows(0), rows(1))) < 1e-9)
+  }
+}

@@ -52,10 +52,12 @@ object PipelineQueries {
       // composite quality score: length norm + stopword ratio + alpha
       // ratio, integer-weighted to stay engine-exact
       val d = Tables(s, dir, "documents")
-      val nTok = TF.tokenCount($"text")
-      val stopHits = TF.stopwordHits($"text", TF.StopwordsByLang.head._2)
-      d.select($"doc_id", nTok.as("n_tokens"), stopHits.as("stop_hits"),
-        (stopHits.cast("double") / nTok.cast("double")).as("stop_ratio"))
+      // compute each regex ONCE, derive the ratio from the result columns
+      d.select($"doc_id",
+          TF.tokenCount($"text").as("n_tokens"),
+          TF.stopwordHits($"text", TF.StopwordsByLang.head._2).as("stop_hits"))
+        .withColumn("stop_ratio",
+          $"stop_hits".cast("double") / $"n_tokens".cast("double"))
     },
 
     // ---------------- dedup family ----------------
@@ -111,6 +113,16 @@ object PipelineQueries {
       Similarity.lshTopK(e, queries, k = 5, dims = 64,
           numPlanes = 8, probeHamming = 2)
         .select($"qid", $"id", $"rank")
+    },
+
+    // ---------------- streaming (batch-equivalent plans) ----------------
+    "stream_hourly_agg" -> { (s, dir) =>
+      graft.streaming.EventStreams.hourlyAgg(Tables(s, dir, "events"))
+    },
+
+    "stream_sessions" -> { (s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(
+        Tables(s, dir, "events"), gapSeconds = 1800L)
     },
 
     // ---------------- multimodal plumbing ----------------
@@ -199,6 +211,24 @@ object PipelineQueries {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "stream_hourly_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) AS n_sessions
+        |FROM x GROUP BY user_id""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -99,6 +99,54 @@ object VecOps {
     val rnd = new java.util.Random(seed)
     Array.fill(numPlanes * dims)(rnd.nextGaussian().toFloat)
   }
+
+  /** Single-pass k-permutation MinHash: one base hash per shingle, k
+    * universal-hash permutations h_i(x) = a_i*x + b_i (odd a_i, 64-bit
+    * wraparound), running minima kept in a local array. One traversal of
+    * the shingle array instead of k (the transform+array_min formulation
+    * re-walks the array per hash function).
+    */
+  def minhashSig(shingles: ArrayData, k: Int, seed: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val coef = minhashCoefs(k, seed)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hash64(shingles.getUTF8String(i), seed)
+        var j = 0
+        while (j < k) {
+          val v = coef(2 * j) * h + coef(2 * j + 1)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+  def minhashCoefs(k: Int, seed: Int): Array[Long] =
+    coefCache.computeIfAbsent((k, seed), { _ =>
+      val rnd = new java.util.Random(seed.toLong << 17 | 0x9e3779b9L)
+      Array.fill(2 * k)(rnd.nextLong()).zipWithIndex
+        .map { case (v, i) => if (i % 2 == 0) v | 1L else v } // odd multipliers
+    })
+}
+
+/** minhash_sig(array<string>) → array<long> of k running minima, one pass. */
+case class MinHashSig(child: Expression, k: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.minhashSig(t.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.VecOps.minhashSig($t, $k, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** cosine(array<float>, array<float>) → double, codegen'd. */
@@ -167,17 +215,11 @@ object VectorFunctions {
   def hyperplaneSig(v: Column, numPlanes: Int, dims: Int, seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), numPlanes, dims, seed))
 
-  /** MinHash signature as array<long>: element i = min over shingles of
-    * hash64(shingle, seed=i). Built from Catalyst primitives (transform +
-    * array_min + xxhash64-with-seed) — no UDF.
+  /** MinHash signature as array<long>: k-permutation minima over the
+    * shingle set in ONE array traversal (native expression). The earlier
+    * formulation (transform + array_min per hash) re-walked the array k
+    * times — 64× the work at k=64.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64
-    import org.apache.spark.sql.functions._
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(shingles,
-        s => toCol(XxHash64(Seq(toExpr(s)), i.toLong))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Int = 0x7f4a7c15): Column =
+    toCol(MinHashSig(toExpr(shingles), numHashes, seed))
 }

@@ -80,7 +80,23 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    verifyJaccard(candidates, shingled, threshold)
+    // cheap prefilter BEFORE the expensive exact verify: estimate jaccard
+    // from the signatures themselves (matching minima / numHashes,
+    // stderr ≈ sqrt(t(1-t)/k)); keep candidates within 3σ of threshold.
+    // Kills the moderately-similar candidate flood without losing true
+    // pairs (margin is generous), then exact jaccard decides.
+    val margin = 3.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val siga = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val estimated = candidates.join(siga, "id_a").join(sigb, "id_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est") >= threshold - margin)
+      .select("id_a", "id_b")
+
+    verifyJaccard(estimated, shingled, threshold)
   }
 
   /** True-Jaccard verification: join shingle sets back, intersect/union. */
@@ -123,34 +139,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard near-dup pairs via inverted index (no minhash
-    * approximation — exact Jaccard, heavier candidate set).
+  /** n-gram Jaccard near-dup pairs — EXACT result (same output as the
+    * naive all-shared-shingles join) via prefix filtering from the
+    * set-similarity-join literature (AllPairs/PPJoin, Bayardo et al.
+    * WWW'07, public): for jaccard ≥ t, two sets must share at least one
+    * of each other's first ⌊(1-t)·|s|⌋+1 shingles under a global
+    * rarest-first ordering. Candidates come from joining only those
+    * prefixes (rare shingles → tiny buckets → no skew), then true
+    * jaccard is verified on the full shingle arrays.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
     val shingled = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("n_sh", size(col("shingles")))
-    var inverted = shingled
+
+    val exploded = shingled
       .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    maxShingleFreq.foreach { f =>
-      // stop-shingle filtering: drop n-grams appearing in > f docs (skew guard)
-      val freq = inverted.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= f).select("sh")
-      inverted = inverted.join(freq, "sh")
-    }
-    val a = inverted.as("a")
-    val b = inverted.as("b")
-    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("na") + col("nb") - col("shared")).cast("double"))
+    val freq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+
+    // rarest-first rank of each shingle within its document
+    val ranked = exploded.join(freq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)))
+    val prefix = ranked.filter(
+      col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val candidates = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          // length filter: |a|·t ≤ |b| (size ratio bound for jaccard ≥ t)
+          col("b.n_sh") * threshold <= col("a.n_sh") &&
+          col("a.n_sh") * threshold <= col("b.n_sh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets + native

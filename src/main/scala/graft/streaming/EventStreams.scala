@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table: watermarked
+  * windowed aggregation and stateful sessionization.
+  *
+  * The transforms are written once and applied to BOTH batch and
+  * streaming frames (the Dataset API is the same logical plan either
+  * way) — StreamingSpec asserts the stream result equals the batch
+  * result on the same files. Scale notes: the windowed agg is a standard two-phase
+  * (partial → final) agg keyed by (window, event_type); sessionization
+  * state is per-user and bounded by the watermark, so state store size
+  * tracks active users, not history.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Option[Double])
+
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Per-user session state for [[sessionizeStateful]]. */
+  final case class SessionState(nEvents: Long, nSessions: Long, lastUs: Long)
+
+  /** Hourly tumbling-window aggregate; watermark bounds state on the
+    * streaming path and is a no-op on batch.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Batch sessionization (gaps-and-islands with a lag window): a new
+    * session starts after `gapSeconds` of user inactivity. This is the
+    * oracle-checkable equivalent of [[sessionizeStateful]].
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+  }
+
+  /** Streaming stateful sessionization via flatMapGroupsWithState:
+    * per-user state = (event count, session count, last event time).
+    * Emits one row per user per batch in Update mode.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val newSession = s.lastUs == Long.MinValue ||
+              us - s.lastUs > gapSeconds * 1000000L
+            s = SessionState(s.nEvents + 1,
+              s.nSessions + (if (newSession) 1 else 0), us)
+          }
+          state.update(s)
+          Iterator(UserSessions(userId, s.nEvents, s.nSessions))
+      }
+  }
+
+  /** File-source streaming read of an events parquet (schema pinned from
+    * a batch probe; nanos ts normalized like the batch path).
+    */
+  def readStreamEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    graft.Tables.normalizeNanos(
+      spark.readStream.schema(schema).parquet(path))
+  }
+}

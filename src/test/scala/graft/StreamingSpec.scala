@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming: the same logical plans produce identical results
+  * on the streaming path (file source → memory sink) as on batch.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents = Tables(spark, sf001, "events")
+
+  /** File streaming source requires a DIRECTORY; stage the single-file
+    * events parquet into one.
+    */
+  private lazy val eventsDir: String = {
+    val d = tmpDir("stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("streaming hourly windowed agg == batch result (complete mode)") {
+    val stream = EventStreams.readStreamEvents(spark, eventsDir)
+    assert(stream.isStreaming)
+    val q = EventStreams.hourlyAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_out")
+      .select("hour_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.hourlyAgg(batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) == batch gaps-and-islands") {
+    val stream = EventStreams.readStreamEvents(spark, eventsDir)
+    val evStream = stream.as[EventStreams.Event]
+    val q = EventStreams.sessionizeStateful(evStream, gapSeconds = 1800L)
+      .writeStream
+      .outputMode("update")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user wins
+    val streamed = spark.table("sessions_out")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups((_, it) => it.toSeq.last)
+      .collect().toSet
+    val batch = EventStreams.sessionizeBatch(batchEvents, 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("watermark bounds state: append-mode windowed agg emits rows") {
+    val stream = EventStreams.readStreamEvents(spark, eventsDir)
+    val q = EventStreams.hourlyAgg(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("hourly_append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // with watermark = 2h, all windows older than max(ts)-2h are final
+    assert(spark.table("hourly_append").count() > 0)
+  }
+}

@@ -108,6 +108,28 @@ object CoreQueries {
       val ord = Tables(s, dir, "orders")
       cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
+    },
+
+    // Multi-level aggregation: ROLLUP over (returnflag, linestatus).
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          decSum($"l_quantity").as("sum_qty"))
+    },
+
+    // SQL frontend: the same engine drives spark.sql over registered
+    // views (the reference's users talk SQL to the source warehouse).
+    "q_sql" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority""")
     }
   )
 
@@ -153,6 +175,18 @@ object CoreQueries {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_sql" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

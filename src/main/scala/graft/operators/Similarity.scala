@@ -81,4 +81,50 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * each query probes its `nprobe` nearest cells. The 100-TB shape: the
+    * corpus is clustered ONCE (and would be written out partitioned by
+    * cell — probing then prunes whole partitions at scan time); per-query
+    * work is nprobe/nlist of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      .withColumn("features", array_to_vector(col("cvec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(c.select("features"))
+    val assigned = model.transform(c)
+      .select(col("id"), col("cvec"), col("prediction").as("cell"))
+
+    // centroids as a small broadcastable frame
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+
+    // each query → nprobe nearest cells by cosine to the centroid
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("qvec"), col("centroid")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

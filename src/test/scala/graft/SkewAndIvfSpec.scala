@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Skew}
+
+class SkewAndIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join == plain join (multiplicity preserved)") {
+    val large = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v") // heavy skew on k=1
+    val small = Seq((1L, "one"), (2L, "two"), (5L, "five")).toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = Skew.saltedJoin(large, small, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val b = salted.orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("two-phase salted agg == direct agg") {
+    val df = (1 to 5000).map(i => (if (i % 5 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("v"), count(lit(1)).as("n"))
+    val twoPhase = Skew.twoPhaseAgg(df, "k", saltFactor = 8,
+      partial = Map("v" -> (c => sum(c)), "n" -> (_ => count(lit(1)))),
+      combine = Map("v" -> (c => sum(c)), "n" -> (c => sum(c))))
+    assert(direct.orderBy("k").collect().map(_.toSeq).toSeq ==
+      twoPhase.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
+  test("IVF full probe == brute force; partial probe keeps decent recall") {
+    val e = Tables(spark, sf001, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(e, queries, k = 5, nlist = 8, nprobe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute) // probing every cell ≡ exact
+    val partial = Similarity.ivfTopK(e, queries, k = 5, nlist = 8, nprobe = 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = partial.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall") // near-random vectors: lenient
+  }
+}

@@ -114,6 +114,18 @@ object MigrationQueries {
         .agg(max($"o_orderdate").as("latest_date"), count(lit(1)).as("n"))
     },
 
+    // T7/T12: ±inf → null cleanup on floating columns (infs injected
+    // deterministically since the testdata has none).
+    "mig_inf_cleanup" -> { (s, dir) =>
+      import s.implicits._
+      val withInf = Tables(s, dir, "events")
+        .select($"event_id",
+          when(pmod($"event_id", lit(7)) === 0, lit(Double.PositiveInfinity))
+            .otherwise($"value").as("value"))
+      graft.transform.CastPipeline.basicCleanup(withInf)
+        .withColumnRenamed("value", "value_clean")
+    },
+
     // O1-O3 end-to-end: the full transform chain (cast → mapping → order)
     // exactly as Migrator.transform wires it.
     "mig_migrate_e2e" -> { (s, dir) =>
@@ -191,6 +203,11 @@ object MigrationQueries {
 
     "mig_latest_partition" ->
       "SELECT max(o_orderdate) AS latest_date, COUNT(*) AS n FROM orders",
+
+    "mig_inf_cleanup" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_clean
+        |FROM events""".stripMargin,
 
     "mig_migrate_e2e" ->
       """SELECT printf('%08d-%s', c_custkey, substring(c_mktsegment, 1, 3)) AS label,

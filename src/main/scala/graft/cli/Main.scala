@@ -6,7 +6,7 @@ import graft.config.ConfigLoader
 import graft.model._
 import graft.run.Migrator
 import graft.sinks.{JdbcSink, ParquetSink, Sink}
-import graft.sources.SourceReader
+import graft.sources.{JdbcSource, SourceReader}
 
 /** CLI entry point (SURVEY.md §2.9 O8, §3.1; reference: cli.py).
   *
@@ -69,7 +69,11 @@ object Main {
         }
       }
 
-      val source = new SourceReader(spark, req("source_dir"))
+      // --source-dir DIR (files) or --source jdbc:URL (relational)
+      val source: graft.sources.Source = cfg.get("source") match {
+        case Some(s) if s.startsWith("jdbc:") => new JdbcSource(spark, s)
+        case _ => new SourceReader(spark, req("source_dir"))
+      }
       val sink: Sink = cfg.getOrElse("dest", s"parquet:/tmp/graft-out") match {
         case d if d.startsWith("parquet:") =>
           new ParquetSink(spark, d.stripPrefix("parquet:"))

@@ -100,16 +100,11 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")).cast("binary"))
 
-  /** Word n-gram shingles (distinct), the dedup family's unit of
-    * comparison.
+  /** Word n-gram shingles (ordered-distinct), the dedup family's unit of
+    * comparison. Delegates to the native single-pass kernel
+    * ([[TextExprs.wordShingles]]) — the equivalent
+    * transform+slice+concat_ws formulation pays per-element lambda
+    * interpretation and was the dominant cost of the dedup pipeline.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    when(size(toks) < n,
-      when(size(toks) === 0, array().cast("array<string>"))
-        .otherwise(array(concat_ws(" ", toks))))
-      .otherwise(array_distinct(transform(idx, i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def wordShingles(c: Column, n: Int): Column = TextExprs.wordShingles(c, n)
 }

@@ -106,8 +106,7 @@ object Dedup {
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -182,8 +181,7 @@ object Dedup {
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

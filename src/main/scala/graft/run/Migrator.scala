@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import graft.model._
 import graft.schema.SchemaMapper
 import graft.sinks.Sink
-import graft.sources.SourceReader
+import graft.sources.Source
 import graft.transform.{CastPipeline, ConstraintEnforcer, MappingTransform}
 
 /** Migration run report (counts + staged facts, feeding dry-run output
@@ -31,7 +31,7 @@ final case class MigrationReport(
   * through whole-stage-codegen'd projections, with scan pruning handled
   * by Catalyst.
   */
-class Migrator(source: SourceReader, sink: Sink) {
+class Migrator(source: Source, sink: Sink) {
 
   def migrate(spec: MigrationSpec): MigrationReport = {
     // 1. connections (reference: migrator.py:169-179)

@@ -102,6 +102,19 @@ class CastPipelineSpec extends SparkSpec {
       Seq(Some(1.0), None, None))
   }
 
+  test("cast diagnostics sample the offending values (T13)") {
+    import graft.transform.CastDiagnostics
+    val df = Seq("1", "nope", "3", "bad").toDF("n")
+    val r = CastDiagnostics.sampleFailures(df, "n", "bigint")
+    assert(r.failureCount == 2 && r.samples.toSet == Set("nope", "bad"))
+    val all = CastDiagnostics.diagnose(df,
+      Seq(SourceColumn("n", "bigint")))
+    assert(all.size == 1 && all.head.column == "n")
+    // clean column produces no report
+    assert(CastDiagnostics.diagnose(Seq("1", "2").toDF("n"),
+      Seq(SourceColumn("n", "bigint"))).isEmpty)
+  }
+
   test("int-with-nulls stays 64-bit int — no float64 detour (vs pandas)") {
     val df = Seq(Some("1"), None, Some("3")).toDF("n")
     val out = CastPipeline(df, Seq(SourceColumn("n", "bigint")), compat)

@@ -114,6 +114,27 @@ class MigratorSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$out/events_latest").columns.contains("pt"))
   }
 
+  test("jdbc SOURCE: Derby -> parquet migration (reference's db-to-db shape)") {
+    // populate a Derby table first (via the sink), then use it as SOURCE
+    val db = tmpDir("derby-src") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val sink = new JdbcSink(url, dialect = DerbyDialect)
+    new Migrator(new SourceReader(spark, sf001), sink).migrate(
+      MigrationSpec(sourceTable = "nation", destTable = "nation_src",
+        fullScanGuardLimit = None))
+
+    val out = tmpDir("from-jdbc")
+    val src = new graft.sources.JdbcSource(spark, url)
+    assert(src.testConnection() && src.validateAccess("nation_src"))
+    val cols = src.schemaOf("nation_src")
+    assert(cols.map(_.name.toLowerCase).contains("n_name"))
+    val report = new Migrator(src, new ParquetSink(spark, out)).migrate(
+      MigrationSpec(sourceTable = "nation_src", destTable = "nation_back",
+        fullScanGuardLimit = None))
+    assert(report.rowsWritten == 25)
+    assert(spark.read.parquet(s"$out/nation_back").count() == 25)
+  }
+
   test("fail policy surfaces before write (D3 via spec.compat)") {
     val out = tmpDir("mig-fail")
     // orders.o_comment has no nulls; fabricate: use events.props with nulls?

@@ -115,6 +115,35 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // ---------------- composed curation pipeline ----------------
+    // quality filter + exact-dedup keep-list in one flow — the "curate a
+    // training corpus" end-to-end shape.
+    "pipeline_curate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val stats = docs.select($"doc_id", $"lang", $"text",
+        TF.tokenCount($"text").as("n_tokens"),
+        (length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double") /
+          length($"text").cast("double")).as("alpha"))
+      val keep = Dedup.exact(docs, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      stats.join(keep, "doc_id")
+        .filter($"n_tokens" >= 20 && $"alpha" > 0.5)
+        .select($"doc_id", $"lang", $"n_tokens")
+    },
+
+    // custom TypedImperativeAggregate: per-label embedding centroids
+    // (fixed-size buffers, no element explosion; exactness proven in
+    // EmbeddingsSpec against the posexplode formulation)
+    "embed_label_centroids" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Embeddings.centroids(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+        .select($"label", $"n",
+          round(graft.operators.Embeddings.l2NormD($"centroid"), 4)
+            .as("centroid_norm"))
+    },
+
     // ---------------- streaming (batch-equivalent plans) ----------------
     "stream_hourly_agg" -> { (s, dir) =>
       graft.streaming.EventStreams.hourlyAgg(Tables(s, dir, "events"))
@@ -211,6 +240,21 @@ object PipelineQueries {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH stats AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_split_to_array(trim(text),'\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha
+        |  FROM documents),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(lower(regexp_replace(trim(text),'\s+',' ','g'))))
+        |SELECT s.doc_id, s.lang, s.n_tokens
+        |FROM stats s JOIN keep k ON s.doc_id = k.doc_id
+        |WHERE s.n_tokens >= 20 AND s.alpha > 0.5""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Embeddings
+
+/** VectorMean custom aggregate + embedding utilities. */
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings = Tables(spark, sf001, "embeddings")
+
+  test("VectorMean aggregate == posexplode/avg reference") {
+    val fast = Embeddings.centroids(embeddings, "label", "embedding")
+      .select($"label", $"centroid")
+      .as[(Int, Seq[Double])].collect().toMap
+    val ref = embeddings
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg(avg($"col").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pairs"))
+      .select($"label", transform($"pairs", p => p("m")).as("centroid"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (label, vec) =>
+      vec.zip(ref(label)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $label")
+      }
+    }
+  }
+
+  test("VectorMean survives partial/merge across many partitions") {
+    val spread = embeddings.repartition(16)
+    val a = Embeddings.centroids(spread, "label", "embedding")
+      .select($"label", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    val b = Embeddings.centroids(embeddings.coalesce(1), "label", "embedding")
+      .select($"label", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    a.foreach { case (l, v) =>
+      v.zip(b(l)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("normalize yields unit vectors; zero vector passes through") {
+    val norms = embeddings
+      .select(Embeddings.l2Norm(Embeddings.normalize($"embedding")).as("n"))
+      .as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-4))
+    val zero = Seq(Tuple1(Array(0f, 0f))).toDF("embedding")
+      .select(Embeddings.normalize($"embedding")).as[Seq[Float]].head()
+    assert(zero == Seq(0f, 0f))
+  }
+
+  test("centroidDistance: every row scored, same-label rows closer on average") {
+    val scored = Embeddings.centroidDistance(embeddings, "label", "embedding")
+    assert(scored.count() == embeddings.count())
+    val avgCos = scored.agg(avg($"cosine_to_centroid")).as[Double].head()
+    assert(avgCos > 0.0) // rows correlate positively with own centroid
+  }
+}

@@ -115,6 +115,21 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // As-of join: latest order at-or-before each event's timestamp for
+    // the same id (union+window, single shuffle — see operators/AsOf).
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events").select($"event_id", $"user_id", $"ts")
+      // dedupe right side to one row per (key, time) for determinism
+      val ord = Tables(s, dir, "orders")
+        .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      graft.operators.AsOf.join(ev, ord, key = "user_id",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightPayload = Seq("o_orderdate"))
+        .select($"event_id", $"user_id", $"asof_o_orderdate".as("last_order_date"))
+    },
+
     // ---------------- composed curation pipeline ----------------
     // quality filter + exact-dedup keep-list in one flow — the "curate a
     // training corpus" end-to-end shape.
@@ -240,6 +255,13 @@ object PipelineQueries {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id,
+        |  (SELECT max(o_orderdate) FROM orders
+        |   WHERE o_custkey = user_id AND o_orderdate <= CAST(ts AS TIMESTAMP))
+        |    AS last_order_date
+        |FROM events""".stripMargin,
 
     "pipeline_curate" ->
       """WITH stats AS (

@@ -106,7 +106,13 @@ final case class MigrationSpec(
     fullScanGuardLimit: Option[Long] = Some(100000L),
     mapping: MappingPlan = MappingPlan(),
     compat: CompatConfig = CompatConfig.default,
-    dryRun: Boolean = false)
+    dryRun: Boolean = false,
+    /** Output parallelism / file sizing: repartition before the write so
+      * the sink sees this many tasks (files for ParquetSink, concurrent
+      * connections for JdbcSink). None = inherit upstream partitioning.
+      * The scale analog of the reference's batch_size knob (README.md:90).
+      */
+    writePartitions: Option[Int] = None)
 
 /** Errors — reference exceptions.py defines a small hierarchy; we keep
   * the two load-bearing ones.

@@ -61,7 +61,8 @@ class Migrator(source: Source, sink: Sink) {
 
     // 4. the one distributed job: scan → cast → map → align → defaults →
     //    policy → write (reference: migrator.py:288-337, per-batch)
-    val out = transform(source.buildScan(spec), srcCols, destCols, spec)
+    val transformed = transform(source.buildScan(spec), srcCols, destCols, spec)
+    val out = spec.writePartitions.fold(transformed)(transformed.repartition)
     val rows = out.count() // reference reports row counts per run (O3)
     sink.write(out, spec.destTable,
       // truncate/drop already handled above; the write itself appends

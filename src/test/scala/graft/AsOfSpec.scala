@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOf
+
+/** As-of join semantics on constructed data with known answers. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks the latest right row at-or-before left time, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 09:00:00"), "e3"),
+      (3L, ts("2024-01-01 09:00:00"), "e4")) // key with no right rows
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+      (2L, ts("2024-01-01 09:00:00"), 300.0), // exactly equal time → matches
+      (2L, ts("2024-01-01 23:00:00"), 400.0)) // future → never matches e3
+      .toDF("k", "rt", "price")
+
+    val out = AsOf.join(left, right, "k", "t", "rt", Seq("price"))
+      .select($"name", $"asof_price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("e1") == Some(100.0)) // latest <= 10:00 is 09:30
+    assert(out("e2") == Some(200.0)) // 11:00 beats 09:30
+    assert(out("e3") == Some(300.0)) // inclusive <=
+    assert(out("e4") == None)        // no right rows for key 3
+  }
+
+  test("as-of matches the correlated-subquery oracle on real tables") {
+    val ev = Tables(spark, sf001, "events")
+      .select($"event_id", $"user_id", $"ts").limit(500)
+    val ord = Tables(spark, sf001, "orders")
+      .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+      .agg(org.apache.spark.sql.functions.max($"o_orderkey").as("o_orderkey"))
+    val asof = AsOf.join(ev, ord, "user_id", "ts", "o_orderdate",
+        Seq("o_orderdate"))
+      .select($"event_id", $"asof_o_orderdate")
+      .as[(Long, Option[Timestamp])].collect().toMap
+
+    ev.createOrReplaceTempView("ev_v")
+    Tables(spark, sf001, "orders").createOrReplaceTempView("ord_v")
+    val ref = spark.sql(
+      """SELECT event_id,
+        |  (SELECT max(o_orderdate) FROM ord_v
+        |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS d
+        |FROM ev_v""".stripMargin)
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(asof == ref && asof.nonEmpty)
+  }
+}

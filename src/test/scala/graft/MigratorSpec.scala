@@ -114,6 +114,16 @@ class MigratorSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$out/events_latest").columns.contains("pt"))
   }
 
+  test("writePartitions controls output file count") {
+    val out = tmpDir("mig-wp")
+    migrator(out).migrate(MigrationSpec(
+      sourceTable = "lineitem", destTable = "li_sized",
+      fullScanGuardLimit = None, writePartitions = Some(3)))
+    val files = new java.io.File(s"$out/li_sized").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 3)
+  }
+
   test("jdbc SOURCE: Derby -> parquet migration (reference's db-to-db shape)") {
     // populate a Derby table first (via the sink), then use it as SOURCE
     val db = tmpDir("derby-src") + "/db"

@@ -43,6 +43,8 @@ object ConfigLoader {
         val v = e.getValue
         if (key == "mappings") () // structured; not flattened
         else if (v.isObject) walk(v, prefix) // grouped → flat: drop group name
+        else if (v.isArray) // scalar arrays flatten to CSV (string_null_tokens)
+          out += key -> v.elements().asScala.map(_.asText()).mkString(",")
         else if (v.isValueNode) out += key -> v.asText()
       }
     walk(root, "")
@@ -113,7 +115,8 @@ object ConfigLoader {
       rename = strMap(n.path("rename")),
       computed = computed,
       defaults = strMap(n.path("defaults")),
-      typeOverrides = strMap(n.path("type_overrides")),
+      // the reference spells it `type_override` (README.md:199); accept both
+      typeOverrides = strMap(n.path("type_override")) ++ strMap(n.path("type_overrides")),
       order = strs(n.path("order")))
   }
 

@@ -110,6 +110,27 @@ object CoreQueries {
         .select($"c_custkey", $"c_name")
     },
 
+    // TPC-H Q5 shape: 6-table join, dims broadcast, one fact shuffle.
+    "q5_join" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val supp = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(reg.filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(decSum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // Multi-level aggregation: ROLLUP over (returnflag, linestatus).
     "q_rollup" -> { (s, dir) =>
       import s.implicits._
@@ -176,6 +197,17 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -79,6 +79,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication: drop events whose payload fingerprint
+    * was already seen, with state bounded by the watermark (duplicates
+    * arriving more than `watermark` late are not caught — the standard
+    * streaming-dedup contract; state size tracks the watermark window,
+    * not history).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(
+        concat_ws("|", col("user_id"), col("event_type"), col("props"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("fp", "ts")
+
   /** File-source streaming read of an events parquet (schema pinned from
     * a batch probe; nanos ts normalized like the batch path).
     */

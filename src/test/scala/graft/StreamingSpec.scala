@@ -64,6 +64,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming dedup == batch dropDuplicates on the same files") {
+    val stream = EventStreams.readStreamEvents(spark, eventsDir)
+    val q = EventStreams.dedupStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_out").count()
+    val batch = EventStreams.dedupStream(batchEvents).count()
+    assert(streamed == batch && batch > 0)
+    assert(batch <= batchEvents.count())
+  }
+
   test("watermark bounds state: append-mode windowed agg emits rows") {
     val stream = EventStreams.readStreamEvents(spark, eventsDir)
     val q = EventStreams.hourlyAgg(stream).writeStream

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.sinks.GraftMySqlDialect
+
+/** SQL function registration + MySQL dialect mapping. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native functions callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |  graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |  graft_jaccard(array('a','b'), array('b','c')) AS j,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  size(graft_minhash('a b c d e', 2, 16)) AS mh
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("d") - 11.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("j") - (1.0 / 3)) < 1e-12)
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq ==
+      Seq("a b c", "b c d"))
+    assert(r.getAs[Int]("mh") == 16)
+    // simhash deterministic through SQL
+    val s1 = spark.sql("SELECT graft_simhash(array('x','y'))").head().getLong(0)
+    val s2 = spark.sql("SELECT graft_simhash(array('x','y'))").head().getLong(0)
+    assert(s1 == s2)
+  }
+
+  test("SparkSessionExtensions class injects the same functions") {
+    // separate session with the extension wired the config way
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2) // newSession shares registry injection path
+    assert(s2.sql("SELECT graft_dot(array(1.0F), array(2.0F))")
+      .head().getDouble(0) == 2.0)
+  }
+
+  test("MySQL dialect maps the reference's DDL types (schema_mapper.py:95-117)") {
+    val d = GraftMySqlDialect
+    assert(d.canHandle("jdbc:mysql://host/db"))
+    assert(d.getJDBCType(IntegerType).get.databaseTypeDefinition == "BIGINT")
+    assert(d.getJDBCType(StringType).get.databaseTypeDefinition == "VARCHAR(255)")
+    assert(d.getJDBCType(BooleanType).get.databaseTypeDefinition == "TINYINT(1)")
+    assert(d.getJDBCType(TimestampNTZType).get.databaseTypeDefinition == "DATETIME")
+    assert(d.getJDBCType(DecimalType(10, 2)).get.databaseTypeDefinition == "DECIMAL(10,2)")
+    assert(d.getJDBCType(ArrayType(StringType)).get.databaseTypeDefinition == "TEXT")
+    assert(d.quoteIdentifier("a`b") == "`a``b`")
+    d.register() // idempotent
+    d.register()
+  }
+}

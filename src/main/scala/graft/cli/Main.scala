@@ -28,6 +28,10 @@ object Main {
 
     def req(k: String): String = cfg.getOrElse(k,
       sys.error(s"missing required option --${k.replace('_', '-')}"))
+    // boolean knobs: an explicit "false"/"0" from a config file means
+    // FALSE — presence of the key alone is not truth
+    def flag(k: String): Boolean =
+      cfg.get(k).exists(v => Set("true", "1", "yes").contains(v.toLowerCase))
 
     val spark = SparkSession.builder()
       .master(cfg.getOrElse("master", "local[*]"))
@@ -48,9 +52,9 @@ object Main {
       val compat0 = ConfigLoader.compatFrom(cfg)
       val compat = compat0.copy(
         preserveStringNullTokens =
-          compat0.preserveStringNullTokens && !cfg.contains("strip_null_tokens"),
+          compat0.preserveStringNullTokens && !flag("strip_null_tokens"),
         treatEmptyStringAsNull =
-          compat0.treatEmptyStringAsNull || cfg.contains("empty_string_as_null"))
+          compat0.treatEmptyStringAsNull || flag("empty_string_as_null"))
       val spec = MigrationSpec(
         sourceTable = sourceTable,
         destTable = req("dest_table"),
@@ -58,10 +62,10 @@ object Main {
         limit = cfg.get("limit").map(_.toLong),
         mapping = mapping,
         compat = compat,
-        dryRun = cfg.contains("dry_run"))
+        dryRun = flag("dry_run"))
 
       // overwrite confirmation (reference: cli.py:257-260)
-      if (spec.mode == WriteMode.Overwrite && !spec.dryRun && !cfg.contains("yes")) {
+      if (spec.mode == WriteMode.Overwrite && !spec.dryRun && !flag("yes")) {
         print(s"Overwrite ${spec.destTable}? [y/N] ")
         val ans = Option(scala.io.StdIn.readLine()).getOrElse("")
         if (!Set("y", "yes").contains(ans.trim.toLowerCase)) {

@@ -26,9 +26,10 @@ import graft.functions.VectorFunctions
   *
   * Every candidate join keys on a<b to emit each unordered pair once.
   * Skew note: hot LSH buckets (very common shingles/chunks) are the skew
-  * risk at scale — AQE skew-join handles moderate cases; extreme ones
-  * should drop top-frequency shingles (stop-shingle filtering), exposed
-  * via `maxShingleFreq`.
+  * risk at scale — AQE skew-join handles moderate cases; the exact ngram
+  * join is anti-skew by construction (prefix filter keys on RARE
+  * shingles), and minhash bounds verification volume via the
+  * signature-estimate prefilter.
   */
 object Dedup {
 
@@ -54,7 +55,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxShingleFreq: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 

@@ -118,6 +118,13 @@ class Migrator(source: Source, sink: Sink) {
         val listed = m.order.flatMap(o => withComputed.find(_.name.equalsIgnoreCase(o)))
         listed ++ withComputed.filterNot(listed.contains)
       }
-    SchemaMapper.toMySqlDdl(ordered, m.typeOverrides)
+    // type_override literals win verbatim; otherwise the SINK's dialect
+    // decides the DDL type (MySQL map for JDBC, BQ-style for files)
+    val ov = m.typeOverrides.map { case (k, v) => k.toLowerCase -> v }
+    SchemaMapper.dedupe(ordered).map { c =>
+      val t = ov.getOrElse(c.name.toLowerCase,
+        sink.ddlType(SchemaMapper.toSparkType(c.typeName)))
+      DestColumn(c.name, t)
+    }
   }
 }

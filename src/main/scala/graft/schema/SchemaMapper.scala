@@ -48,8 +48,8 @@ object SchemaMapper {
       case "string" | "varchar" | "char" | "text" => StringType
       case VarcharRe(_)                 => StringType
       case "boolean" | "bool"           => BooleanType
-      case "datetime"                   => TimestampNTZType
-      case "timestamp"                  => TimestampType
+      case "datetime" | "timestamp_ntz" => TimestampNTZType
+      case "timestamp" | "timestamp_ltz" => TimestampType
       case "date"                       => DateType
       case "binary" | "blob" | "bytes"  => BinaryType
       case ArrayRe(inner)               => ArrayType(toSparkType(inner))

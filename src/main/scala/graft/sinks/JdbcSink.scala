@@ -51,6 +51,8 @@ class JdbcSink(url: String, props: Properties = new Properties(),
     dialect: SqlDialect = MySqlDialect,
     writeOptions: Map[String, String] = Map.empty) extends Sink {
 
+  override def ddlType(dt: DataType): String = dialect.ddlType(dt)
+
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(url, props)
     try f(c) finally c.close()

@@ -19,6 +19,9 @@ class ParquetSink(spark: SparkSession, baseDir: String) extends Sink {
     d.isDirectory || d.mkdirs()
   }
 
+  override def ddlType(dt: org.apache.spark.sql.types.DataType): String =
+    SchemaMapper.toBigQueryType(dt)
+
   override def tableExists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 

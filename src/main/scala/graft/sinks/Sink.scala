@@ -14,6 +14,12 @@ trait Sink {
   /** S12: connection probe. */
   def testConnection(): Boolean
 
+  /** Dialect type mapping used when translating source schema to this
+    * sink's DDL (MySQL map by default — the reference's primary sink).
+    */
+  def ddlType(dt: org.apache.spark.sql.types.DataType): String =
+    graft.schema.SchemaMapper.toMySqlType(dt)
+
   /** S9/S11: does the destination table exist. */
   def tableExists(table: String): Boolean
 

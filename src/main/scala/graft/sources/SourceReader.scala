@@ -42,7 +42,9 @@ class SourceReader(spark: SparkSession, baseDir: String,
     val df = table(name)
     val partCols = partitionColumns(name)
     df.schema.fields.map { f =>
-      SourceColumn(f.name, f.dataType.typeName,
+      // catalogString keeps nested element types ("array<string>",
+      // "decimal(10,2)") where typeName degrades to just "array"
+      SourceColumn(f.name, f.dataType.catalogString.toLowerCase,
         comment = if (f.metadata.contains("comment"))
           Some(f.metadata.getString("comment")) else None,
         isPartition = partCols.contains(f.name.toLowerCase))

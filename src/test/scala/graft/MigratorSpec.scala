@@ -145,6 +145,27 @@ class MigratorSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/nation_back").count() == 25)
   }
 
+  test("complex types JSON-serialize at the JDBC sink (array/map -> TEXT)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = tmpDir("cplx-src")
+    Seq((1L, Seq("a", "b"), Map("k" -> 1)), (2L, Seq("c"), Map("m" -> 2)))
+      .toDF("id", "tags", "attrs")
+      .write.parquet(s"$srcDir/cplx.parquet")
+    val db = tmpDir("cplx-derby") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val m = new Migrator(new SourceReader(spark, srcDir),
+      new JdbcSink(url, dialect = DerbyDialect))
+    m.migrate(MigrationSpec(sourceTable = "cplx", destTable = "cplxtab",
+      fullScanGuardLimit = None))
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"cplxtab\"").load()
+    val row = back.filter($"id" === 1L).head()
+    // arrays/maps round as JSON text (SURVEY §1: reference stored TEXT)
+    assert(row.getAs[String]("tags") == """["a","b"]""")
+    assert(row.getAs[String]("attrs") == """{"k":1}""")
+  }
+
   test("fail policy surfaces before write (D3 via spec.compat)") {
     val out = tmpDir("mig-fail")
     // orders.o_comment has no nulls; fabricate: use events.props with nulls?

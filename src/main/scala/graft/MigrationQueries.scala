@@ -114,6 +114,13 @@ object MigrationQueries {
         .agg(max($"o_orderdate").as("latest_date"), count(lit(1)).as("n"))
     },
 
+    // Data profiling (migration QA): one agg pass over all columns.
+    "mig_profile" -> { (s, dir) =>
+      graft.operators.Profile.summarize(
+        Tables(s, dir, "orders")
+          .select("o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
     // T7/T12: ±inf → null cleanup on floating columns (infs injected
     // deterministically since the testdata has none).
     "mig_inf_cleanup" -> { (s, dir) =>
@@ -203,6 +210,25 @@ object MigrationQueries {
 
     "mig_latest_partition" ->
       "SELECT max(o_orderdate) AS latest_date, COUNT(*) AS n FROM orders",
+
+    "mig_profile" ->
+      """SELECT 'o_custkey' AS "column", 'bigint' AS type, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_nulls,
+        |  COUNT(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'string', COUNT(*),
+        |  COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'string', COUNT(*),
+        |  COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin,
 
     "mig_inf_cleanup" ->
       """SELECT event_id,

@@ -187,22 +187,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding near-duplicate pairs: hyperplane-LSH buckets + native
-    * cosine verification. Returns (id_a, id_b, cosine) with cosine ≥
-    * threshold (within-bucket candidates only — recall grows with fewer
-    * planes; 100%-recall exact variant is a crossJoin, intentionally not
-    * offered here).
+  /** Embedding near-duplicate pairs: BANDED hyperplane-LSH (like minhash
+    * banding — `bands` independent signatures of `planesPerBand` planes;
+    * a pair is a candidate if ANY band matches, so recall is
+    * 1-(1-p^r)^b instead of the single-signature p^n) + native cosine
+    * verification. Returns (id_a, id_b, cosine) with cosine ≥ threshold.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dims: Int, threshold: Double = 0.95, numPlanes: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorFunctions.hyperplaneSig(col(vecCol), numPlanes, dims, seed).as("bucket"))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      dims: Int, threshold: Double = 0.95, bands: Int = 4,
+      planesPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bandCols = (0 until bands).map { bnd =>
+      VectorFunctions.hyperplaneSig(col("vec"), planesPerBand, dims,
+        seed + bnd * 7919L).as(s"b$bnd")
+    }
+    val sigs = vecs.select(col("id") +: col("vec") +: bandCols: _*)
+    val banded = sigs.select(col("id"), col("vec"),
+        explode(array((0 until bands).map(bnd =>
+          struct(lit(bnd).as("band"), col(s"b$bnd").as("sig"))): _*)).as("bs"))
+      .select(col("id"), col("vec"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         VectorFunctions.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling for migration QA — the data-quality counterpart of
+  * dry-run's schema report (reference's dry-run validated schema only;
+  * profiling validates the DATA before/after a move).
+  *
+  * One aggregate pass computes every column's stats simultaneously
+  * (null count, distinct, min/max for orderable types) — a single
+  * partial+final agg job regardless of column count; at 100 TB the
+  * exact-distinct shuffles per column can be switched to HLL sketches
+  * (`approxDistinct = true` → approx_count_distinct, fixed-size state).
+  */
+object Profile {
+
+  /** Long-format profile: one output row per column. */
+  def summarize(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val aggs: Seq[Column] = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val distinct =
+        if (approxDistinct) approx_count_distinct(c)
+        else count_distinct(c)
+      val orderable = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }
+      val minC = if (orderable) min(c).cast("string") else lit(null).cast("string")
+      val maxC = if (orderable) max(c).cast("string") else lit(null).cast("string")
+      Seq(
+        count(when(c.isNull, lit(1))).as(s"${f.name}__nulls"),
+        distinct.as(s"${f.name}__distinct"),
+        minC.as(s"${f.name}__min"),
+        maxC.as(s"${f.name}__max"))
+    }.toIndexedSeq
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+
+    // pivot the single wide row into (column, stats) rows
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = row.head()
+    val total = r.getAs[Long]("__rows")
+    df.schema.fields.map { f =>
+      (f.name, f.dataType.catalogString, total,
+        r.getAs[Long](s"${f.name}__nulls"),
+        r.getAs[Long](s"${f.name}__distinct"),
+        Option(r.getAs[String](s"${f.name}__min")),
+        Option(r.getAs[String](s"${f.name}__max")))
+    }.toSeq.toDF("column", "type", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value")
+  }
+}

@@ -72,7 +72,7 @@ class PipelineSpec extends SparkSpec {
     val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDupPairs(embeddings, "vec_id", "embedding",
-      dims = 64, threshold = 0.4, numPlanes = 6)
+      dims = 64, threshold = 0.4, bands = 4, planesPerBand = 6)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact)) // verification kills false positives

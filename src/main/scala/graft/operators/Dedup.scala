@@ -150,7 +150,6 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
 
     val shingled = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
@@ -161,10 +160,14 @@ object Dedup {
       .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
     val freq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
 
-    // rarest-first rank of each shingle within its document
+    // rarest-first rank of each shingle within its document. (Measured
+    // alternative: collect_list+array_sort+slice per doc — 1.5× SLOWER
+    // than the window at sf0.1; struct array allocation costs more than
+    // the window's sort saves.)
     val ranked = exploded.join(freq, "sh")
       .withColumn("rk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)))
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df").asc, col("sh").asc)))
     val prefix = ranked.filter(
       col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
 

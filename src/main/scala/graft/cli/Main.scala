@@ -62,7 +62,8 @@ object Main {
         limit = cfg.get("limit").map(_.toLong),
         mapping = mapping,
         compat = compat,
-        dryRun = flag("dry_run"))
+        dryRun = flag("dry_run"),
+        writePartitions = cfg.get("write_partitions").map(_.toInt))
 
       // overwrite confirmation (reference: cli.py:257-260)
       if (spec.mode == WriteMode.Overwrite && !spec.dryRun && !flag("yes")) {

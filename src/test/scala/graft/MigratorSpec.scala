@@ -145,6 +145,22 @@ class MigratorSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/nation_back").count() == 25)
   }
 
+  test("jdbc source parallel read: partitionColumn splits the scan") {
+    val db = tmpDir("derby-par") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    new Migrator(new SourceReader(spark, sf001),
+      new JdbcSink(url, dialect = DerbyDialect)).migrate(
+      MigrationSpec(sourceTable = "customer", destTable = "cust_par",
+        fullScanGuardLimit = None))
+    val src = new graft.sources.JdbcSource(spark, url,
+      partitionOptions = Map(
+        "partitionColumn" -> "c_custkey",
+        "lowerBound" -> "0", "upperBound" -> "150", "numPartitions" -> "4"))
+    val df = src.table("cust_par")
+    assert(df.rdd.getNumPartitions == 4) // 4 concurrent range scans
+    assert(df.count() == 150) // no rows lost or duplicated by the split
+  }
+
   test("complex types JSON-serialize at the JDBC sink (array/map -> TEXT)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

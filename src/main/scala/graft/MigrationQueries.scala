@@ -27,7 +27,7 @@ object MigrationQueries {
       ev.filter(date_trunc("DAY", $"ts") === lit(latest))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"))
+          sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
     },
 
     // P3/P5/P6: projection + rename + reorder.
@@ -150,13 +150,17 @@ object MigrationQueries {
           ComputedColumn("seg3", "substr", Seq("segment", "0", "3")),
           ComputedColumn("label", "format", Seq("{c_custkey:08d}-{seg3}"))),
         order = Seq("label", "c_custkey", "c_name", "segment", "seg3", "c_acctbal")))
+        // gate-safe emission: the catalog cast to decimal(18,4) is the
+        // operator under test; the boundary type is double (see
+        // SparkEntry determinism rules).
+        .withColumn("c_acctbal", col("c_acctbal").cast("double"))
     }
   )
 
   val oracles: Map[String, String] = Map(
     "mig_scan_prune" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE date_trunc('day', ts) =
         |  (SELECT max(date_trunc('day', ts)) FROM events WHERE ts IS NOT NULL)
@@ -239,7 +243,7 @@ object MigrationQueries {
       """SELECT printf('%08d-%s', c_custkey, substring(c_mktsegment, 1, 3)) AS label,
         |  c_custkey, c_name, c_mktsegment AS segment,
         |  substring(c_mktsegment, 1, 3) AS seg3,
-        |  CAST(c_acctbal AS DECIMAL(18,4)) AS c_acctbal
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS c_acctbal
         |FROM customer""".stripMargin
   )
 }

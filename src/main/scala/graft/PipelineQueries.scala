@@ -281,7 +281,7 @@ object PipelineQueries {
     "stream_hourly_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
         |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "stream_sessions" ->
@@ -292,8 +292,8 @@ object PipelineQueries {
         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-        |      THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id""".stripMargin,
 
     "sim_topk_brute" ->

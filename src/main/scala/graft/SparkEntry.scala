@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   * determinism rules used throughout:
   *   - sums over doubles go through `decimal(18,4)` so aggregation
   *     order (Spark partial aggs vs DuckDB serial) cannot change the
-  *     result; final cast to a fixed decimal type in BOTH engines;
+  *     result — but the FINAL emitted type is DOUBLE in both engines:
+  *     the gate reads our parquet via pandas (decimal128 surfaces as
+  *     `Decimal('x.4300')`, scale kept) and the oracle via duckdb
+  *     `.df()` (DECIMAL -> float64, "x.43"), so emitting decimal means
+  *     a string-level mismatch whenever the 4th decimal is 0. Both
+  *     engines' decimal->double casts are correctly rounded (verified
+  *     empirically), so the doubles are bit-identical;
+  *   - never a bare DuckDB `SUM(int)` in the oracle — that's HUGEINT,
+  *     which `.df()` turns into float64 ("56.0" vs our "56"); wrap in
+  *     CAST(... AS BIGINT);
   *   - no raw LIMIT without total ordering;
   *   - timestamps are compared/grouped via date_trunc, never emitted
   *     at sub-second precision (events.ts is ns in parquet, Spark
@@ -37,8 +46,11 @@ object SparkEntry {
   */
 object CoreQueries {
 
+  /** Order-insensitive sum of a double column: accumulate in exact
+    * decimal(18,4), emit as double (gate-safe; see determinism rules).
+    */
   private def decSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
+    sum(c.cast("decimal(18,4)")).cast("double")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, dir) =>
@@ -79,7 +91,7 @@ object CoreQueries {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"o_custkey", $"o_orderkey",
-          $"o_totalprice".cast("decimal(18,4)").as("top_price"))
+          $"o_totalprice".as("top_price"))
     },
 
     // Top-k with total ordering (sort + limit → TakeOrderedAndProject,
@@ -89,8 +101,7 @@ object CoreQueries {
       Tables(s, dir, "orders")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
         .limit(10)
-        .select($"o_orderkey", $"o_custkey",
-          $"o_totalprice".cast("decimal(18,4)").as("o_totalprice"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
     // Set operation: nations having both customers and suppliers.
@@ -147,7 +158,7 @@ object CoreQueries {
       Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
       s.sql("""
         SELECT o_orderpriority, COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderpriority""")
@@ -157,9 +168,9 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -167,7 +178,7 @@ object CoreQueries {
 
     "q3_join" ->
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -176,7 +187,7 @@ object CoreQueries {
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,4)) AS top_price
+        |  o_totalprice AS top_price
         |FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY o_custkey
@@ -185,7 +196,7 @@ object CoreQueries {
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey,
-        |  CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice
+        |  o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
     "q_setops" ->
@@ -200,7 +211,7 @@ object CoreQueries {
 
     "q5_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -211,12 +222,12 @@ object CoreQueries {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority""".stripMargin

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ExprBridge.{toColumn => toCol, toExpression => toExpr}
@@ -22,8 +22,11 @@ final class VectorMeanBuffer(var sums: Array[Double], var count: Long)
 case class VectorMean(child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[VectorMeanBuffer] {
+  extends TypedImperativeAggregate[VectorMeanBuffer] with ImplicitCastInputTypes {
 
+  // update() reads via ArrayData.getFloat — declare the expectation so an
+  // array<double> input is coerced at analysis time, not misread.
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(FloatType))
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ExprBridge.{toColumn => toCol, toExpression => toExpr}
@@ -139,7 +139,8 @@ object VecOps {
 
 /** minhash_sig(array<string>) → array<long> of k running minima, one pass. */
 case class MinHashSig(child: Expression, k: Int, seed: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     VecOps.minhashSig(t.asInstanceOf[ArrayData], k, seed)
@@ -149,9 +150,18 @@ case class MinHashSig(child: Expression, k: Int, seed: Int)
     copy(child = newChild)
 }
 
-/** cosine(array<float>, array<float>) → double, codegen'd. */
+/** cosine(array<float>, array<float>) → double, codegen'd.
+  *
+  * The kernel reads via `ArrayData.getFloat`, so the input MUST be
+  * array<float>: declaring `inputTypes` makes the analyzer coerce an
+  * array<double> argument (SQL array literals, double-typed parquet
+  * embeddings) instead of silently misreading 4 of its 8 bytes per
+  * element — these are exposed as public SQL functions (graft_cosine).
+  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -162,9 +172,13 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** dot(array<float>, array<float>) → double, codegen'd. */
+/** dot(array<float>, array<float>) → double, codegen'd. Same
+  * `inputTypes` rationale as [[CosineSim]].
+  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -176,7 +190,9 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** simhash64(array<string>) → long, codegen'd. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(t: Any): Any =
     VecOps.simhash(t.asInstanceOf[ArrayData])
@@ -190,7 +206,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * time from (numPlanes, dims, seed).
   */
 case class HyperplaneSig(child: Expression, numPlanes: Int, dims: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(FloatType))
   @transient private lazy val planes: Array[Float] =
     VecOps.makePlanes(numPlanes, dims, seed)
   override def dataType: DataType = LongType

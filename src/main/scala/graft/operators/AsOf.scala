@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * then max per left row): that join is a partial cross product per key
   * — quadratic in rows-per-key at 100 TB. Right-side ties on (key, time)
   * should be pre-deduped by the caller for deterministic output.
+  *
+  * The payload travels as ONE struct column with a single
+  * `last(_, ignoreNulls)`: carrying each payload column independently
+  * would let a NULL field on the matching right row be replaced by a
+  * stale value from an older row — and different fields could even come
+  * from different right rows. The struct is non-null per right row, so
+  * all fields are taken from the SAME (latest) right row, nulls intact.
   */
 object AsOf {
 
@@ -26,24 +33,23 @@ object AsOf {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(right.schema.fieldIndex(c))))
 
-    val taggedLeft = rightPayload
-      .foldLeft(left.withColumn("__side", lit(1))
-        .withColumn("__t", col(leftTime))) {
-        (d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
-      }
-    // select payload under its __r_ alias directly (the payload may BE
-    // the time column), then null-pad the left-side columns
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__r", lit(null).cast(payloadType))
+    // build the payload struct straight off the right row (the payload may
+    // BE the time column), then null-pad the left-side columns
     val taggedRight = leftCols.filterNot(_ == key)
       .foldLeft(right.select(
-        (col(key) +: col(rightTime).as("__t") +:
-          rightPayload.map(c => col(c).as(s"__r_$c"))).toIndexedSeq: _*)
+        col(key), col(rightTime).as("__t"),
+        struct(rightPayload.map(col).toIndexedSeq: _*).as("__r"))
         .withColumn("__side", lit(0))) {
         (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
 
-    val shape = (leftCols ++ Seq("__side", "__t") ++
-      rightPayload.map(c => s"__r_$c")).map(col).toIndexedSeq
+    val shape = (leftCols ++ Seq("__side", "__t", "__r")).map(col).toIndexedSeq
     val unioned = taggedLeft.select(shape: _*)
       .unionByName(taggedRight.select(shape: _*))
 
@@ -51,11 +57,10 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof",
+      last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c"))).toIndexedSeq: _*)
+        rightPayload.map(c => col(s"__asof.$c").as(s"asof_$c"))).toIndexedSeq: _*)
   }
 }

@@ -60,13 +60,21 @@ class Migrator(source: Source, sink: Sink) {
         srcCols, destCols, createdTable = false, rowsWritten = 0L, dryRun = true)
 
     // 4. the one distributed job: scan → cast → map → align → defaults →
-    //    policy → write (reference: migrator.py:288-337, per-batch)
+    //    policy → write (reference: migrator.py:288-337, per-batch).
+    //    The reported row count (O3) is captured with Dataset.observe
+    //    DURING the write — a pre-write count() would re-execute the whole
+    //    scan→transform chain and could disagree with what lands if the
+    //    source changes between the two actions.
     val transformed = transform(source.buildScan(spec), srcCols, destCols, spec)
     val out = spec.writePartitions.fold(transformed)(transformed.repartition)
-    val rows = out.count() // reference reports row counts per run (O3)
-    sink.write(out, spec.destTable,
+    val obs = org.apache.spark.sql.Observation("rows_written")
+    val observed = out.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    sink.write(observed, spec.destTable,
       // truncate/drop already handled above; the write itself appends
       if (created) WriteMode.Append else WriteMode.Append)
+    val rows = obs.get("n").asInstanceOf[Long]
     MigrationReport(spec.sourceTable, spec.destTable, spec.mode,
       srcCols, destCols, created, rows, dryRun = false)
   }

@@ -33,7 +33,7 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -57,25 +57,50 @@ object EventStreams {
   /** Streaming stateful sessionization via flatMapGroupsWithState:
     * per-user state = (event count, session count, last event time).
     * Emits one row per user per batch in Update mode.
+    *
+    * State is watermark-bounded via EventTimeTimeout: once a user's last
+    * event is older than the watermark by more than the session gap, no
+    * future event can extend that session, so the state is evicted (a
+    * returning user restarts counting — the standard bounded-state
+    * tradeoff; the streaming path applies `watermark` to `ts` itself so
+    * the timeout clock advances).
     */
-  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long): Dataset[UserSessions] = {
+  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long,
+      watermark: String = "2 hours"): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
 
-    events.groupByKey(_.user_id)
+    val input =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    val timeout =
+      if (events.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    input.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            val newSession = s.lastUs == Long.MinValue ||
-              us - s.lastUs > gapSeconds * 1000000L
-            s = SessionState(s.nEvents + 1,
-              s.nSessions + (if (newSession) 1 else 0), us)
+          if (state.hasTimedOut) {
+            // session can no longer be extended — evict, nothing new to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val newSession = s.lastUs == Long.MinValue ||
+                us - s.lastUs > gapSeconds * 1000000L
+              s = SessionState(s.nEvents + 1,
+                s.nSessions + (if (newSession) 1 else 0), us)
+            }
+            state.update(s)
+            if (timeout == GroupStateTimeout.EventTimeTimeout) {
+              val at = math.max(s.lastUs / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(at)
+            }
+            Iterator(UserSessions(userId, s.nEvents, s.nSessions))
           }
-          state.update(s)
-          Iterator(UserSessions(userId, s.nEvents, s.nSessions))
       }
   }
 
@@ -84,13 +109,21 @@ object EventStreams {
     * arriving more than `watermark` late are not caught — the standard
     * streaming-dedup contract; state size tracks the watermark window,
     * not history).
+    *
+    * Dedup is on the payload fingerprint ALONE via
+    * `dropDuplicatesWithinWatermark` — a duplicate payload re-delivered
+    * with a different timestamp is still dropped (keying on (fp, ts)
+    * would let it through). Spark rejects that operator on batch frames,
+    * so the batch path uses plain global dropDuplicates("fp"): same
+    * semantics when the data spans one watermark horizon.
     */
-  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
-      .withColumn("fp", graft.functions.TextFunctions.fingerprint(
-        concat_ws("|", col("user_id"), col("event_type"), col("props"))))
-      .withWatermark("ts", watermark)
-      .dropDuplicates("fp", "ts")
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val fp = events.withColumn("fp", graft.functions.TextFunctions.fingerprint(
+      concat_ws("|", col("user_id"), col("event_type"), col("props"))))
+    if (fp.isStreaming)
+      fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
 
   /** File-source streaming read of an events parquet (schema pinned from
     * a batch probe; nanos ts normalized like the batch path).

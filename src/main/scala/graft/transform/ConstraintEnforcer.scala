@@ -90,8 +90,14 @@ object ConstraintEnforcer {
     *  - Fail: ONE aggregate pass computes every null count; error message
     *    enumerates `col=count` exactly like the reference
     *    (migrator.py:662-665).
-    *  - Fill: sentinel only for string/temporal/blob destination types;
-    *    numeric columns still fail (migrator.py:648-660).
+    *  - Fill: sentinel only for string/temporal/blob destination types
+    *    (migrator.py:648-656). Numeric columns are NOT filled and — like
+    *    the reference's fill branch, whose raise only triggers under
+    *    policy='fail' — their NULLs pass through without raising here
+    *    (the violation surfaces at the destination, as in the reference).
+    *    For temporal columns a string sentinel like "" try_casts to NULL,
+    *    which would make the fill a silent no-op, so a type-aware epoch
+    *    sentinel backs it up.
     *  - Skip: drop offending rows (migrator.py:666-674).
     */
   def enforceNullPolicy(df: DataFrame, dest: Seq[DestColumn],
@@ -105,17 +111,23 @@ object ConstraintEnforcer {
       case NullPolicy.Skip =>
         df.na.drop("any", nonNullable.map(_._1))
       case NullPolicy.Fill =>
-        val (fillable, strict) = nonNullable.partition { case (_, d) =>
+        val fillable = nonNullable.filter { case (_, d) =>
           val bt = baseType(d.typeName)
           StringyTypes.contains(bt) || TemporalTypes.contains(bt)
-        }
-        val filled = df.select(df.schema.fields.toIndexedSeq.map { f =>
-          if (fillable.exists(_._1 == f.name))
-            coalesce(col(f.name), lit(sentinel).try_cast(f.dataType.sql)).as(f.name)
-          else col(f.name)
+        }.toMap
+        df.select(df.schema.fields.toIndexedSeq.map { f =>
+          fillable.get(f.name) match {
+            case Some(d) =>
+              val typed = lit(sentinel).try_cast(f.dataType.sql)
+              val bt = baseType(d.typeName)
+              val withEpoch =
+                if (TemporalTypes.contains(bt))
+                  coalesce(typed, lit("1970-01-01 00:00:00").try_cast(f.dataType.sql))
+                else typed
+              coalesce(col(f.name), withEpoch).as(f.name)
+            case None => col(f.name)
+          }
         }: _*)
-        if (strict.nonEmpty) failOnNulls(filled, strict.map(_._1))
-        filled
       case NullPolicy.Fail =>
         failOnNulls(df, nonNullable.map(_._1))
         df

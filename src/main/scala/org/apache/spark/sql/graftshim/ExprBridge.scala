@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExprBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; alias it here so
+    * graft expressions can declare `inputTypes` (ImplicitCastInputTypes)
+    * for analysis-time coercion of e.g. array<double> → array<float>.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

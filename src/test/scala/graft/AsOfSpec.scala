@@ -33,6 +33,23 @@ class AsOfSpec extends SparkSpec {
     assert(out("e4") == None)        // no right rows for key 3
   }
 
+  test("NULL payload on the matching right row stays NULL (single-struct carry)") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(100.0), Some("old")),
+      // the matching (latest) row has a NULL price — it must NOT be
+      // backfilled from the older row, and qty/price must both come from
+      // THIS row, not be mixed across rows
+      (1L, ts("2024-01-01 11:00:00"), None, Some("new")))
+      .toDF("k", "rt", "price", "tag")
+
+    val out = AsOf.join(left, right, "k", "t", "rt", Seq("price", "tag"))
+      .select($"asof_price", $"asof_tag")
+      .as[(Option[Double], Option[String])].head()
+    assert(out == ((None, Some("new"))))
+  }
+
   test("as-of matches the correlated-subquery oracle on real tables") {
     val ev = Tables(spark, sf001, "events")
       .select($"event_id", $"user_id", $"ts").limit(500)

@@ -57,18 +57,31 @@ class ConstraintEnforcerSpec extends SparkSpec {
     assert(e.getMessage.contains("n=2") && e.getMessage.contains("s=1"))
   }
 
-  test("fill policy: sentinel for string-ish only; numeric still fails (D3)") {
+  test("fill policy: sentinel for string-ish only; numeric passes through (D3)") {
     val dfS = Seq(Some("a"), None).toDF("s")
     val destS = Seq(DestColumn("s", "varchar(255)", nullable = false))
     val out = ConstraintEnforcer.enforceNullPolicy(dfS, destS, NullPolicy.Fill,
       sentinel = "??")
     assert(out.as[String].collect().toSeq == Seq("a", "??"))
 
+    // numeric columns are not filled and do NOT raise under fill — the
+    // reference's raise only triggers under policy='fail' (migrator.py:663)
     val dfN = Seq(Some(1L), None).toDF("n")
     val destN = Seq(DestColumn("n", "bigint", nullable = false))
-    assertThrows[DataMigrationError] {
-      ConstraintEnforcer.enforceNullPolicy(dfN, destN, NullPolicy.Fill)
-    }
+    val outN = ConstraintEnforcer.enforceNullPolicy(dfN, destN, NullPolicy.Fill)
+    assert(outN.as[Option[Long]].collect().toSeq == Seq(Some(1L), None))
+  }
+
+  test("fill policy: temporal column gets a type-aware epoch sentinel (D3)") {
+    val dfT = Seq(Some(java.sql.Timestamp.valueOf("2024-05-01 10:00:00")), None)
+      .toDF("t")
+    val destT = Seq(DestColumn("t", "datetime", nullable = false))
+    // default sentinel "" try_casts to NULL for timestamps — the epoch
+    // fallback keeps the fill from being a silent no-op
+    val outT = ConstraintEnforcer.enforceNullPolicy(dfT, destT, NullPolicy.Fill)
+      .as[java.sql.Timestamp].collect().toSeq
+    assert(outT(0) == java.sql.Timestamp.valueOf("2024-05-01 10:00:00"))
+    assert(outT(1) == java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
   }
 
   test("skip policy drops offending rows (D3, migrator.py:666-674)") {

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sinks.GraftMySqlDialect
@@ -28,6 +29,31 @@ class ExtensionsSpec extends SparkSpec {
     val s1 = spark.sql("SELECT graft_simhash(array('x','y'))").head().getLong(0)
     val s2 = spark.sql("SELECT graft_simhash(array('x','y'))").head().getLong(0)
     assert(s1 == s2)
+  }
+
+  test("array<double> inputs are coerced, not misread (inputTypes)") {
+    GraftFunctions.register(spark)
+    // SQL array literals of unsuffixed decimals type as array<double>;
+    // before declaring inputTypes, ArrayData.getFloat misread 4 of each
+    // element's 8 bytes and returned garbage silently.
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  graft_dot(array(1.5D, 2.0D), array(2.0D, 4.0D)) AS d
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("d") - 11.0) < 1e-6)
+    // Column API over a double-typed embedding column
+    val df = Seq((Array(1.0, 2.0), Array(2.0, 4.0))).toDF("a", "b")
+    val cos = df.select(
+      graft.functions.VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .head().getAs[Double]("c")
+    assert(math.abs(cos - 1.0) < 1e-6)
+    // aggregate: VectorMean over array<double>
+    val vm = df.select(col("a")).union(df.select(col("b")))
+      .agg(graft.functions.VectorAgg.vectorMean(col("a")).as("m"))
+      .head().getAs[scala.collection.Seq[Double]]("m")
+    assert(math.abs(vm(0) - 1.5) < 1e-6 && math.abs(vm(1) - 3.0) < 1e-6)
   }
 
   test("SparkSessionExtensions class injects the same functions") {

@@ -15,10 +15,13 @@ import graft.functions._
   *  - `GraftFunctions.register(spark)` for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator extension: as-of join logical node → merge exec
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join as a first-class Catalyst citizen: a logical
+  * node, a planner strategy, and a physical merge operator — the
+  * preference-(c) extension path from the build plan, used because Spark
+  * has no native point-in-time join.
+  *
+  * Semantics (same contract as [[graft.operators.AsOf.joinViaWindow]]):
+  * for each left row, attach the payload of the LATEST right row with the
+  * same key and rightTime <= leftTime; all payload fields come from that
+  * single right row (nulls intact).
+  *
+  * Scale shape: EnsureRequirements co-partitions both sides by key (one
+  * Exchange each, none if already partitioned) and sorts each side by
+  * (key, time); the merge itself is a single forward pass per partition
+  * holding ONE buffered right row — O(1) memory, no window state, no
+  * union of the two sides, and the left side streams through untouched.
+  * Compare the union+window formulation, which materializes left AND
+  * right rows in one window buffer per key.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    payload: Seq[Expression],
+    payloadOut: Seq[Attribute]) extends BinaryNode {
+  // payloadOut is pre-generated at construction (asof_<col> attributes)
+  // rather than derived from Aliases: the analyzer's CleanupAliases rule
+  // strips Alias nodes inside foreign operators, and output exprIds must
+  // be stable across plan copies.
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // payloadOut originates HERE, not from a child
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Injected via
+  * `GraftExtensions` (injectPlannerStrategy) and auto-registered through
+  * `spark.experimental.extraStrategies` by [[graft.operators.AsOf]].
+  */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, payloadOut) =>
+      AsOfJoinExec(lk, rk, lt, rt, payload, payloadOut,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join.
+  *
+  * Child requirements declare the shape; EnsureRequirements supplies the
+  * exchanges/sorts only where the existing partitioning doesn't already
+  * satisfy them (e.g. a bucketed or pre-partitioned side needs none):
+  *  - distribution: clustered by key on both sides (co-partitioned)
+  *  - ordering: (key ASC, time ASC) within each partition
+  *
+  * The merge keeps exactly one candidate payload per key in flight; right
+  * rows are consumed at most once (each partition is a single
+  * forward scan of both sides).
+  */
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    payload: Seq[Expression], payloadOut: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(payloadOut)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    SortOrder(leftKey, Ascending) :: SortOrder(leftTime, Ascending) :: Nil,
+    SortOrder(rightKey, Ascending) :: SortOrder(rightTime, Ascending) :: Nil)
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // left rows stream through in order; downstream sorts on (key, time)
+  // can be elided
+  override def outputOrdering: Seq[SortOrder] =
+    SortOrder(leftKey, Ascending) :: SortOrder(leftTime, Ascending) :: Nil
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val payloadB = payload.map(BindReferences.bindReference(_, right.output))
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val payloadProj = UnsafeProjection.create(payloadB)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullPayload = new GenericInternalRow(payload.size)
+
+      // one-row lookahead over the right side; rows from execute() are
+      // reused buffers, so the candidate key and payload are copied once
+      // per right row
+      var rLive = false
+      var rKeyV: Any = null
+      var rTimeV: Any = null
+      var rPayload: InternalRow = null
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          val r = rIter.next()
+          rKeyV = InternalRow.copyValue(rKeyB.eval(r))
+          rTimeV = InternalRow.copyValue(rTimeB.eval(r))
+          rPayload = payloadProj(r).copy()
+          rLive = true
+        } else rLive = false
+      advanceRight()
+
+      // latest right row already consumed, keyed
+      var lastKey: Any = null
+      var lastPayload: InternalRow = null
+
+      lIter.map { l =>
+        val lk = lKeyB.eval(l)
+        val lt = lTimeB.eval(l)
+        var out: InternalRow = nullPayload
+        if (lk != null && lt != null) {
+          // consume right rows that sort at-or-before (lk, lt); rows with
+          // null key/time sort first within their group and are skipped
+          var advance = true
+          while (rLive && advance) {
+            if (rKeyV == null) advanceRight()
+            else {
+              val kc = keyOrd.compare(rKeyV, lk)
+              if (kc < 0 && rTimeV == null) advanceRight()
+              else if (kc < 0) advanceRight() // stale key, drop candidate
+              else if (kc == 0 && rTimeV == null) advanceRight()
+              else if (kc == 0 && timeOrd.compare(rTimeV, lt) <= 0) {
+                lastKey = rKeyV
+                lastPayload = rPayload
+                advanceRight()
+              } else advance = false // right side is past this left row
+            }
+          }
+          if (lastKey != null && keyOrd.compare(lastKey, lk) == 0)
+            out = lastPayload
+        }
+        resultProj(joined(l, out))
+      }
+    }
+  }
+}

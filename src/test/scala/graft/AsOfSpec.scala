@@ -10,6 +10,16 @@ class AsOfSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  private def checkBothPaths(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      key: String, lt: String, rt: String, payload: Seq[String]): Unit = {
+    val native = AsOf.join(left, right, key, lt, rt, payload)
+    val window = AsOf.joinViaWindow(left, right, key, lt, rt, payload)
+    assert(native.collect().map(_.toSeq).toSet ==
+      window.collect().map(_.toSeq).toSet)
+  }
+
   test("as-of picks the latest right row at-or-before left time, per key") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "e1"),
@@ -31,6 +41,19 @@ class AsOfSpec extends SparkSpec {
     assert(out("e2") == Some(200.0)) // 11:00 beats 09:30
     assert(out("e3") == Some(300.0)) // inclusive <=
     assert(out("e4") == None)        // no right rows for key 3
+    checkBothPaths(left, right, "k", "t", "rt", Seq("price"))
+  }
+
+  test("native plan: AsOfJoinExec, no Union, both sides clustered by key") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("k", "t", "name")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "price")
+    val plan = AsOf.join(left, right, "k", "t", "rt", Seq("price"))
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("AsOfJoin")) // SparkPlan nodeName strips "Exec"
+    assert(s.contains("Exchange hashpartitioning"))
+    assert(!s.contains("Union"))
+    assert(!s.contains("Window"))
   }
 
   test("NULL payload on the matching right row stays NULL (single-struct carry)") {
@@ -48,6 +71,27 @@ class AsOfSpec extends SparkSpec {
       .select($"asof_price", $"asof_tag")
       .as[(Option[Double], Option[String])].head()
     assert(out == ((None, Some("new"))))
+    checkBothPaths(left, right, "k", "t", "rt", Seq("price", "tag"))
+  }
+
+  test("native == window on randomized data with null keys/times and ties") {
+    val rnd = new scala.util.Random(42)
+    def t(min: Int): Timestamp = ts(f"2024-01-01 ${8 + min / 60}%02d:${min % 60}%02d:00")
+    val left = (1 to 400).map { i =>
+      (if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(12).toLong),
+        if (rnd.nextInt(20) == 0) None else Some(t(rnd.nextInt(600))),
+        s"L$i")
+    }.toDF("k", "lt", "name")
+    val right = (1 to 300).map { i =>
+      (if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(12).toLong),
+        if (rnd.nextInt(20) == 0) None else Some(t(rnd.nextInt(600))),
+        if (rnd.nextInt(10) == 0) None else Some(i.toDouble))
+    }.toDF("k", "rt", "v")
+      // ties on (k, rt) make last-row-wins ambiguous across impls —
+      // dedupe like the operator contract requires of callers
+      .groupBy("k", "rt").agg(org.apache.spark.sql.functions.max("v").as("v"))
+
+    checkBothPaths(left, right, "k", "lt", "rt", Seq("v"))
   }
 
   test("as-of matches the correlated-subquery oracle on real tables") {

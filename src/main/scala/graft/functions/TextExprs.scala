@@ -131,6 +131,138 @@ case class MinHashOfText(child: Expression, n: Int, k: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Single-pass word-boundary matching kernels.
+  *
+  * `size(regexp_extract_all(lower(c), "\\b(w1|w2|...)\\b"))` materializes
+  * the full match list per language just to count it, and language-ID
+  * runs it once per language. These kernels scan the ASCII word-char
+  * token runs (exactly Java regex `\b` semantics: `\w` = [a-zA-Z0-9_])
+  * of the lowercased text once and count set hits in place — no match
+  * arrays, no per-language rescans.
+  */
+object WordMatchOps {
+
+  @inline private def isWordChar(ch: Char): Boolean =
+    (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') ||
+      (ch >= 'A' && ch <= 'Z') || ch == '_'
+
+  /** Count of tokens equal to any of `words` in the lowercased text —
+    * equivalent to counting `\b(w1|...)\b` regex matches on lower(text).
+    */
+  def stopwordHits(text: UTF8String, words: Array[String]): Int = {
+    val str = text.toLowerCase.toString
+    val n = str.length
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (isWordChar(str.charAt(i))) {
+        var j = i + 1
+        while (j < n && isWordChar(str.charAt(j))) j += 1
+        var w = 0
+        val len = j - i
+        while (w < words.length) {
+          val word = words(w)
+          if (word.length == len && str.regionMatches(i, word, 0, len)) {
+            hits += 1
+            w = words.length // distinct words: at most one can match
+          } else w += 1
+        }
+        i = j
+      } else i += 1
+    }
+    hits
+  }
+
+  /** Language-ID: per-language stopword counts in ONE token scan, then
+    * first-listed-max argmax (all-zero → "und"), then the CJK-script
+    * override (cjkChars*4 > numChars → "zh"). Byte-for-byte the same
+    * labels as the regexp_extract_all formulation it replaces.
+    */
+  def langId(text: UTF8String, langs: Array[UTF8String],
+      wordSets: Array[Array[String]]): UTF8String = {
+    val str = text.toLowerCase.toString
+    val n = str.length
+    val counts = new Array[Int](wordSets.length)
+    var i = 0
+    while (i < n) {
+      if (isWordChar(str.charAt(i))) {
+        var j = i + 1
+        while (j < n && isWordChar(str.charAt(j))) j += 1
+        val len = j - i
+        var s = 0
+        while (s < wordSets.length) {
+          val words = wordSets(s)
+          var w = 0
+          while (w < words.length) {
+            val word = words(w)
+            if (word.length == len && str.regionMatches(i, word, 0, len)) {
+              counts(s) += 1
+              w = words.length
+            } else w += 1
+          }
+          s += 1
+        }
+        i = j
+      } else i += 1
+    }
+    // CJK script check on the ORIGINAL text (BMP range, so char-level)
+    val orig = text.toString
+    var cjk = 0
+    var k = 0
+    while (k < orig.length) {
+      val ch = orig.charAt(k)
+      if (ch >= 0x4E00 && ch <= 0x9FFF) cjk += 1
+      k += 1
+    }
+    if (cjk * 4 > text.numChars()) return UTF8String.fromString("zh")
+    var best = -1
+    var max = 0
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) > max) { max = counts(s); best = s }
+      s += 1
+    }
+    if (best < 0) UTF8String.fromString("und") else langs(best)
+  }
+}
+
+/** stopword_hits(string) → int: token hits against a fixed word set. */
+case class StopwordHitsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val wordArr: Array[String] = words.toArray
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(t: Any): Any =
+    WordMatchOps.stopwordHits(t.asInstanceOf[UTF8String], wordArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("words", wordArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.WordMatchOps.stopwordHits($t, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** lang_id(string) → string: single-pass heuristic language ID. */
+case class LangIdExpr(child: Expression, langWords: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  @transient private lazy val langArr: Array[UTF8String] =
+    langWords.map(lw => UTF8String.fromString(lw._1)).toArray
+  @transient private lazy val setArr: Array[Array[String]] =
+    langWords.map(_._2.toArray).toArray
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any =
+    WordMatchOps.langId(t.asInstanceOf[UTF8String], langArr, setArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("langs", langArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val setsRef = ctx.addReferenceObj("wordSets", setArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.WordMatchOps.langId($t, $langsRef, $setsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShinglesExpr(toExpr(text), n))
@@ -138,4 +270,8 @@ object TextExprs {
     toCol(MinHashOfText(toExpr(text), n, k, seed))
   def jaccardSim(a: Column, b: Column): Column =
     toCol(JaccardSim(toExpr(a), toExpr(b)))
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    toCol(StopwordHitsExpr(toExpr(text), words))
+  def langId(text: Column, langWords: Seq[(String, Seq[String])]): Column =
+    toCol(LangIdExpr(toExpr(text), langWords))
 }

@@ -56,12 +56,12 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
     "es" -> Seq("el", "los", "las", "es", "en", "por", "para", "una"))
 
-  private def wordRegex(words: Seq[String]): String =
-    words.mkString("\\b(", "|", ")\\b")
-
-  /** Count of stopword hits for one language. */
+  /** Count of stopword hits for one language. Native single-pass kernel
+    * (equivalent to size(regexp_extract_all(lower(c), "\\b(w|..)\\b")) —
+    * which materializes the match list per row just to count it).
+    */
   def stopwordHits(c: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(c), lit(wordRegex(words)), lit(0)))
+    TextExprs.stopwordHits(c, words)
 
   /** Stopword ratio against token count (quality signal). */
   def stopwordRatio(c: Column, words: Seq[String] = StopwordsByLang.head._2): Column = {
@@ -74,25 +74,14 @@ object TextFunctions {
   def cjkCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[\\x{4E00}-\\x{9FFF}]"), lit(0)))
 
-  /** Language-ID heuristic: CJK script check first, then argmax of
-    * stopword hits (ties + all-zero → "und"). Pure expression — at 100 TB
-    * this is one codegen'd map over the scan, no shuffle, no UDF.
+  /** Language-ID heuristic: CJK script check first, then first-listed
+    * argmax of stopword hits (all-zero → "und"). Native single-pass
+    * kernel ([[WordMatchOps.langId]]): the per-language
+    * regexp_extract_all formulation rescanned the document once per
+    * language and allocated each match list — at 100 TB this is one
+    * codegen'd token scan over the text, no shuffle, no UDF.
     */
-  def langId(c: Column): Column = {
-    val scores = StopwordsByLang.map { case (lang, words) =>
-      lang -> stopwordHits(c, words)
-    }
-    // strictly-greater-than-all-others argmax, first-listed wins ties only
-    // when strictly greater than later ones; all-zero → und
-    val best = scores.foldLeft[Column](lit("und")) { case (acc, (lang, sc)) =>
-      val others = scores.filter(_._1 != lang).map(_._2)
-      val isMax = others.foldLeft(sc > 0) { (cond, o) => cond && sc >= o }
-      val strictlyFirst = scores.takeWhile(_._1 != lang).map(_._2)
-        .foldLeft(isMax) { (cond, earlier) => cond && sc > earlier }
-      when(strictlyFirst, lit(lang)).otherwise(acc)
-    }
-    when(cjkCount(c) * 4 > length(c), lit("zh")).otherwise(best)
-  }
+  def langId(c: Column): Column = TextExprs.langId(c, StopwordsByLang)
 
   /** Document fingerprint: lowercase, collapse whitespace, md5. Used by
     * exact dedup; identical function exists in DuckDB for the oracle.

@@ -122,6 +122,40 @@ class PipelineSpec extends SparkSpec {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("native langId/stopwordHits == regex formulation on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf001, "documents").select($"doc_id", $"text")
+    val words = graft.functions.TextFunctions.StopwordsByLang
+    def regexHits(c: org.apache.spark.sql.Column, ws: Seq[String]) =
+      size(regexp_extract_all(lower(c),
+        lit(ws.mkString("\\b(", "|", ")\\b")), lit(0)))
+    // per-language counts match the regex semantics exactly
+    words.foreach { case (lang, ws) =>
+      val diff = docs.select(
+        graft.functions.TextFunctions.stopwordHits($"text", ws).as("k"),
+        regexHits($"text", ws).as("r"))
+        .filter($"k" =!= $"r").count()
+      assert(diff == 0, s"stopwordHits mismatch for $lang")
+    }
+    // end-to-end labels match the old fold-of-whens formulation
+    val scores = words.map { case (l, ws) => l -> regexHits($"text", ws) }
+    val oldBest = scores.foldLeft[org.apache.spark.sql.Column](lit("und")) {
+      case (acc, (lang, sc)) =>
+        val others = scores.filter(_._1 != lang).map(_._2)
+        val isMax = others.foldLeft(sc > 0) { (c, o) => c && sc >= o }
+        val first = scores.takeWhile(_._1 != lang).map(_._2)
+          .foldLeft(isMax) { (c, e) => c && sc > e }
+        when(first, lit(lang)).otherwise(acc)
+    }
+    val oldLang = when(
+      size(regexp_extract_all($"text", lit("[\\x{4E00}-\\x{9FFF}]"), lit(0)))
+        * 4 > length($"text"), lit("zh")).otherwise(oldBest)
+    val mismatches = docs.select(
+      graft.functions.TextFunctions.langId($"text").as("k"),
+      oldLang.as("r")).filter($"k" =!= $"r").count()
+    assert(mismatches == 0)
+  }
+
   test("word shingles: correct n-gram construction") {
     val d = Seq("a b c d").toDF("t")
     val sh = d.select(TF.wordShingles($"t", 3).as("s")).as[Seq[String]].head()

@@ -191,7 +191,54 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
       |        FROM documents))""".stripMargin
 
+  /** Shared CTE for the multimodal oracles: the StubDecoder's metadata
+    * derivation replayed in DuckDB. `u` is the first 8 sha256 bytes as
+    * unsigned; Java's signed big-endian long `h` relates as
+    * h = u - 2^64·[u ≥ 2^63], and since 2^64 ≡ 0 (mod 8) the mod-8
+    * terms use `u` directly; the 600000/3600000 mods apply the signed
+    * correction (`hs`).
+    */
+  private val mmMetaCte: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+      |    (['png','wav','mp4'])[(doc_id % 3) + 1] AS format,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |    sha256(text) AS sh
+      |  FROM documents),
+      |hx AS (
+      |  SELECT *, ('0x' || substr(sh, 1, 16))::UBIGINT::HUGEINT AS u FROM m),
+      |h AS (
+      |  SELECT *, CASE WHEN u >= 9223372036854775808
+      |    THEN u - 18446744073709551616 ELSE u END AS hs FROM hx),
+      |meta AS (
+      |  SELECT media_id, kind, format, byte_len, sh AS sha256,
+      |    CAST(CASE kind WHEN 'image' THEN 640 + (u % 8) * 160
+      |      WHEN 'video' THEN 1280 ELSE 0 END AS INT) AS width,
+      |    CAST(CASE kind WHEN 'image' THEN 360 + ((u // 256) % 8) * 90
+      |      WHEN 'video' THEN 720 ELSE 0 END AS INT) AS height,
+      |    CAST(CASE kind
+      |      WHEN 'audio' THEN 1000 + ((hs % 600000) + 600000) % 600000
+      |      WHEN 'video' THEN 1000 + ((hs % 3600000) + 3600000) % 3600000
+      |      ELSE 0 END AS BIGINT) AS duration_ms,
+      |    CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate
+      |  FROM h)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      (mmMetaCte + "\nSELECT * FROM meta"),
+
+    "mm_frames" ->
+      (mmMetaCte + """
+        |, frames AS (
+        |  SELECT media_id, duration_ms,
+        |    CAST(unnest(generate_series(0, (duration_ms - 1) // 5000)) AS BIGINT)
+        |      AS frame_idx
+        |  FROM meta WHERE kind = 'video' AND duration_ms > 0)
+        |SELECT media_id, frame_idx,
+        |  CAST(frame_idx * 5000 AS BIGINT) AS frame_ts_ms
+        |FROM frames""".stripMargin),
+
     "text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN trim(text)='' THEN 0

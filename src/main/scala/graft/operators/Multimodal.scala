@@ -27,7 +27,7 @@ object Multimodal {
 
   /** Decoded (or probed) technical metadata. */
   final case class MediaMeta(media_id: Long, kind: String, format: String,
-      byte_len: Long, sha1: String, width: Int, height: Int,
+      byte_len: Long, sha256: String, width: Int, height: Int,
       duration_ms: Long, sample_rate: Int)
 
   /** The decode seam. A real implementation would wrap e.g. javacv /
@@ -39,12 +39,14 @@ object Multimodal {
 
   /** STUB — deterministic fake decoder (no media libs in this
     * container). Derives plausible metadata purely from the payload
-    * bytes (sha1-seeded), so tests are stable and the full pipeline
-    * runs end-to-end.
+    * bytes (sha256-seeded, chosen because the DuckDB oracle can
+    * replicate it — sha1 isn't available there), so tests are stable,
+    * the full pipeline runs end-to-end, AND the driver gate checks the
+    * whole decode path against independent SQL.
     */
   object StubDecoder extends MediaDecoder {
     override def decode(r: MediaRecord): MediaMeta = {
-      val sha = java.security.MessageDigest.getInstance("SHA-1")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(r.content)
       val shaHex = sha.map("%02x".format(_)).mkString
       val h = java.nio.ByteBuffer.wrap(sha, 0, 8).getLong

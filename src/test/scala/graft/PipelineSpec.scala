@@ -177,7 +177,7 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length == docs.count())
     // deterministic across runs
     val again = Multimodal.decodeMeta(media).collect()
-    assert(rows.map(_.sha1).toSeq == again.map(_.sha1).toSeq)
+    assert(rows.map(_.sha256).toSeq == again.map(_.sha256).toSeq)
     // kinds map to sensible stub metadata
     assert(rows.filter(_.kind == "image").forall(m => m.width > 0 && m.height > 0))
     assert(rows.filter(_.kind == "audio").forall(m => m.sample_rate == 16000))

@@ -169,6 +169,21 @@ object PipelineQueries {
         Tables(s, dir, "events"), gapSeconds = 1800L)
     },
 
+    // Deterministic projection of the streaming-dedup state: one row per
+    // payload fingerprint with the first event id and duplicate count
+    // (dropDuplicates itself keeps an arbitrary row under parallelism, so
+    // the gate checks this canonical form; dedupStream shares the same
+    // fingerprint expression).
+    "stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(
+          concat_ws("|", $"user_id", $"event_type", $"props")))
+        .groupBy($"fp")
+        .agg(min($"event_id").as("first_event_id"),
+          count(lit(1)).as("n_copies"))
+    },
+
     // ---------------- multimodal plumbing ----------------
     "mm_decode_meta" -> { (s, dir) =>
       Multimodal.decodeMeta(
@@ -273,6 +288,13 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(
+        |    concat_ws('|', user_id, event_type, props)),'\s+',' ','g'))) AS fp,
+        |  min(event_id) AS first_event_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM events GROUP BY 1""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -12,7 +12,8 @@ import graft.sources.{JdbcSource, SourceReader}
   *
   * Usage:
   *   graft.cli.Main --source-dir DIR --source-table T --dest-table T
-  *     [--dest parquet:DIR | jdbc:URL] [--mode append|overwrite]
+  *     [--dest parquet:DIR | orc:DIR | csv:DIR | json:DIR | jdbc:URL]
+  *     [--source-format parquet|orc|csv|json] [--mode append|overwrite]
   *     [--limit N] [--config FILE] [--dry-run] [--yes]
   *     [--null-policy fail|fill|skip] [--null-fill-sentinel S]
   *     [--strip-null-tokens] [--empty-string-as-null]
@@ -74,15 +75,17 @@ object Main {
         }
       }
 
-      // --source-dir DIR (files) or --source jdbc:URL (relational)
+      // --source-dir DIR (files; --source-format picks the reader) or
+      // --source jdbc:URL (relational)
       val source: graft.sources.Source = cfg.get("source") match {
         case Some(s) if s.startsWith("jdbc:") => new JdbcSource(spark, s)
-        case _ => new SourceReader(spark, req("source_dir"))
+        case _ => new SourceReader(spark, req("source_dir"),
+          cfg.getOrElse("source_format", "parquet"))
       }
+      val FileDest = "^(parquet|orc|csv|json):(.+)$".r
       val sink: Sink = cfg.getOrElse("dest", s"parquet:/tmp/graft-out") match {
-        case d if d.startsWith("parquet:") =>
-          new ParquetSink(spark, d.stripPrefix("parquet:"))
         case d if d.startsWith("jdbc:") => new JdbcSink(d)
+        case FileDest(fmt, dir)         => new graft.sinks.FileSink(spark, dir, fmt)
         case other => sys.error(s"unknown destination: $other")
       }
       val report = new Migrator(source, sink).migrate(spec)

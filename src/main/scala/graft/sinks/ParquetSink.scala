@@ -7,12 +7,25 @@ import graft.schema.SchemaMapper
 
 /** File-based warehouse sink — the offline stand-in for the reference's
   * BigQuery path (SURVEY.md §2.1 S8-S9). Tables are directories of
-  * parquet under `baseDir`. Overwrite maps to the atomic-ish file commit
-  * protocol (drop+recreate semantics, reference: migrator.py:216-224).
+  * `format` files under `baseDir`. Overwrite maps to the atomic-ish file
+  * commit protocol (drop+recreate semantics, reference:
+  * migrator.py:216-224).
+  *
+  * Formats: parquet (default), orc, csv, json — the Spark writer handles
+  * all of them identically at the plan level (the sink is a terminal
+  * `FileFormatWriter` job either way); csv gets a header so the files
+  * round-trip through [[graft.sources.SourceReader]].
   */
-class ParquetSink(spark: SparkSession, baseDir: String) extends Sink {
+class FileSink(spark: SparkSession, baseDir: String,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) extends Sink {
 
   private def path(table: String) = s"$baseDir/$table"
+
+  private def formatOptions: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true") ++ options
+    case _     => options
+  }
 
   override def testConnection(): Boolean = {
     val d = new java.io.File(baseDir)
@@ -45,15 +58,22 @@ class ParquetSink(spark: SparkSession, baseDir: String) extends Sink {
 
   override def destSchema(table: String): Option[Seq[DestColumn]] =
     if (!tableExists(table)) None
-    else Some(spark.read.parquet(path(table)).schema.fields.toIndexedSeq.map { f =>
-      DestColumn(f.name, SchemaMapper.toBigQueryType(f.dataType), f.nullable, None)
-    })
+    else Some(spark.read.options(formatOptions).format(format)
+      .load(path(table)).schema.fields.toIndexedSeq.map { f =>
+        DestColumn(f.name, SchemaMapper.toBigQueryType(f.dataType), f.nullable, None)
+      })
 
   override def write(df: DataFrame, table: String, mode: WriteMode): Unit = {
     val saveMode = mode match {
       case WriteMode.Overwrite => SaveMode.Overwrite
       case WriteMode.Append    => SaveMode.Append
     }
-    df.write.mode(saveMode).parquet(path(table))
+    df.write.options(formatOptions).mode(saveMode).format(format).save(path(table))
   }
 }
+
+/** Parquet specialization, the default destination (kept as a named class
+  * for config/CLI clarity).
+  */
+class ParquetSink(spark: SparkSession, baseDir: String)
+  extends FileSink(spark, baseDir, "parquet")

@@ -17,10 +17,19 @@ import graft.model.SourceColumn
   * `SELECT *`, SURVEY.md §4).
   */
 class SourceReader(spark: SparkSession, baseDir: String,
-    format: String = "parquet") extends Source {
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) extends Source {
 
-  /** S1: scan. Tables resolve to `baseDir/<name>.parquet` (testdata
-    * layout) or `baseDir/<name>` (hive-partitioned directory).
+  private def readOptions: Map[String, String] = format match {
+    // csv carries no schema — take the header for names and infer types
+    // (one extra pass at plan time; a production path would pin a schema)
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true") ++ options
+    case _     => options
+  }
+
+  /** S1: scan. Tables resolve to `baseDir/<name>.<format>` (testdata
+    * layout) or `baseDir/<name>` (hive-partitioned / sink-written
+    * directory).
     */
   override def table(name: String): DataFrame = {
     val flat = s"$baseDir/$name.$format"
@@ -29,7 +38,8 @@ class SourceReader(spark: SparkSession, baseDir: String,
     // parquet TIMESTAMP(NANOS) columns: read as raw nanos, truncate to
     // micros at ingest (Spark's timestamp precision) — see Tables.read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.Tables.normalizeNanos(spark.read.format(format).load(path))
+    graft.Tables.normalizeNanos(
+      spark.read.options(readOptions).format(format).load(path))
   }
 
   private def exists(p: String): Boolean =

@@ -40,6 +40,43 @@ class MigratorSpec extends SparkSpec {
     assert(got.count() == 5)
   }
 
+  test("csv and json sinks round-trip through SourceReader (format breadth)") {
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val out = tmpDir(s"mig-$fmt")
+      val m = new Migrator(new SourceReader(spark, sf001),
+        new graft.sinks.FileSink(spark, out, fmt))
+      val report = m.migrate(MigrationSpec(
+        sourceTable = "region", destTable = "region_out",
+        fullScanGuardLimit = None))
+      assert(report.rowsWritten == 5, fmt)
+      // read the files back with the matching reader and check a value
+      val back = new SourceReader(spark, out, fmt).table("region_out")
+      assert(back.count() == 5, fmt)
+      val names = back.select("r_name").collect().map(_.getString(0)).toSet
+      assert(names.contains(spark.read.parquet(s"$sf001/region.parquet")
+        .select("r_name").head().getString(0)), fmt)
+    }
+  }
+
+  test("csv SOURCE: inferred-schema read feeds the same pipeline") {
+    val staging = tmpDir("csv-src")
+    // stage nation as csv, then migrate csv -> parquet
+    new Migrator(new SourceReader(spark, sf001),
+      new graft.sinks.FileSink(spark, staging, "csv"))
+      .migrate(MigrationSpec(sourceTable = "nation", destTable = "nation_csv",
+        fullScanGuardLimit = None))
+    val out = tmpDir("csv-src-out")
+    val report = new Migrator(new SourceReader(spark, staging, "csv"),
+      new ParquetSink(spark, out))
+      .migrate(MigrationSpec(sourceTable = "nation_csv", destTable = "nation_back",
+        fullScanGuardLimit = None))
+    assert(report.rowsWritten == 25)
+    val back = spark.read.parquet(s"$out/nation_back")
+    assert(back.count() == 25)
+    // inferSchema recovers the integer key column
+    assert(back.schema("n_nationkey").dataType.typeName.contains("int"))
+  }
+
   test("overwrite truncates; append accumulates (O2)") {
     val out = tmpDir("mig-modes")
     val m = migrator(out)

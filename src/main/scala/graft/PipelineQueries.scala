@@ -115,6 +115,18 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // PQ compressed-domain ANN (codebook is trained k-means — rows-only
+    // check; SkewAndIvfSpec proves recall against brute force).
+    "sim_topk_pq" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.Pq.topK(e, queries, k = 5, dims = 64,
+          m = 8, ksub = 16, rerank = 100)
+        .select($"qid", $"id", $"rank")
+    },
+
     // As-of join: latest order at-or-before each event's timestamp for
     // the same id (union+window, single shuffle — see operators/AsOf).
     "q_asof_join" -> { (s, dir) =>

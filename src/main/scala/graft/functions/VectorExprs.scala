@@ -135,6 +135,77 @@ object VecOps {
       Array.fill(2 * k)(rnd.nextLong()).zipWithIndex
         .map { case (v, i) => if (i % 2 == 0) v | 1L else v } // odd multipliers
     })
+
+  // ---- product quantization (Jégou et al., TPAMI 2011 — public) ----
+  // codebook layout: flat [m][ksub][dsub] row-major floats.
+
+  /** Encode a vector as m sub-codebook indices (nearest sub-centroid by
+    * L2 per subspace).
+    */
+  def pqEncode(v: ArrayData, codebook: Array[Float],
+      m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val off = (sub * ksub + j) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getFloat(sub * dsub + i) - codebook(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Per-query ADC lookup table: lut[sub*ksub + j] = dot(q_sub, c_sub_j).
+    * Σ over subspaces of lut entries then approximates dot(q, x).
+    */
+  def pqLut(q: ArrayData, codebook: Array[Float],
+      m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val lut = new Array[Double](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      var j = 0
+      while (j < ksub) {
+        val off = (sub * ksub + j) * dsub
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          s += q.getFloat(sub * dsub + i).toDouble * codebook(off + i)
+          i += 1
+        }
+        lut(sub * ksub + j) = s
+        j += 1
+      }
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  /** Asymmetric distance computation: approximate dot(q, x) from x's
+    * codes and q's lookup table — m adds per corpus row, no float math.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    var s = 0.0
+    var sub = 0
+    val m = codes.numElements()
+    while (sub < m) {
+      s += lut.getDouble(sub * ksub + codes.getInt(sub))
+      sub += 1
+    }
+    s
+  }
 }
 
 /** minhash_sig(array<string>) → array<long> of k running minima, one pass. */
@@ -222,6 +293,60 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, dims: Int, seed: Lon
     copy(child = newChild)
 }
 
+/** pq_encode(array<float>) → array<int> of m sub-codebook indices. The
+  * codebook rides the plan as a broadcast-referenced object (same
+  * pattern as [[HyperplaneSig]]'s planes).
+  */
+case class PqEncode(child: Expression, codebook: Seq[Float],
+    m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val cb: Array[Float] = codebook.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.pqEncode(t.asInstanceOf[ArrayData], cb, m, ksub, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.pqEncode($t, $ref, $m, $ksub, $dsub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** pq_lut(array<float>) → array<double> ADC table for one query. */
+case class PqLut(child: Expression, codebook: Seq[Float],
+    m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val cb: Array[Float] = codebook.toArray
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.pqLut(t.asInstanceOf[ArrayData], cb, m, ksub, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.pqLut($t, $ref, $m, $ksub, $dsub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** pq_adc(codes, lut) → double approximate dot product. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.pqAdc($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API over the native expressions. */
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
@@ -239,4 +364,11 @@ object VectorFunctions {
     */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Int = 0x7f4a7c15): Column =
     toCol(MinHashSig(toExpr(shingles), numHashes, seed))
+
+  def pqEncode(v: Column, codebook: Seq[Float], m: Int, ksub: Int, dsub: Int): Column =
+    toCol(PqEncode(toExpr(v), codebook, m, ksub, dsub))
+  def pqLut(q: Column, codebook: Seq[Float], m: Int, ksub: Int, dsub: Int): Column =
+    toCol(PqLut(toExpr(q), codebook, m, ksub, dsub))
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    toCol(PqAdc(toExpr(codes), toExpr(lut), ksub))
 }

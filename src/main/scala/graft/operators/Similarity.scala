@@ -127,4 +127,130 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Product quantization (Jégou et al., TPAMI 2011): each vector is
+    * compressed to `m` sub-codebook indices; a query scores the whole
+    * corpus from its ADC lookup table — `m` table adds per row instead
+    * of `dims` multiplies, over a codes table that is dims*4/m bytes
+    * smaller than the raw vectors.
+    *
+    * 100 TB shape: train once on a sample (quantizer training on a
+    * bounded sample is the standard practice — the codebook is a few KB
+    * broadcast with the plan); encode in one codegen'd pass and persist
+    * the codes table; per-query scan touches ONLY the codes (e.g. 8
+    * bytes/vector at m=8 vs 256 bytes for float32×64) and the exact
+    * rerank joins full vectors for `rerank` candidates per query only.
+    * Vectors are L2-normalized before train/encode so the approximate
+    * dot IS approximate cosine.
+    */
+  object Pq {
+
+    /** Train per-subspace k-means (Lloyd's) on a driver-side sample of
+      * the corpus; returns the flat [m][ksub][dsub] codebook.
+      */
+    def train(corpus: DataFrame, dims: Int, m: Int = 8, ksub: Int = 16,
+        seed: Long = 42L, sampleN: Int = 20000,
+        vecCol: String = "embedding", iters: Int = 12): Array[Float] = {
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+      val dsub = dims / m
+      val sample: Array[Array[Float]] = corpus
+        .select(Embeddings.normalize(col(vecCol)).as("v"))
+        .limit(sampleN).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(sample.nonEmpty, "empty training sample")
+      val rnd = new java.util.Random(seed)
+      val codebook = new Array[Float](m * ksub * dsub)
+      var sub = 0
+      while (sub < m) {
+        // init: distinct random sample rows' subvectors
+        val perm = rnd.ints(0, sample.length).distinct().limit(ksub)
+          .toArray
+        var j = 0
+        while (j < ksub) {
+          val src = sample(perm(j % perm.length))
+          System.arraycopy(src, sub * dsub, codebook, (sub * ksub + j) * dsub, dsub)
+          j += 1
+        }
+        // Lloyd's iterations over the sample's subvectors
+        var it = 0
+        while (it < iters) {
+          val sums = Array.ofDim[Double](ksub, dsub)
+          val counts = new Array[Int](ksub)
+          sample.foreach { v =>
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val off = (sub * ksub + c) * dsub
+              var d = 0.0; var i = 0
+              while (i < dsub) {
+                val diff = v(sub * dsub + i) - codebook(off + i)
+                d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            var i = 0
+            while (i < dsub) { sums(best)(i) += v(sub * dsub + i); i += 1 }
+          }
+          var c = 0
+          while (c < ksub) {
+            if (counts(c) > 0) {
+              var i = 0
+              while (i < dsub) {
+                codebook((sub * ksub + c) * dsub + i) =
+                  (sums(c)(i) / counts(c)).toFloat
+                i += 1
+              }
+            }
+            c += 1
+          }
+          it += 1
+        }
+        sub += 1
+      }
+      codebook
+    }
+
+    /** ADC top-k with exact rerank: compressed-domain scan → top
+      * `rerank` candidates per query by approximate score → exact cosine
+      * on those only. Same output shape as bruteForceTopK.
+      */
+    def topK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+        m: Int = 8, ksub: Int = 16, rerank: Int = 100, seed: Long = 42L,
+        idCol: String = "vec_id", vecCol: String = "embedding",
+        qidCol: String = "qid"): DataFrame = {
+      val dsub = dims / m
+      val cb = train(corpus, dims, m, ksub, seed, vecCol = vecCol).toSeq
+
+      val encoded = corpus.select(col(idCol).as("id"),
+        VectorFunctions.pqEncode(
+          Embeddings.normalize(col(vecCol)), cb, m, ksub, dsub).as("codes"))
+      val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
+        VectorFunctions.pqLut(
+          Embeddings.normalize(col(vecCol)), cb, m, ksub, dsub).as("lut"))
+
+      // compressed-domain scan: scores come from the codes table alone
+      val approx = encoded.crossJoin(broadcast(q.select(col("qid"), col("lut"))))
+        .select(col("qid"), col("id"),
+          VectorFunctions.pqAdc(col("codes"), col("lut"), ksub).as("adc"))
+        .filter(col("qid") =!= col("id"))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("id").asc)
+      val cands = approx.withColumn("ark", row_number().over(wA))
+        .filter(col("ark") <= rerank)
+        .select(col("qid"), col("id"))
+
+      // exact rerank joins the full vectors for the candidates only
+      val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      val scored = cands
+        .join(cvecs, "id")
+        .join(broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("qv2"))), "qid")
+        .select(col("qid"), col("id"),
+          VectorFunctions.cosineSim(col("cvec"), col("qv2")).as("cosine"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
 }

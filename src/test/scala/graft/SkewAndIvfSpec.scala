@@ -44,4 +44,45 @@ class SkewAndIvfSpec extends SparkSpec {
     val recall = partial.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall $recall") // near-random vectors: lenient
   }
+
+  test("PQ: ADC approximates cosine; rerank recovers brute-force top-k") {
+    val e = Tables(spark, sf001, "embeddings")
+    val dims = e.select(size($"embedding")).head().getInt(0)
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+
+    // ADC error: approximate dot vs exact cosine over normalized vectors
+    val cb = Similarity.Pq.train(e, dims, m = 8, ksub = 16).toSeq
+    val enc = e.select($"vec_id".as("id"),
+      graft.functions.VectorFunctions.pqEncode(
+        graft.operators.Embeddings.normalize($"embedding"), cb, 8, 16, dims / 8)
+        .as("codes"),
+      $"embedding")
+    val q1 = queries.limit(1).select($"qid",
+      graft.functions.VectorFunctions.pqLut(
+        graft.operators.Embeddings.normalize($"embedding"), cb, 8, 16, dims / 8)
+        .as("lut"),
+      $"embedding".as("qvec"))
+    val err = enc.crossJoin(broadcast(q1))
+      .select(abs(
+        graft.functions.VectorFunctions.pqAdc($"codes", $"lut", 16) -
+          graft.functions.VectorFunctions.cosineSim($"embedding", $"qvec"))
+        .as("e"))
+      .agg(avg($"e")).head().getDouble(0)
+    assert(err < 0.25, s"mean ADC error $err") // compressed: coarse but bounded
+
+    // with generous rerank the exact top-k must match brute force
+    val brute = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.Pq.topK(e, queries, k = 5, dims = dims,
+      m = 8, ksub = 16, rerank = 200)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+    // determinism: same seed, same answer
+    val pq2 = Similarity.Pq.topK(e, queries, k = 5, dims = dims,
+      m = 8, ksub = 16, rerank = 200)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == pq2)
+  }
 }

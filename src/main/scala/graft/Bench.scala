@@ -24,11 +24,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // 64m: the ~15MB ngram prefix self-join sits at the default 10MB
+      // AQE broadcast edge and flaps between broadcast and SMJ plans
+      // (measured 2.6s vs 10s run-to-run); plenty of driver room here
+      .config("spark.sql.autoBroadcastJoinThreshold", String.valueOf(64L * 1024 * 1024))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // pay previous queries' GC debt before the clock starts — without
+      // this, allocation-heavy early queries tax whichever query GC
+      // happens to land on (observed 2-3x per-query swings run-to-run)
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

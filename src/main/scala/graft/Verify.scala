@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // 64m: the ~15MB ngram prefix self-join sits at the default 10MB
+      // AQE broadcast edge and flaps between broadcast and SMJ plans
+      // (measured 2.6s vs 10s run-to-run); plenty of driver room here
+      .config("spark.sql.autoBroadcastJoinThreshold", String.valueOf(64L * 1024 * 1024))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

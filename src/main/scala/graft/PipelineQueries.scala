@@ -127,6 +127,27 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // Range (interval) join via binning: for each order, how many other
+    // orders the same customer placed within the following 7 days. The
+    // naive BETWEEN join is a per-key cross product; see
+    // operators/RangeJoin for the linear binned plan.
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val pts = orders.select($"o_orderkey".as("p_orderkey"),
+        $"o_custkey".as("user_id"),
+        $"o_orderdate".cast("timestamp").as("t"))
+      val iv = orders.select($"o_orderkey", $"o_custkey".as("user_id"),
+        $"o_orderdate".cast("timestamp").as("win_start"),
+        ($"o_orderdate".cast("timestamp") + expr("INTERVAL 7 DAYS")).as("win_end"))
+      graft.operators.RangeJoin.join(pts, iv, key = "user_id",
+          tCol = "t", startCol = "win_start", endCol = "win_end",
+          binWidth = 7L * 24 * 3600)
+        .filter($"p_orderkey" =!= $"o_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_follow"))
+    },
+
     // As-of join: latest order at-or-before each event's timestamp for
     // the same id (union+window, single shuffle — see operators/AsOf).
     "q_asof_join" -> { (s, dir) =>
@@ -336,6 +357,15 @@ object PipelineQueries {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_follow
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey
+        | AND b.o_orderdate >= a.o_orderdate
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+        | AND b.o_orderkey <> a.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id,

@@ -79,6 +79,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch <= batchEvents.count())
   }
 
+  test("streaming dedup drops a re-delivered payload with a DIFFERENT ts") {
+    import org.apache.spark.sql.functions._
+    val d = tmpDir("stream-dup")
+    // same (user_id, event_type, props) payload at two timestamps within
+    // the watermark — the fingerprint contract says the second is a dup
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{\"a\":1}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 2.0, "{\"a\":1}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 8L, "view", 3.0, "{\"b\":2}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val stream = spark.readStream.schema(schema).parquet(d)
+    val q = EventStreams.dedupStream(stream, watermark = "1 hour").writeStream
+      .outputMode("append")
+      .format("memory").queryName("dup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    // event 2 (same payload, different ts) dropped; 1 and 3 kept
+    assert(got == Set(1L, 3L))
+  }
+
   test("watermark bounds state: append-mode windowed agg emits rows") {
     val stream = EventStreams.readStreamEvents(spark, eventsDir)
     val q = EventStreams.hourlyAgg(stream).writeStream

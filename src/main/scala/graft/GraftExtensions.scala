@@ -50,7 +50,15 @@ object GraftFunctions {
       info("graft_minhash", "minhash signature of a string; arg2 = n, arg3 = k"),
       (es: Seq[Expression]) => MinHashOfText(es(0),
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
-        0x7f4a7c15)))
+        0x7f4a7c15)),
+    ("graft_langid",
+      info("graft_langid", "heuristic language id of a string (en/de/fr/es/zh/und)"),
+      (es: Seq[Expression]) => LangIdExpr(es(0), TextFunctions.StopwordsByLang)),
+    ("graft_stopword_hits",
+      info("graft_stopword_hits",
+        "count of English stopword tokens in a string (quality signal)"),
+      (es: Seq[Expression]) => StopwordHitsExpr(es(0),
+        TextFunctions.StopwordsByLang.head._2)))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach {

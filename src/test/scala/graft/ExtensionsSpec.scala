@@ -29,6 +29,12 @@ class ExtensionsSpec extends SparkSpec {
     val s1 = spark.sql("SELECT graft_simhash(array('x','y'))").head().getLong(0)
     val s2 = spark.sql("SELECT graft_simhash(array('x','y'))").head().getLong(0)
     assert(s1 == s2)
+    // language id + stopword kernels through SQL
+    val lid = spark.sql(
+      "SELECT graft_langid('the cat is on the mat and that is that'), " +
+        "graft_stopword_hits('the cat and the dog')").head()
+    assert(lid.getString(0) == "en")
+    assert(lid.getInt(1) == 3)
   }
 
   test("array<double> inputs are coerced, not misread (inputTypes)") {

@@ -150,11 +150,14 @@ object Similarity {
       */
     def train(corpus: DataFrame, dims: Int, m: Int = 8, ksub: Int = 16,
         seed: Long = 42L, sampleN: Int = 20000,
-        vecCol: String = "embedding", iters: Int = 12): Array[Float] = {
+        vecCol: String = "embedding", iters: Int = 12,
+        preNormalized: Boolean = false): Array[Float] = {
       require(dims % m == 0, s"dims=$dims not divisible by m=$m")
       val dsub = dims / m
+      val vexpr =
+        if (preNormalized) col(vecCol) else Embeddings.normalize(col(vecCol))
       val sample: Array[Array[Float]] = corpus
-        .select(Embeddings.normalize(col(vecCol)).as("v"))
+        .select(vexpr.as("v"))
         .limit(sampleN).collect()
         .map(_.getSeq[Float](0).toArray)
       require(sample.nonEmpty, "empty training sample")
@@ -210,6 +213,84 @@ object Similarity {
         sub += 1
       }
       codebook
+    }
+
+    /** IVF+PQ composition — the classic billion-vector layout: k-means
+      * cells prune which corpus fraction each query touches (at scale:
+      * partition pruning on a cell-partitioned codes table), and within
+      * a cell the scan is compressed-domain ADC over PQ codes of the
+      * RESIDUAL (v − centroid). Since dot(q,v) = dot(q,c) + dot(q,r),
+      * the approximate score is the exact centroid dot plus the
+      * residual ADC — residual PQ quantizes a much tighter distribution
+      * than raw vectors, so the same code budget gives better recall.
+      * Exact cosine rerank on `rerank` candidates per query.
+      */
+    def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+        nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+        rerank: Int = 100, seed: Long = 42L,
+        idCol: String = "vec_id", vecCol: String = "embedding",
+        qidCol: String = "qid"): DataFrame = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val dsub = dims / m
+      val spark = corpus.sparkSession
+      import spark.implicits._
+
+      // 1. coarse quantizer over normalized vectors
+      val cNorm = corpus.select(col(idCol).as("id"),
+        Embeddings.normalize(col(vecCol)).as("nvec"), col(vecCol).as("cvec"))
+      val withFeatures = cNorm.withColumn("features", array_to_vector(col("nvec")))
+      val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .fit(withFeatures.select("features"))
+      val centroids = km.clusterCenters.zipWithIndex
+        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+        .toSeq.toDF("cell", "centroid")
+      val assigned = km.transform(withFeatures)
+        .select(col("id"), col("nvec"), col("cvec"), col("prediction").as("cell"))
+
+      // 2. residuals (nvec - centroid) + PQ codebook trained on them
+      val residual = org.apache.spark.sql.functions.zip_with(
+        col("nvec"), col("centroid"), (a, b) => (a - b).cast("float"))
+      val withRes = assigned.join(broadcast(centroids), Seq("cell"))
+        .withColumn("res", residual)
+      val cb = train(withRes, dims, m, ksub, seed, vecCol = "res",
+        preNormalized = true).toSeq
+      val encoded = withRes.select(col("id"), col("cell"),
+        VectorFunctions.pqEncode(col("res"), cb, m, ksub, dsub).as("codes"))
+
+      // 3. per-query: nprobe nearest cells by centroid dot + shared LUT
+      val qn = queries.select(col(qidCol).as("qid"),
+        Embeddings.normalize(col(vecCol)).as("qn"), col(vecCol).as("qvec"))
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("qdotc").desc, col("cell").asc)
+      val probes = qn.crossJoin(broadcast(centroids))
+        .withColumn("qdotc", VectorFunctions.dotProduct(col("qn"), col("centroid")))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= nprobe)
+        .select(col("qid"), col("cell"), col("qdotc"),
+          VectorFunctions.pqLut(col("qn"), cb, m, ksub, dsub).as("lut"))
+
+      // 4. compressed-domain scoring within probed cells only
+      val approx = encoded.join(broadcast(probes), Seq("cell"))
+        .select(col("qid"), col("id"),
+          (col("qdotc") + VectorFunctions.pqAdc(col("codes"), col("lut"), ksub))
+            .as("adc"))
+        .filter(col("qid") =!= col("id"))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("id").asc)
+      val cands = approx.withColumn("ark", row_number().over(wA))
+        .filter(col("ark") <= rerank)
+        .select(col("qid"), col("id"))
+
+      // 5. exact rerank
+      val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      val scored = cands.join(cvecs, "id")
+        .join(broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("qv2"))), "qid")
+        .select(col("qid"), col("id"),
+          VectorFunctions.cosineSim(col("cvec"), col("qv2")).as("cosine"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
 
     /** ADC top-k with exact rerank: compressed-domain scan → top

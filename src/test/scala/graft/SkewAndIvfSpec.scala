@@ -85,4 +85,26 @@ class SkewAndIvfSpec extends SparkSpec {
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq == pq2)
   }
+
+  test("IVF+PQ: full probe with generous rerank recovers brute-force top-k") {
+    val e = Tables(spark, sf001, "embeddings")
+    val dims = e.select(size($"embedding")).head().getInt(0)
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell: only PQ approximation + rerank stand between
+    // us and exact — recall should be high
+    val full = Similarity.Pq.ivfTopK(e, queries, k = 5, dims = dims,
+      nlist = 8, nprobe = 8, m = 8, ksub = 16, rerank = 200)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallFull = full.intersect(brute).size.toDouble / brute.size
+    assert(recallFull >= 0.7, s"IVF+PQ full-probe recall $recallFull")
+    // partial probe trades recall for touching nprobe/nlist of the data
+    val part = Similarity.Pq.ivfTopK(e, queries, k = 5, dims = dims,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16, rerank = 200)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallPart = part.intersect(brute).size.toDouble / brute.size
+    assert(recallPart >= 0.25, s"IVF+PQ partial-probe recall $recallPart")
+  }
 }

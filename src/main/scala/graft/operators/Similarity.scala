@@ -4,27 +4,43 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAgg, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Scale design: queries are the SMALL side — always broadcast; the
   * corpus is scanned exactly once (brute force) or pre-bucketed (LSH).
-  * Ranking uses a per-query window with a deterministic id tiebreak.
+  * Ranking is a TWO-STAGE exact top-k (see [[topKRank]]): a bounded-heap
+  * aggregate prunes to k rows per (query, partition) map-side, so no
+  * single task ever ranks |corpus| rows and the rank shuffle moves
+  * k·partitions rows per query instead of the scored corpus.
   *
   *  - bruteForceTopK: exact. One corpus scan × |Q| cosine evals, all
-  *    inside whole-stage codegen via the native CosineSim expression;
-  *    the only shuffle is the final per-query top-k (rows ≤ |corpus|,
-  *    pre-pruned by a local window would require a partial top-k — at
-  *    100 TB add a `repartition(qid)`-free two-stage top-k; here the
-  *    window over qid is already the scalable shape since |Q| bounds
-  *    partitions).
+  *    inside whole-stage codegen via the native CosineSim expression.
   *  - lshTopK: hyperplane-LSH bucketed. Corpus bucketed once (can be
   *    persisted/bucketed-by in storage at scale); each query probes its
   *    own bucket plus all buckets within hamming ≤ `probeHamming` of its
   *    signature (multi-probe trades compute for recall).
   */
 object Similarity {
+
+  /** Exact per-query top-k over a scored frame (qid, id, scoreCol).
+    *
+    * Stage 1 is the map side of the TopKByScore aggregate: each input
+    * partition reduces to ≤k entries per qid before the exchange.
+    * Stage 2 merges the per-partition heaps and emits rank 1..k with
+    * the same ordering as
+    * `row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC)`
+    * — bit-identical output to the single-stage window, minus its
+    * one-task-per-query scale ceiling.
+    */
+  private[graft] def topKRank(scored: DataFrame, k: Int,
+      scoreCol: String): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(TopKAgg.topKByScore(col(scoreCol), col("id"), k).as("topk"))
+      .select(col("qid"), explode(col("topk")).as("e"))
+      .select(col("qid"), col("e.id").as("id"),
+        col("e.score").as(scoreCol), col("e.rank").as("rank"))
 
   /** Exact cosine top-k. corpus(idCol, vecCol), queries(qidCol, vecCol) →
     * (qid, id, cosine, rank ≤ k).
@@ -38,9 +54,7 @@ object Similarity {
       .select(col("qid"), col("id"),
         VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
       .filter(col("qid") =!= col("id"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKRank(scored, k, "cosine")
   }
 
   /** LSH-bucketed ANN top-k with multi-probe. Same output shape as
@@ -77,9 +91,7 @@ object Similarity {
         VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
       .filter(col("qid") =!= col("id"))
       .groupBy("qid", "id").agg(max("cosine").as("cosine")) // dedupe probes
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKRank(scored, k, "cosine")
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
@@ -123,9 +135,7 @@ object Similarity {
       .select(col("qid"), col("id"),
         VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
       .filter(col("qid") =!= col("id"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKRank(scored, k, "cosine")
   }
 
   /** Product quantization (Jégou et al., TPAMI 2011): each vector is
@@ -276,11 +286,7 @@ object Similarity {
           (col("qdotc") + VectorFunctions.pqAdc(col("codes"), col("lut"), ksub))
             .as("adc"))
         .filter(col("qid") =!= col("id"))
-      val wA = Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("id").asc)
-      val cands = approx.withColumn("ark", row_number().over(wA))
-        .filter(col("ark") <= rerank)
-        .select(col("qid"), col("id"))
+      val cands = topKRank(approx, rerank, "adc").select(col("qid"), col("id"))
 
       // 5. exact rerank
       val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
@@ -288,9 +294,7 @@ object Similarity {
         .join(broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("qv2"))), "qid")
         .select(col("qid"), col("id"),
           VectorFunctions.cosineSim(col("cvec"), col("qv2")).as("cosine"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("id").asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      topKRank(scored, k, "cosine")
     }
 
     /** ADC top-k with exact rerank: compressed-domain scan → top
@@ -316,11 +320,7 @@ object Similarity {
         .select(col("qid"), col("id"),
           VectorFunctions.pqAdc(col("codes"), col("lut"), ksub).as("adc"))
         .filter(col("qid") =!= col("id"))
-      val wA = Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("id").asc)
-      val cands = approx.withColumn("ark", row_number().over(wA))
-        .filter(col("ark") <= rerank)
-        .select(col("qid"), col("id"))
+      val cands = topKRank(approx, rerank, "adc").select(col("qid"), col("id"))
 
       // exact rerank joins the full vectors for the candidates only
       val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
@@ -329,9 +329,7 @@ object Similarity {
         .join(broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("qv2"))), "qid")
         .select(col("qid"), col("id"),
           VectorFunctions.cosineSim(col("cvec"), col("qv2")).as("cosine"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("id").asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      topKRank(scored, k, "cosine")
     }
   }
 }

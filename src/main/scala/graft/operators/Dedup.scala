@@ -129,13 +129,18 @@ object Dedup {
         expr("shiftright(simhash, chunk * 16) & 65535"))
     val a = chunked.as("a")
     val b = chunked.as("b")
+    // (sh_a, sh_b) are functionally determined by (id_a, id_b), so the
+    // distinct dedupes multi-chunk collisions BEFORE hamming is computed
+    // — one bit_count per pair, not per collision.
     a.join(b,
         col("a.chunk") === col("b.chunk") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -200,23 +205,32 @@ object Dedup {
       dims: Int, threshold: Double = 0.95, bands: Int = 4,
       planesPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // Candidate generation moves ONLY (id, band, sig) — the vectors must
+    // not ride the band explode or the self-join shuffle (at scale that
+    // multiplies vector bytes by `bands`). Vectors join back by id once,
+    // AFTER the pair distinct, so cosine runs exactly once per candidate
+    // pair — the same slim-candidates/verify-join split minhashPairs uses.
     val bandCols = (0 until bands).map { bnd =>
       VectorFunctions.hyperplaneSig(col("vec"), planesPerBand, dims,
         seed + bnd * 7919L).as(s"b$bnd")
     }
-    val sigs = vecs.select(col("id") +: col("vec") +: bandCols: _*)
-    val banded = sigs.select(col("id"), col("vec"),
+    val sigs = vecs.select(col("id") +: bandCols: _*)
+    val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(bnd =>
           struct(lit(bnd).as("band"), col(s"b$bnd").as("sig"))): _*)).as("bs"))
-      .select(col("id"), col("vec"),
+      .select(col("id"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val candidates = a.join(b, col("a.band") === col("b.band") &&
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorFunctions.cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val va = vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

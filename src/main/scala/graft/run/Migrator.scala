@@ -71,9 +71,8 @@ class Migrator(source: Source, sink: Sink) {
     val observed = out.observe(obs,
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
-    sink.write(observed, spec.destTable,
-      // truncate/drop already handled above; the write itself appends
-      if (created) WriteMode.Append else WriteMode.Append)
+    // truncate/drop already handled above; the write itself always appends
+    sink.write(observed, spec.destTable, WriteMode.Append)
     val rows = obs.get("n").asInstanceOf[Long]
     MigrationReport(spec.sourceTable, spec.destTable, spec.mode,
       srcCols, destCols, created, rows, dryRun = false)

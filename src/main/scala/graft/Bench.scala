@@ -44,7 +44,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // profiling aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
+    // driver never sets it, so the contract output is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = ordered.map { case (_, fn) => once(fn) }.sum
     // two timed passes, min per query: host-level noise on this VM swings
     // single measurements ±30%; min-of-2 is the standard damping

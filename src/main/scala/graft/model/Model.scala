@@ -19,22 +19,36 @@ final case class SourceColumn(
     isPartition: Boolean = false)
 
 /** A column as described by the DESTINATION catalog
-  * (reference: mysql_writer.py:69-96 — information_schema read).
+  * (reference: mysql_writer.py:69-96 — information_schema read). The
+  * `comment` carries the source column description into sink DDL, like
+  * the reference carried comment→SchemaField.description into BigQuery
+  * (reference: bigquery_client.py:88-112, schema_mapper.py:30-37).
   */
 final case class DestColumn(
     name: String,
     typeName: String,
     nullable: Boolean = true,
-    default: Option[String] = None)
+    default: Option[String] = None,
+    comment: Option[String] = None)
 
-/** Write mode (reference: migrator.py:23-27). */
+/** Write mode (reference: migrator.py:23-27 plus the BigQuery
+  * write_disposition surface, bigquery_client.py:152-176 —
+  * WRITE_APPEND / WRITE_TRUNCATE / WRITE_EMPTY map to
+  * append / overwrite / error_if_exists).
+  */
 sealed abstract class WriteMode(val name: String)
 object WriteMode {
   case object Append extends WriteMode("append")
   case object Overwrite extends WriteMode("overwrite")
+  /** Refuse to write into a table that already exists — checked before
+    * any data moves.
+    */
+  case object ErrorIfExists extends WriteMode("error_if_exists")
   def parse(s: String): WriteMode = s.trim.toLowerCase match {
-    case "overwrite" => Overwrite
-    case _           => Append
+    case "overwrite" | "write_truncate"                  => Overwrite
+    case "error_if_exists" | "errorifexists" | "error" |
+         "write_empty"                                   => ErrorIfExists
+    case _                                               => Append
   }
 }
 

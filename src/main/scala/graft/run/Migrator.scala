@@ -45,8 +45,19 @@ class Migrator(source: Source, sink: Sink) {
     val srcCols = source.schemaOf(spec.sourceTable)
     MappingTransform.validate(spec.mapping, srcCols.map(_.name))
 
-    // 3. destination schema handling (reference: migrator.py:181-275)
+    // 3. destination schema handling (reference: migrator.py:181-275).
+    //    A qualified ns.table destination gets its namespace created
+    //    first (reference: bigquery_client.py:45-65).
+    spec.destTable.split('.') match {
+      case Array(ns, _) if !spec.dryRun => sink.ensureNamespace(ns)
+      case _                            => ()
+    }
     val exists = sink.tableExists(spec.destTable)
+    // WRITE_EMPTY semantics: refuse an existing destination BEFORE any
+    // data moves (reference write_disposition, bigquery_client.py:152-176)
+    if (exists && spec.mode == WriteMode.ErrorIfExists)
+      throw new DataMigrationError(
+        s"destination table ${spec.destTable} already exists (mode=error_if_exists)")
     val created = !exists && !spec.dryRun
     val translatedDdl = translateDdl(srcCols, spec)
     if (!spec.dryRun) {
@@ -65,7 +76,8 @@ class Migrator(source: Source, sink: Sink) {
     //    DURING the write — a pre-write count() would re-execute the whole
     //    scan→transform chain and could disagree with what lands if the
     //    source changes between the two actions.
-    val transformed = transform(source.buildScan(spec), srcCols, destCols, spec)
+    val transformed = withComments(
+      transform(source.buildScan(spec), srcCols, destCols, spec), destCols)
     val out = spec.writePartitions.fold(transformed)(transformed.repartition)
     val obs = org.apache.spark.sql.Observation("rows_written")
     val observed = out.observe(obs,
@@ -94,6 +106,26 @@ class Migrator(source: Source, sink: Sink) {
     val defaulted = ConstraintEnforcer.applyDbDefaults(aligned, destCols)
     ConstraintEnforcer.enforceNullPolicy(defaulted, destCols,
       spec.compat.nullOnNonNullable, spec.compat.nullFillSentinel)
+  }
+
+  /** Attach destination column comments as StructField metadata so file
+    * sinks persist them in the footer (the reference carried
+    * comment→description into BigQuery, bigquery_client.py:88-112; JDBC
+    * sinks carry the same comments via the DDL COMMENT clause instead).
+    * Pure projection — no-op when no column has a comment.
+    */
+  private def withComments(df: DataFrame, destCols: Seq[DestColumn]): DataFrame = {
+    val comments = destCols.flatMap(c => c.comment.map(c.name.toLowerCase -> _)).toMap
+    if (comments.isEmpty) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      comments.get(f.name.toLowerCase) match {
+        case Some(cmt) =>
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString("comment", cmt).build()
+          df(f.name).as(f.name, meta)
+        case None => df(f.name)
+      }
+    }: _*)
   }
 
   /** Schema translation honoring mapping (include/exclude/rename/computed
@@ -131,7 +163,9 @@ class Migrator(source: Source, sink: Sink) {
     SchemaMapper.dedupe(ordered).map { c =>
       val t = ov.getOrElse(c.name.toLowerCase,
         sink.ddlType(SchemaMapper.toSparkType(c.typeName)))
-      DestColumn(c.name, t)
+      // source comment rides into sink DDL (reference:
+      // schema_mapper.py:30-37 comment→description)
+      DestColumn(c.name, t, comment = c.comment.filter(_.nonEmpty))
     }
   }
 }

@@ -17,14 +17,31 @@ import graft.schema.SchemaMapper
 sealed trait SqlDialect {
   def quote(ident: String): String
   def ddlType(dt: DataType): String
+  /** Per-column COMMENT clause, "" when the dialect has none. */
+  def commentClause(comment: String): String = ""
+  /** CREATE SCHEMA/DATABASE statement for [[JdbcSink.ensureNamespace]]. */
+  def createNamespaceSql(ns: String): String = s"CREATE SCHEMA ${quote(ns)}"
+  /** Quote a possibly schema-qualified `ns.table` name part-by-part. */
+  final def quoteQualified(table: String): String =
+    table.split('.').map(quote).mkString(".")
 }
 object MySqlDialect extends SqlDialect {
   /** Backtick quoting (reference: mysql_writer.py:22-44). */
   def quote(ident: String): String = s"`${ident.replace("`", "``")}`"
   def ddlType(dt: DataType): String = SchemaMapper.toMySqlType(dt)
+  /** Column comment DDL — the MySQL analog of the reference carrying
+    * descriptions into BigQuery SchemaField (bigquery_client.py:88-112).
+    */
+  override def commentClause(comment: String): String =
+    s" COMMENT '${comment.replace("\\", "\\\\").replace("'", "''")}'"
+  override def createNamespaceSql(ns: String): String =
+    s"CREATE DATABASE IF NOT EXISTS ${quote(ns)}"
 }
 object DerbyDialect extends SqlDialect {
   def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  // Derby has no COMMENT syntax — comments survive only via the parquet
+  // path; createNamespaceSql inherits CREATE SCHEMA (no IF NOT EXISTS;
+  // ensureNamespace checks the catalog first).
   def ddlType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType => "BIGINT"
     case DoubleType | FloatType                        => "DOUBLE"
@@ -58,6 +75,32 @@ class JdbcSink(url: String, props: Properties = new Properties(),
     try f(c) finally c.close()
   }
 
+  /** `ns.table` → (Some(ns), table); bare names pass through. */
+  private def splitQualified(table: String): (Option[String], String) =
+    table.split('.') match {
+      case Array(ns, t) => (Some(ns), t)
+      case _            => (None, table)
+    }
+
+  /** Create the schema/database if the catalog doesn't list it
+    * (reference: bigquery_client.py:45-65 create_dataset_if_not_exists).
+    */
+  override def ensureNamespace(ns: String): Unit =
+    withConn { c =>
+      val rs = c.getMetaData.getSchemas
+      val exists =
+        try {
+          var found = false
+          while (rs.next() && !found)
+            found = rs.getString("TABLE_SCHEM").equalsIgnoreCase(ns)
+          found
+        } finally rs.close()
+      if (!exists) {
+        val st = c.createStatement()
+        try st.execute(dialect.createNamespaceSql(ns)) finally st.close()
+      }
+    }
+
   override def testConnection(): Boolean =
     try withConn { c =>
       val st = c.createStatement()
@@ -66,28 +109,38 @@ class JdbcSink(url: String, props: Properties = new Properties(),
       finally st.close()
     } catch { case _: Exception => false }
 
-  override def tableExists(table: String): Boolean =
+  override def tableExists(table: String): Boolean = {
+    val (ns, name) = splitQualified(table)
     withConn { c =>
       val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
       try {
         var found = false
         while (rs.next() && !found)
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(name) &&
+            ns.forall(s => Option(rs.getString("TABLE_SCHEM"))
+              .exists(_.equalsIgnoreCase(s)))
         found
       } finally rs.close()
     }
+  }
 
-  /** CREATE TABLE with dialect quoting; duplicate names already deduped
-    * upstream (SchemaMapper.dedupe) — the reference deduped in three
-    * layers, we do it once (SURVEY.md D4).
+  /** CREATE TABLE statement text (exposed for DDL tests; duplicate names
+    * already deduped upstream by SchemaMapper.dedupe — the reference
+    * deduped in three layers, we do it once, SURVEY.md D4).
     */
-  override def createTable(table: String, columns: Seq[DestColumn]): Unit = {
+  def createTableDdl(table: String, columns: Seq[DestColumn]): String = {
     val cols = columns.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
       val dflt = c.default.map(d => s" DEFAULT $d").getOrElse("")
-      s"${dialect.quote(c.name)} ${c.typeName}$nn$dflt"
+      val cmt = c.comment.filter(_.nonEmpty)
+        .map(dialect.commentClause).getOrElse("")
+      s"${dialect.quote(c.name)} ${c.typeName}$nn$dflt$cmt"
     }
-    val ddl = s"CREATE TABLE ${dialect.quote(table)} (${cols.mkString(", ")})"
+    s"CREATE TABLE ${dialect.quoteQualified(table)} (${cols.mkString(", ")})"
+  }
+
+  override def createTable(table: String, columns: Seq[DestColumn]): Unit = {
+    val ddl = createTableDdl(table, columns)
     withConn { c => val st = c.createStatement(); try st.execute(ddl) finally st.close() }
     ()
   }
@@ -99,26 +152,32 @@ class JdbcSink(url: String, props: Properties = new Properties(),
   override def truncateOrDrop(table: String): Unit =
     withConn { c =>
       val st = c.createStatement()
-      try st.execute(s"TRUNCATE TABLE ${dialect.quote(table)}") finally st.close()
+      try st.execute(s"TRUNCATE TABLE ${dialect.quoteQualified(table)}") finally st.close()
     }
 
   /** Destination catalog via JDBC metadata: name, type, IS_NULLABLE,
-    * COLUMN_DEF (reference: mysql_writer.py:69-96 information_schema).
+    * COLUMN_DEF, REMARKS (reference: mysql_writer.py:69-96
+    * information_schema; comments round-trip where the driver surfaces
+    * them).
     */
   override def destSchema(table: String): Option[Seq[DestColumn]] = {
     if (!tableExists(table)) return None
+    val (ns, name) = splitQualified(table)
     withConn { c =>
       val rs = c.getMetaData.getColumns(null, null, null, null)
       try {
         val buf = Seq.newBuilder[(Int, DestColumn)]
         while (rs.next()) {
-          if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) {
+          if (rs.getString("TABLE_NAME").equalsIgnoreCase(name) &&
+              ns.forall(s => Option(rs.getString("TABLE_SCHEM"))
+                .exists(_.equalsIgnoreCase(s)))) {
             val dc = DestColumn(
               rs.getString("COLUMN_NAME"),
               rs.getString("TYPE_NAME"),
               nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
               default = Option(rs.getString("COLUMN_DEF")).map(_.trim)
-                .filter(_.nonEmpty).map(stripQuotes))
+                .filter(_.nonEmpty).map(stripQuotes),
+              comment = Option(rs.getString("REMARKS")).filter(_.nonEmpty))
             buf += rs.getInt("ORDINAL_POSITION") -> dc
           }
         }
@@ -145,10 +204,11 @@ class JdbcSink(url: String, props: Properties = new Properties(),
       }
     }: _*)
     val writer = flat.write.mode(mode match {
-      case WriteMode.Overwrite => SaveMode.Overwrite
-      case WriteMode.Append    => SaveMode.Append
+      case WriteMode.Overwrite     => SaveMode.Overwrite
+      case WriteMode.Append        => SaveMode.Append
+      case WriteMode.ErrorIfExists => SaveMode.ErrorIfExists
     }).option("truncate", "true") // overwrite keeps DDL, like the reference
     writeOptions.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
-      .jdbc(url, dialect.quote(table), props)
+      .jdbc(url, dialect.quoteQualified(table), props)
   }
 }

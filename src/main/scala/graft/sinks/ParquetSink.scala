@@ -20,7 +20,13 @@ class FileSink(spark: SparkSession, baseDir: String,
     format: String = "parquet",
     options: Map[String, String] = Map.empty) extends Sink {
 
-  private def path(table: String) = s"$baseDir/$table"
+  // a qualified `ns.table` nests one directory level, the file-side
+  // analog of a dataset/schema (reference: bigquery dataset.table)
+  private def path(table: String) = s"$baseDir/${table.replace('.', '/')}"
+
+  override def ensureNamespace(ns: String): Unit = {
+    new java.io.File(s"$baseDir/$ns").mkdirs(); ()
+  }
 
   private def formatOptions: Map[String, String] = format match {
     case "csv" => Map("header" -> "true") ++ options
@@ -56,17 +62,23 @@ class FileSink(spark: SparkSession, baseDir: String,
     }
   }
 
+  /** Column comments read back from the file schema — parquet/orc
+    * persist StructField metadata (incl. the `comment` key) in the file
+    * footer, so descriptions round-trip without a sidecar.
+    */
   override def destSchema(table: String): Option[Seq[DestColumn]] =
     if (!tableExists(table)) None
     else Some(spark.read.options(formatOptions).format(format)
       .load(path(table)).schema.fields.toIndexedSeq.map { f =>
-        DestColumn(f.name, SchemaMapper.toBigQueryType(f.dataType), f.nullable, None)
+        DestColumn(f.name, SchemaMapper.toBigQueryType(f.dataType), f.nullable,
+          None, comment = f.getComment())
       })
 
   override def write(df: DataFrame, table: String, mode: WriteMode): Unit = {
     val saveMode = mode match {
-      case WriteMode.Overwrite => SaveMode.Overwrite
-      case WriteMode.Append    => SaveMode.Append
+      case WriteMode.Overwrite     => SaveMode.Overwrite
+      case WriteMode.Append        => SaveMode.Append
+      case WriteMode.ErrorIfExists => SaveMode.ErrorIfExists
     }
     df.write.options(formatOptions).mode(saveMode).format(format).save(path(table))
   }

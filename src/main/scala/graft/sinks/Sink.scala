@@ -20,6 +20,13 @@ trait Sink {
   def ddlType(dt: org.apache.spark.sql.types.DataType): String =
     graft.schema.SchemaMapper.toMySqlType(dt)
 
+  /** Namespace (dataset/schema/database) creation seam — the analog of
+    * the reference's create_dataset_if_not_exists
+    * (bigquery_client.py:45-65). Idempotent. Called by the Migrator for
+    * a qualified `ns.table` destination before any table DDL.
+    */
+  def ensureNamespace(namespace: String): Unit = ()
+
   /** S9/S11: does the destination table exist. */
   def tableExists(table: String): Boolean
 

@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.run.Migrator
-import graft.sinks.{DerbyDialect, JdbcSink, ParquetSink}
+import graft.sinks.{DerbyDialect, JdbcSink, MySqlDialect, ParquetSink}
 import graft.sources.SourceReader
 
 /** End-to-end migration runs over the driver testdata (sf0.001) into a
@@ -232,5 +232,82 @@ class MigratorSpec extends SparkSpec {
     // the policy path itself is unit-tested in ConstraintEnforcerSpec.
     m.migrate(spec)
     assert(new java.io.File(s"$out/ev_out").exists())
+  }
+
+  test("column comments survive source → sink round-trip (parquet footer + MySQL DDL)") {
+    import spark.implicits._
+    // stage a source table whose schema carries a column comment
+    val staging = tmpDir("cmt-src")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("comment", "customer surrogate key").build()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "label")
+      .select($"id".as("id", meta), $"label")
+      .write.parquet(s"$staging/commented")
+    // parquet path: comment lands in the sink file footer and reads back
+    val out = tmpDir("cmt-out")
+    val sink = new ParquetSink(spark, out)
+    new Migrator(new SourceReader(spark, staging), sink)
+      .migrate(MigrationSpec(sourceTable = "commented",
+        destTable = "commented_out", fullScanGuardLimit = None))
+    val dest = sink.destSchema("commented_out").get
+    assert(dest.find(_.name == "id").flatMap(_.comment)
+      .contains("customer surrogate key"))
+    assert(dest.find(_.name == "label").forall(_.comment.isEmpty))
+    // rename keeps the comment attached to the renamed column
+    new Migrator(new SourceReader(spark, staging), sink)
+      .migrate(MigrationSpec(sourceTable = "commented",
+        destTable = "renamed_out", fullScanGuardLimit = None,
+        mapping = MappingPlan(rename = Map("id" -> "cust_id"))))
+    assert(sink.destSchema("renamed_out").get.find(_.name == "cust_id")
+      .flatMap(_.comment).contains("customer surrogate key"))
+    // jdbc path: MySQL dialect emits an escaped COMMENT clause
+    val my = new JdbcSink("jdbc:mysql://unused/db", dialect = MySqlDialect)
+    val ddl = my.createTableDdl("t", Seq(
+      DestColumn("id", "BIGINT", nullable = false,
+        comment = Some("it's the key"))))
+    assert(ddl ==
+      "CREATE TABLE `t` (`id` BIGINT NOT NULL COMMENT 'it''s the key')")
+  }
+
+  test("error_if_exists refuses an existing destination before any data moves") {
+    val out = tmpDir("mig-eie")
+    val m = migrator(out)
+    m.migrate(MigrationSpec(sourceTable = "region", destTable = "region_out",
+      fullScanGuardLimit = None))
+    val before = spark.read.parquet(s"$out/region_out").count()
+    intercept[DataMigrationError] {
+      m.migrate(MigrationSpec(sourceTable = "region", destTable = "region_out",
+        mode = WriteMode.ErrorIfExists, fullScanGuardLimit = None))
+    }
+    // nothing was truncated or appended
+    assert(spark.read.parquet(s"$out/region_out").count() == before)
+    // a fresh destination under the same mode succeeds
+    val r = m.migrate(MigrationSpec(sourceTable = "region",
+      destTable = "region_fresh", mode = WriteMode.ErrorIfExists,
+      fullScanGuardLimit = None))
+    assert(r.rowsWritten == 5)
+    assert(WriteMode.parse("WRITE_EMPTY") == WriteMode.ErrorIfExists)
+  }
+
+  test("ensureNamespace: CREATE SCHEMA seam + qualified destination (live Derby)") {
+    val db = tmpDir("derby-ns") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val sink = new JdbcSink(url, dialect = DerbyDialect)
+    sink.ensureNamespace("graftns")
+    sink.ensureNamespace("graftns") // idempotent — second call is a no-op
+    // qualified ns.table destination: Migrator creates the namespace
+    // itself for a schema that doesn't exist yet
+    val m = new Migrator(new SourceReader(spark, sf001), sink)
+    val r = m.migrate(MigrationSpec(sourceTable = "region",
+      destTable = "freshns.regiontab", fullScanGuardLimit = None))
+    assert(r.rowsWritten == 5)
+    assert(sink.tableExists("freshns.regiontab"))
+    assert(!sink.tableExists("graftns.regiontab"))
+    val schema = sink.destSchema("freshns.regiontab")
+    assert(schema.isDefined &&
+      schema.get.exists(_.name.equalsIgnoreCase("r_regionkey")))
+    val cnt = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"freshns\".\"regiontab\"").load().count()
+    assert(cnt == 5)
   }
 }

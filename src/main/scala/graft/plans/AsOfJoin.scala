@@ -2,11 +2,13 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Whole-operator as-of join as a first-class Catalyst citizen: a logical
   * node, a planner strategy, and a physical merge operator — the
@@ -77,7 +79,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     payload: Seq[Expression], payloadOut: Seq[Attribute],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -122,6 +125,143 @@ case class AsOfJoinExec(
            org.apache.spark.sql.types.DateType => r => r.getInt(ord).toLong
       case _ => r => r.getLong(ord)
     }
+
+  // ---------------- whole-stage codegen ----------------
+  //
+  // Like SortMergeJoinExec, this operator STARTS a codegen stage: it
+  // reads both (co-partitioned, sorted) children as plain row iterators
+  // (inputs[0]/inputs[1]) and generates the forward-merge loop inline,
+  // so everything DOWNSTREAM (projections, filters, the final
+  // rowWriter) fuses with the merge instead of iterator-boxing at the
+  // operator's output boundary.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override def doProduce(ctx: CodegenContext): String = {
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+
+    val keyJava = CodeGenerator.javaType(keyType)
+    val timeJava = CodeGenerator.javaType(timeType)
+    // right-cursor + candidate state lives in fields: produce() returns
+    // to the caller after every output row, the merge resumes where it
+    // stopped
+    val rLive = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRLive")
+    val rValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRValid")
+    val rStarted = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRStarted")
+    val rKey = ctx.addMutableState(keyJava, "asofRKey")
+    val rTime = ctx.addMutableState(timeJava, "asofRTime")
+    val rRow = ctx.addMutableState("InternalRow", "asofRRow")
+    val hasLast = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHasLast")
+    val lastKey = ctx.addMutableState(keyJava, "asofLastKey")
+    val lastRow = ctx.addMutableState("InternalRow", "asofLastRow")
+
+    // advance-right helper: copy the row FIRST (iterator buffers are
+    // reused), then evaluate key/time against the copy so non-primitive
+    // keys (UTF8String, Decimal) stay valid while buffered
+    val rRowLocal = ctx.freshName("asofR")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = rRowLocal
+    val rkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  if ($rightInput.hasNext()) {
+         |    InternalRow $rRowLocal = ((InternalRow) $rightInput.next()).copy();
+         |    ${rkEv.code}
+         |    ${rtEv.code}
+         |    $rValid = !(${rkEv.isNull}) && !(${rtEv.isNull});
+         |    if ($rValid) {
+         |      $rKey = ${rkEv.value};
+         |      $rTime = ${rtEv.value};
+         |      $rRow = $rRowLocal;
+         |    }
+         |    $rLive = true;
+         |  } else {
+         |    $rLive = false;
+         |  }
+         |}
+       """.stripMargin)
+
+    // per-left-row code: key/time, then every left output column
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    // payload columns come from the buffered matched row, null when the
+    // left row found no as-of match (same contract as the interpreted
+    // path's nullPayload row)
+    val hasMatch = ctx.freshName("asofHasMatch")
+    ctx.INPUT_ROW = lastRow
+    val payloadVars = payload
+      .map(BindReferences.bindReference(_, right.output))
+      .map { e =>
+        val ev = e.genCode(ctx)
+        val isNull = ctx.freshName("asofIsNull")
+        val value = ctx.freshName("asofValue")
+        val jt = CodeGenerator.javaType(e.dataType)
+        val assign =
+          code"""
+            boolean $isNull = true;
+            $jt $value = ${CodeGenerator.defaultValue(e.dataType)};
+            if ($hasMatch) {
+              ${ev.code}
+              $isNull = ${ev.isNull};
+              $value = ${ev.value};
+            }
+          """
+        ExprCode(assign, JavaCode.isNullVariable(isNull),
+          JavaCode.variable(value, e.dataType))
+      }
+
+    val advancing = ctx.freshName("asofAdvancing")
+    val kc = ctx.freshName("asofKc")
+    s"""
+       |if (!$rStarted) { $rStarted = true; $advanceRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEv.code}
+       |  ${ltEv.code}
+       |  boolean $hasMatch = false;
+       |  if (!(${lkEv.isNull}) && !(${ltEv.isNull})) {
+       |    boolean $advancing = true;
+       |    while ($rLive && $advancing) {
+       |      if (!$rValid) { $advanceRight(); }
+       |      else {
+       |        int $kc = ${ctx.genComp(keyType, rKey, lkEv.value.toString)};
+       |        if ($kc < 0) { $advanceRight(); }
+       |        else if ($kc == 0 &&
+       |            ${ctx.genComp(timeType, rTime, ltEv.value.toString)} <= 0) {
+       |          $hasLast = true; $lastKey = $rKey; $lastRow = $rRow;
+       |          $advanceRight();
+       |        } else { $advancing = false; }
+       |      }
+       |    }
+       |    if ($hasLast &&
+       |        ${ctx.genComp(keyType, lastKey, lkEv.value.toString)} == 0) {
+       |      $hasMatch = true;
+       |    }
+       |  }
+       |  ${leftVars.map(_.code.toString).mkString("\n")}
+       |  ${payloadVars.map(_.code.toString).mkString("\n")}
+       |  ${consume(ctx, leftVars ++ payloadVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val keyType = leftKey.dataType

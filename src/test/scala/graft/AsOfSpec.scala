@@ -115,4 +115,56 @@ class AsOfSpec extends SparkSpec {
       .as[(Long, Option[Timestamp])].collect().toMap
     assert(asof == ref && asof.nonEmpty)
   }
+
+  test("whole-stage codegen fuses the merge exec; codegen == interpreted") {
+    val rnd = new scala.util.Random(11)
+    def t(min: Int): Timestamp = ts(f"2024-01-01 ${8 + min / 60}%02d:${min % 60}%02d:00")
+    // long keys (unboxed codegen comparisons) AND string payloads
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(10).toLong, t(rnd.nextInt(500)), s"L$i")
+    }.toDF("k", "lt", "name")
+    val right = (1 to 200).map { i =>
+      (rnd.nextInt(10).toLong, t(rnd.nextInt(500)),
+        if (i % 7 == 0) None else Some(s"tag$i"), i.toDouble)
+    }.toDF("k", "rt", "tag", "v")
+      .groupBy("k", "rt").agg(
+        org.apache.spark.sql.functions.max("tag").as("tag"),
+        org.apache.spark.sql.functions.max("v").as("v"))
+
+    def run() = AsOf.join(left, right, "k", "lt", "rt", Seq("tag", "v"))
+    // default session: the merge exec sits INSIDE a WholeStageCodegen
+    // stage (its children feed it as stage inputs, SMJ-style). AQE only
+    // materializes codegen stages at execution — collect first, then
+    // read the FINAL adaptive plan.
+    val df = run()
+    val genRows = df.collect().map(_.toSeq).toSet
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // `*(n) AsOfJoin` = inside codegen stage n (AQE query stages are
+    // leaf nodes, so string-match the rendered tree rather than collect)
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(finalPlan.toString).isDefined,
+      "AsOfJoinExec not inside WholeStageCodegen:\n" + finalPlan.toString)
+
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpRows = run().collect().map(_.toSeq).toSet
+      assert(genRows == interpRows)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+
+    // string keys exercise the generic-comparator codegen (UTF8String
+    // buffered across reused iterator rows)
+    import org.apache.spark.sql.functions.{concat, lit}
+    val sLeft = left.select(concat(lit("k"), $"k".cast("string")).as("k"),
+      $"lt", $"name")
+    val sRight = right.select(concat(lit("k"), $"k".cast("string")).as("k"),
+      $"rt", $"tag", $"v")
+    val sNative = AsOf.join(sLeft, sRight, "k", "lt", "rt", Seq("tag", "v"))
+      .collect().map(_.toSeq).toSet
+    val sWindow = AsOf.joinViaWindow(sLeft, sRight, "k", "lt", "rt", Seq("tag", "v"))
+      .collect().map(_.toSeq).toSet
+    assert(sNative == sWindow)
+  }
 }

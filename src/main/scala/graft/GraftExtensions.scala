@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // table-valued functions: SQL access to the whole-operator joins
+    GraftFunctions.tableFunctions.foreach { case (name, info, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     // whole-operator extension: as-of join logical node → merge exec
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
@@ -60,10 +64,74 @@ object GraftFunctions {
       (es: Seq[Expression]) => StopwordHitsExpr(es(0),
         TextFunctions.StopwordsByLang.head._2)))
 
+  /** Table-valued functions (`SELECT * FROM graft_asof_join(...)`).
+    *
+    * TVF arguments are scalar expressions in Spark, so relations are
+    * passed by NAME (table/temp-view, a string literal); the builder
+    * resolves them against the active session and returns the
+    * operator's logical plan, which the outer query's analysis then
+    * folds in — the SQL route reaches the SAME native operators as the
+    * DataFrame API (AsOfJoinExec merge, binned range join).
+    */
+  private def strArg(e: Expression, what: String): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String                                   => s
+    case other => throw new IllegalArgumentException(
+      s"graft TVF: $what must be a string literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e.eval() match {
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"graft TVF: $what must be an integer literal, got $other")
+  }
+
+  val tableFunctions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_asof_join",
+      info("graft_asof_join",
+        "graft_asof_join(left, right, key, leftTime, rightTime, 'p1,p2')" +
+          " — point-in-time join of the named tables/views; payload is a" +
+          " comma-separated right-column list"),
+      (es: Seq[Expression]) => {
+        require(es.length == 6,
+          "graft_asof_join(left, right, key, leftTime, rightTime, payloadCsv)")
+        val spark = SparkSession.active
+        val payload = strArg(es(5), "payload").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        graft.operators.AsOf.join(
+          spark.table(strArg(es(0), "left table")),
+          spark.table(strArg(es(1), "right table")),
+          strArg(es(2), "key"), strArg(es(3), "leftTime"),
+          strArg(es(4), "rightTime"), payload)
+          .queryExecution.logical
+      }),
+    ("graft_range_join",
+      info("graft_range_join",
+        "graft_range_join(left, right, key, t, start, end, binWidth)" +
+          " — interval-containment join of the named tables/views via" +
+          " axis binning (linear, not quadratic)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 7,
+          "graft_range_join(left, right, key, t, start, end, binWidth)")
+        val spark = SparkSession.active
+        graft.operators.RangeJoin.join(
+          spark.table(strArg(es(0), "left table")),
+          spark.table(strArg(es(1), "right table")),
+          strArg(es(2), "key"), strArg(es(3), "t column"),
+          strArg(es(4), "start column"), strArg(es(5), "end column"),
+          binWidth = longArg(es(6), "binWidth"))
+          .queryExecution.logical
+      }))
+
   /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit = all.foreach {
-    case (name, _, builder) =>
+  def register(spark: SparkSession): Unit = {
+    all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    tableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -163,6 +163,23 @@ object PipelineQueries {
         .select($"event_id", $"user_id", $"asof_o_orderdate".as("last_order_date"))
     },
 
+    // Same as-of semantics through the SQL TVF surface — proves the
+    // spark.sql route reaches the native merge operator (same oracle).
+    "q_asof_tvf" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "events").select($"event_id", $"user_id", $"ts")
+        .createOrReplaceTempView("asof_events_v")
+      Tables(s, dir, "orders")
+        .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+        .createOrReplaceTempView("asof_orders_v")
+      s.sql(
+        """SELECT event_id, user_id, asof_o_orderdate AS last_order_date
+          |FROM graft_asof_join('asof_events_v', 'asof_orders_v',
+          |  'user_id', 'ts', 'o_orderdate', 'o_orderdate')""".stripMargin)
+    },
+
     // ---------------- composed curation pipeline ----------------
     // quality filter + exact-dedup keep-list in one flow — the "curate a
     // training corpus" end-to-end shape.
@@ -368,6 +385,13 @@ object PipelineQueries {
         |GROUP BY 1""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT event_id, user_id,
+        |  (SELECT max(o_orderdate) FROM orders
+        |   WHERE o_custkey = user_id AND o_orderdate <= CAST(ts AS TIMESTAMP))
+        |    AS last_order_date
+        |FROM events""".stripMargin,
+
+    "q_asof_tvf" ->
       """SELECT event_id, user_id,
         |  (SELECT max(o_orderdate) FROM orders
         |   WHERE o_custkey = user_id AND o_orderdate <= CAST(ts AS TIMESTAMP))

@@ -70,6 +70,50 @@ class ExtensionsSpec extends SparkSpec {
       .head().getDouble(0) == 2.0)
   }
 
+  test("TVF surface: graft_asof_join / graft_range_join from spark.sql == DataFrame API") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    def t(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${8 + min / 60}%02d:${min % 60}%02d:00")
+    val left = (1 to 200).map { i =>
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(500)), s"L$i")
+    }.toDF("k", "lt", "name")
+    val right = (1 to 150).map { i =>
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(500)), i.toDouble)
+    }.toDF("k", "rt", "price")
+      .groupBy("k", "rt").agg(max("price").as("price"))
+    left.createOrReplaceTempView("tvf_left")
+    right.createOrReplaceTempView("tvf_right")
+
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  'tvf_left', 'tvf_right', 'k', 'lt', 'rt', 'price')""".stripMargin)
+    val viaApi = graft.operators.AsOf.join(
+      left, right, "k", "lt", "rt", Seq("price"))
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      viaApi.collect().map(_.toSeq).toSet)
+    // the SQL route reaches the native merge exec, not a rewrite
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+
+    val pts = (1 to 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(800).toLong, s"p$i")).toDF("k", "t", "tag")
+    val ivals = (1 to 80).map { i =>
+      val s = rnd.nextInt(760).toLong
+      (rnd.nextInt(6).toLong, s, s + rnd.nextInt(50).toLong, i.toLong)
+    }.toDF("k", "s", "e", "ival_id")
+    pts.createOrReplaceTempView("tvf_pts")
+    ivals.createOrReplaceTempView("tvf_ivals")
+    val rSql = spark.sql(
+      """SELECT * FROM graft_range_join(
+        |  'tvf_pts', 'tvf_ivals', 'k', 't', 's', 'e', 10)""".stripMargin)
+    val rApi = graft.operators.RangeJoin.join(
+      pts, ivals, "k", "t", "s", "e", binWidth = 10L)
+    assert(rSql.collect().map(_.toSeq).toSet ==
+      rApi.collect().map(_.toSeq).toSet)
+    assert(rSql.count() > 0)
+  }
+
   test("MySQL dialect maps the reference's DDL types (schema_mapper.py:95-117)") {
     val d = GraftMySqlDialect
     assert(d.canHandle("jdbc:mysql://host/db"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextQuality}
 
 /** North-star training-data pipeline operators as driver-checkable
   * queries: text analysis, dedup family, similarity search, multimodal
@@ -12,6 +12,13 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * are rows-only here and recall-tested in ScalaTest (PipelineSpec).
   */
 object PipelineQueries {
+
+  /** Deterministic PII planted into the `text_pii` gate query (the
+    * synthetic corpus itself contains none) — MUST stay in sync with the
+    * literal inside the `text_pii` oracle SQL.
+    */
+  val PiiSuffix: String =
+    " contact a.user+tag@example.org or https://ex.example.com/p?q=1 call +1 (555) 123-4567"
 
   /** Punct class shared with the oracle SQL (no quote chars — keeps the
     * JSON/SQL escaping trivial and identical across engines).
@@ -58,6 +65,30 @@ object PipelineQueries {
           TF.stopwordHits($"text", TF.StopwordsByLang.head._2).as("stop_hits"))
         .withColumn("stop_ratio",
           $"stop_hits".cast("double") / $"n_tokens".cast("double"))
+    },
+
+    // Gopher-style repetition rules: top n-gram multiplicity per doc
+    // from one native-kernel scan (operators/TextQuality.repetition).
+    "text_repetition" -> { (s, dir) =>
+      TextQuality.repetition(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // PII/URL scrubbing — the corpus has no PII, so a deterministic
+    // suffix is planted on doc_id % 7 == 0 in BOTH engines; the gate
+    // then checks redaction + counts end-to-end.
+    "text_pii" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Tables(s, dir, "documents").select($"doc_id",
+        concat($"text", when(pmod($"doc_id", lit(7)) === 0, lit(PiiSuffix))
+          .otherwise(lit(""))).as("text"))
+      TextQuality.scrub(planted, "doc_id", "text")
+    },
+
+    // Corpus-frequency fluency signals: two-pass (vocab agg + broadcast
+    // join back), integer outputs + one exact division.
+    "text_corpus_freq" -> { (s, dir) =>
+      TextQuality.corpusFrequencyScores(
+        Tables(s, dir, "documents"), "doc_id", "text")
     },
 
     // ---------------- dedup family ----------------
@@ -315,6 +346,62 @@ object PipelineQueries {
         |  CAST(length(regexp_replace(text,'\s','','g')) AS DOUBLE)
         |    / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE) AS mean_word_len
         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |          FROM documents),
+        |grams AS (
+        |  SELECT doc_id, 1 AS k, unnest(toks) AS w FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS k,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))]) AS w
+        |  FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS k,
+        |    unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+        |            FOR i IN range(1, len(toks)-1)]) AS w
+        |  FROM t),
+        |counts AS (SELECT doc_id, k, w, count(*) AS c
+        |           FROM grams GROUP BY doc_id, k, w),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(CASE WHEN k=1 THEN 1 END) AS BIGINT) AS distinct_tokens,
+        |    CAST(coalesce(max(CASE WHEN k=1 THEN c END),0) AS BIGINT) AS top_token_count,
+        |    CAST(coalesce(max(CASE WHEN k=2 THEN c END),0) AS BIGINT) AS top_bigram_count,
+        |    CAST(coalesce(max(CASE WHEN k=3 THEN c END),0) AS BIGINT) AS top_trigram_count
+        |  FROM counts GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  a.distinct_tokens, a.top_token_count, a.top_bigram_count,
+        |  a.top_trigram_count,
+        |  CAST(a.top_trigram_count * 3 AS DOUBLE) / len(t.toks) AS top_trigram_frac
+        |FROM t JOIN agg a USING (doc_id)""".stripMargin,
+
+    "text_pii" ->
+      ("""WITH p AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN '""" + PiiSuffix +
+        """' ELSE '' END AS t FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[A-Za-z0-9./?=&_%+#:~-]+', '[URL]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./?=&_%+#:~-]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM p""").stripMargin,
+
+    "text_corpus_freq" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text),'\s+')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS f FROM toks GROUP BY w)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(f) AS BIGINT) AS sum_freq,
+        |  CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS hapax_tokens,
+        |  CAST(min(f) AS BIGINT) AS min_freq,
+        |  CAST(sum(f) AS DOUBLE) / count(*) AS mean_token_freq
+        |FROM toks JOIN freq USING (w)
+        |GROUP BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH s AS (SELECT doc_id, lang,

@@ -54,6 +54,39 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Per-document repetition statistics (Gopher/MassiveText-style
+    * quality rules, Rae et al. 2021 §A1.1, public): token count,
+    * distinct tokens, and the multiplicity of the most-repeated
+    * unigram/bigram/trigram — ONE tokenize pass, three count maps, no
+    * per-n-gram column materialization. High top-n-gram multiplicity
+    * flags boilerplate/spam documents.
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    val n = toks.length
+    val uni = new java.util.HashMap[String, Integer](n * 2)
+    val bi = new java.util.HashMap[String, Integer](n * 2)
+    val tri = new java.util.HashMap[String, Integer](n * 2)
+    var maxU = 0; var maxB = 0; var maxT = 0
+    var i = 0
+    while (i < n) {
+      val cu = uni.merge(toks(i), 1, (a, b) => a + b)
+      if (cu > maxU) maxU = cu
+      if (i + 1 < n) {
+        val cb = bi.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        if (cb > maxB) maxB = cb
+      }
+      if (i + 2 < n) {
+        val ct = tri.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 1,
+          (a, b) => a + b)
+        if (ct > maxT) maxT = ct
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, uni.size(), maxU, maxB, maxT))
+  }
+
   /** Fused shingle→minhash: signature WITHOUT materializing shingle
     * strings as a column (used when only the signature is needed).
     */
@@ -114,6 +147,25 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     TextOps.wordShingles(t.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordShingles($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** repetition_stats(string) → struct<n_tokens, distinct_tokens,
+  * top_token_count, top_bigram_count, top_trigram_count> — single-pass
+  * static kernel.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("top_token_count", IntegerType, nullable = false),
+    StructField("top_bigram_count", IntegerType, nullable = false),
+    StructField("top_trigram_count", IntegerType, nullable = false)))
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.repetitionStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.repetitionStats($t)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -274,4 +326,6 @@ object TextExprs {
     toCol(StopwordHitsExpr(toExpr(text), words))
   def langId(text: Column, langWords: Seq[(String, Seq[String])]): Column =
     toCol(LangIdExpr(toExpr(text), langWords))
+  def repetitionStats(text: Column): Column =
+    toCol(RepetitionStatsExpr(toExpr(text)))
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs
+
+/** Corpus-quality operators for training-data curation, beyond the
+  * per-document ratio signals in [[graft.functions.TextFunctions]]:
+  *
+  *  - repetition: Gopher/MassiveText-style repetition rules (Rae et al.
+  *    2021 §A1.1, public) — top unigram/bigram/trigram multiplicity per
+  *    document from ONE native-kernel scan (no per-n-gram explode, no
+  *    shuffle).
+  *  - PII/URL redaction: codegen'd regexp_replace chain + pre-redaction
+  *    match counts. Patterns are deliberately RE2-compatible (no
+  *    backrefs/lookarounds), the common-denominator regex dialect of
+  *    distributed engines.
+  *  - corpus frequency scores: the two-pass "how ordinary are this
+  *    document's tokens" signal — pass 1 aggregates the corpus unigram
+  *    vocabulary (output is vocabulary-sized, NOT corpus-sized), pass 2
+  *    broadcast-joins frequencies back to tokens and aggregates per
+  *    document. At 100 TB the vocabulary table is MBs — the join is a
+  *    broadcast, the only big shuffle is the per-document aggregate,
+  *    which map-side-combines on doc_id (explode preserves document
+  *    locality, so partial aggregation collapses most of it pre-shuffle).
+  */
+object TextQuality {
+
+  /** Per-doc repetition stats: (id, n_tokens, distinct_tokens,
+    * top_token_count, top_bigram_count, top_trigram_count,
+    * top_trigram_frac). All counts from one kernel pass.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextExprs.repetitionStats(col(textCol)).as("r"))
+      .select(col(idCol),
+        col("r.n_tokens").cast("long").as("n_tokens"),
+        col("r.distinct_tokens").cast("long").as("distinct_tokens"),
+        col("r.top_token_count").cast("long").as("top_token_count"),
+        col("r.top_bigram_count").cast("long").as("top_bigram_count"),
+        col("r.top_trigram_count").cast("long").as("top_trigram_count"),
+        // fraction of tokens covered by repeats of the top trigram;
+        // integer-multiply THEN cast-double, the exact parenthesization
+        // the oracle mirrors (a bare 3.0 literal is DECIMAL in DuckDB)
+        ((col("r.top_trigram_count") * lit(3)).cast("double") /
+          col("r.n_tokens")).as("top_trigram_frac"))
+
+  /** RE2-compatible patterns — identical semantics under Java regex and
+    * RE2-family engines (no backreferences, no lookaround).
+    */
+  val UrlPattern = "https?://[A-Za-z0-9./?=&_%+#:~-]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Redact URLs → [URL], emails → [EMAIL], phone-like runs → [PHONE]
+    * (in that order: URLs first so their digits can't half-match the
+    * phone pattern). All three are builtin regexp_replace — fully
+    * codegen'd, no custom kernel needed.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "[URL]"),
+        EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  /** (id, redacted, n_urls, n_emails, n_phones) — counts are measured on
+    * the ORIGINAL text (pre-redaction), so they report what was found.
+    */
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      redactPii(col(textCol)).as("redacted"),
+      regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"))
+
+  /** Corpus-frequency fluency signals per document:
+    * (id, n_tokens, sum_freq, hapax_tokens, min_freq, mean_token_freq).
+    * A document whose tokens are all corpus-hapaxes (min_freq = 1) is
+    * likely noise; very high mean_token_freq flags boilerplate. Integer
+    * sums + one exact double division keep the output engine-exact
+    * (no float accumulation order sensitivity).
+    */
+  def corpusFrequencyScores(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    toks.join(broadcast(freq), "w")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        count(when(col("freq") === 1, lit(1))).as("hapax_tokens"),
+        min(col("freq")).as("min_freq"))
+      .select(col(idCol), col("n_tokens"), col("sum_freq"),
+        col("hapax_tokens"), col("min_freq"),
+        (col("sum_freq").cast("double") / col("n_tokens"))
+          .as("mean_token_freq"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextQuality
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: known-answer counts, kernel == explode formulation") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // uni a×3; bi "a b"×2,"b a"×2; tri "a b a"×2
+      (2L, "x y z"),            // no repeats
+      (3L, "w w w w")           // uni w×4; bi "w w"×3; tri "w w w"×2
+    ).toDF("doc_id", "text")
+    val got = TextQuality.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(1L) == ((5L, 2L, 3L, 2L, 2L)))
+    assert(got(2L) == ((3L, 3L, 1L, 1L, 1L)))
+    assert(got(3L) == ((4L, 1L, 4L, 3L, 2L)))
+
+    // kernel == the declarative explode/groupBy formulation on real docs
+    val real = Tables(spark, sf001, "documents").limit(100)
+    val viaKernel = TextQuality.repetition(real, "doc_id", "text")
+      .select("doc_id", "top_bigram_count")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = real.select($"doc_id",
+      split(trim($"text"), "\\s+").as("toks"))
+    val viaExplode = toks.select($"doc_id", posexplode($"toks").as(Seq("i", "w")))
+      .join(toks.select($"doc_id", posexplode($"toks").as(Seq("j", "w2"))),
+        Seq("doc_id"))
+      .filter($"j" === $"i" + 1)
+      .select($"doc_id", concat($"w", lit(" "), $"w2").as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(max("count").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaExplode)
+  }
+
+  test("scrub: redacts urls/emails/phones and counts pre-redaction hits") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.com and alice@ex.org now"),
+      (2L, "see https://a.example.com/path?q=1&x=2 or http://b.co/z"),
+      (3L, "call +1 (555) 123-4567 today"),
+      (4L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (("mail [EMAIL] and [EMAIL] now", 0L, 2L, 0L)))
+    assert(got(2L) == (("see [URL] or [URL]", 2L, 0L, 0L)))
+    assert(got(3L) == (("call [PHONE] today", 0L, 0L, 1L)))
+    assert(got(4L) == (("clean text with no pii at all", 0L, 0L, 0L)))
+  }
+
+  test("corpus frequency scores: known-answer on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a a b"),   // corpus: a×3, b×2, z×1
+      (2L, "a b z")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.corpusFrequencyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // doc 1: freqs (3,3,2) → sum 8, hapax 0, min 2, mean 8/3
+    assert(got(1L) == ((3L, 8L, 0L, 2L, 8.0 / 3)))
+    // doc 2: freqs (3,2,1) → sum 6, hapax 1, min 1, mean 2.0
+    assert(got(2L) == ((3L, 6L, 1L, 1L, 2.0)))
+  }
+
+  test("repetition plan: one scan, no explode, no shuffle before output") {
+    val plan = TextQuality.repetition(
+      Tables(spark, sf001, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)  // no explode
+    assert(!plan.contains("Exchange"), plan)  // narrow per-doc kernel
+  }
+}

@@ -102,6 +102,20 @@ object PipelineQueries {
         "doc_id", "text", n = 3, threshold = 0.5)
     },
 
+    // Duplicate CLUSTERS from the exact pair set: connected components
+    // via iterative min-label propagation; the oracle replays it as a
+    // DuckDB recursive CTE over the identical pair SQL.
+    "dedup_components" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5).select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs)
+      val sizes = comp.groupBy($"comp".as("c"))
+        .agg(count(lit(1)).as("comp_size"))
+      comp.join(sizes, $"comp" === $"c")
+        .select($"id", $"comp", $"comp_size")
+    },
+
     "dedup_minhash_pairs" -> { (s, dir) =>
       // approximate candidates, verified with true jaccard (no oracle:
       // banding may miss ~1% of pairs; recall asserted in PipelineSpec)
@@ -461,6 +475,25 @@ object PipelineQueries {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "dedup_components" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |sizes AS (SELECT comp AS c, CAST(count(*) AS BIGINT) AS comp_size
+        |          FROM comp GROUP BY comp)
+        |SELECT comp.id, comp.comp, sizes.comp_size
+        |FROM comp JOIN sizes ON comp.comp = sizes.c""".stripMargin),
 
     "q_range_join" ->
       """SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_follow

@@ -195,6 +195,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → duplicate CLUSTERS.
+    *
+    * Pair operators emit edges; a curation pipeline needs the cluster
+    * each document belongs to (keep one representative per component,
+    * drop the rest — pairs alone under-delete transitive chains
+    * a~b~c where a~c itself wasn't emitted).
+    *
+    * Algorithm: iterative min-label propagation — every node adopts the
+    * smallest label among itself and its neighbors until fixpoint, so
+    * each component converges to its minimum member id (≤ diameter
+    * iterations; near-dup clusters are shallow in practice). Each
+    * iteration is one equi-join + one aggregate, lineage truncated with
+    * an eager localCheckpoint so the plan doesn't grow by one join per
+    * iteration (the classic iterative-Spark failure mode). At larger
+    * diameters swap in the large-star/small-star variant (Kiveris et
+    * al., "Connected Components in MapReduce", public) — same join
+    * primitive, O(log n) rounds.
+    *
+    * Input: (aCol, bCol) pair rows. Output: (id, comp) — comp = min id
+    * of the component; singleton nodes absent from pairs don't appear
+    * (they were never duplicate candidates).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // edges reused every iteration — cache once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dcomp").as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
+        .localCheckpoint(true) // truncate lineage; one action per iter
+      converged = updated.filter(col("next") < col("comp")).isEmpty
+      labels = updated.select(col("id"), col("next").as("comp"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: BANDED hyperplane-LSH (like minhash
     * banding — `bands` independent signatures of `planesPerBand` planes;
     * a pair is a candidate if ANY band matches, so recall is

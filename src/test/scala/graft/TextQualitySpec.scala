@@ -70,6 +70,23 @@ class TextQualitySpec extends SparkSpec {
     assert(got(2L) == ((3L, 6L, 1L, 1L, 2.0)))
   }
 
+  test("connected components: transitive chains collapse to min-id clusters") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),                    // component {1,2,3} → 1
+      (10L, 11L),                            // {10,11} → 10
+      (20L, 21L), (21L, 22L), (20L, 22L),    // triangle {20,21,22} → 20
+      // a 7-node chain: diameter 6 forces multiple propagation rounds
+      (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L), (35L, 36L), (36L, 37L)
+    ).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert((31L to 37L).forall(got(_) == 31L))
+    assert(got.size == 15)
+  }
+
   test("repetition plan: one scan, no explode, no shuffle before output") {
     val plan = TextQuality.repetition(
       Tables(spark, sf001, "documents"), "doc_id", "text")

@@ -279,6 +279,12 @@ object PipelineQueries {
           count(lit(1)).as("n_copies"))
     },
 
+    // Stream-stream join (batch-equivalent plan): purchases attributed
+    // to same-user clicks in the preceding 30 minutes.
+    "stream_join" -> { (s, dir) =>
+      graft.streaming.EventStreams.attributePurchases(Tables(s, dir, "events"))
+    },
+
     // ---------------- multimodal plumbing ----------------
     "mm_decode_meta" -> { (s, dir) =>
       Multimodal.decodeMeta(
@@ -550,6 +556,17 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id""".stripMargin,
+
+    "stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

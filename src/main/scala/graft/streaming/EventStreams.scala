@@ -125,6 +125,39 @@ object EventStreams {
     else fp.dropDuplicates("fp")
   }
 
+  /** Stream-stream inner join (self-join of the event stream):
+    * purchases attributed to same-user clicks that happened within
+    * `windowSeconds` BEFORE the purchase (inclusive both ends).
+    *
+    * Streaming path: both sides carry watermarks and the join condition
+    * is an event-time RANGE over both — exactly what Spark needs to
+    * bound stream-stream join state (clicks older than
+    * watermark + window are evicted from the state store; without the
+    * range the state would grow forever). Batch path: the identical
+    * plan is an ordinary range join, so the result is
+    * oracle-checkable and stream==batch is asserted on the same files.
+    */
+  def attributePurchases(events: DataFrame, windowSeconds: Long = 1800L,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks0 = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purch0 = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val (clicks, purch) =
+      if (events.isStreaming)
+        (clicks0.withWatermark("click_ts", watermark),
+          purch0.withWatermark("purchase_ts", watermark))
+      else (clicks0, purch0)
+    clicks.join(purch,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** File-source streaming read of an events parquet (schema pinned from
     * a batch probe; nanos ts normalized like the batch path).
     */

@@ -118,4 +118,22 @@ class StreamingSpec extends SparkSpec {
     // with watermark = 2h, all windows older than max(ts)-2h are final
     assert(spark.table("hourly_append").count() > 0)
   }
+
+  test("stream-stream self-join (click→purchase attribution) == batch range join") {
+    val stream = EventStreams.readStreamEvents(spark, eventsDir)
+    val joined = EventStreams.attributePurchases(stream)
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.attributePurchases(batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }

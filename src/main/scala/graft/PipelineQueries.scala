@@ -160,6 +160,18 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // IVF with FULL probe (nprobe == nlist): every cell is scanned, so
+    // the k-means assignment cannot affect the result and the exact
+    // brute-force SQL is a true oracle for the IVF plan shape.
+    "sim_topk_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.ivfTopK(e, queries, k = 5, nlist = 8, nprobe = 8)
+        .select($"qid", $"id", $"rank")
+    },
+
     // PQ compressed-domain ANN (codebook is trained k-means — rows-only
     // check; SkewAndIvfSpec proves recall against brute force).
     "sim_topk_pq" -> { (s, dir) =>
@@ -277,6 +289,20 @@ object PipelineQueries {
         .groupBy($"fp")
         .agg(min($"event_id").as("first_event_id"),
           count(lit(1)).as("n_copies"))
+    },
+
+    // Incremental ingest: which "new batch" documents are genuinely new
+    // vs already in the corpus — the fingerprint ANTI-join every
+    // continuously-crawled training pipeline runs on arrival. Split the
+    // table deterministically (scale-invariant): doc_id % 5 == 0 is the
+    // arriving batch, the rest is the standing corpus.
+    "pipeline_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      Dedup.incrementalNew(
+        d.filter(pmod($"doc_id", lit(5)) === 0),
+        d.filter(pmod($"doc_id", lit(5)) =!= 0),
+        "doc_id", "text")
     },
 
     // Stream-stream join (batch-equivalent plan): purchases attributed
@@ -556,6 +582,25 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id""".stripMargin,
+
+    "sim_topk_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "pipeline_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
+        |  FROM documents)
+        |SELECT b.doc_id, b.fp
+        |FROM f b WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM f c WHERE c.doc_id % 5 <> 0 AND c.fp = b.fp)""".stripMargin,
 
     "stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,

@@ -195,6 +195,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental ingest filter: rows of `batch` whose normalized
+    * fingerprint is NOT already in `corpus` — one left-anti join on
+    * 16-byte digests (the shuffle carries hashes, never documents; at
+    * scale the corpus side is a persisted fingerprint index bucketed by
+    * fp, making arrival batches a co-located anti-join).
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bf = batch.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val cf = corpus.select(
+      TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+    bf.join(cf, Seq("fp"), "left_anti").select(col(idCol), col("fp"))
+  }
+
   /** Connected components over near-dup pairs → duplicate CLUSTERS.
     *
     * Pair operators emit edges; a curation pipeline needs the cluster

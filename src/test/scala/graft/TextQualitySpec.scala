@@ -87,6 +87,19 @@ class TextQualitySpec extends SparkSpec {
     assert(got.size == 15)
   }
 
+  test("incremental ingest: anti-join keeps only genuinely-new fingerprints") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  Alpha   beta GAMMA "), // normalizes to a corpus duplicate
+      (11L, "zeta eta theta"),        // genuinely new
+      (12L, "delta epsilon"))         // exact duplicate
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalNew(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L))
+  }
+
   test("repetition plan: one scan, no explode, no shuffle before output") {
     val plan = TextQuality.repetition(
       Tables(spark, sf001, "documents"), "doc_id", "text")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity, TextQuality}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextQuality}
 
 /** North-star training-data pipeline operators as driver-checkable
   * queries: text analysis, dedup family, similarity search, multimodal
@@ -305,6 +305,24 @@ object PipelineQueries {
         "doc_id", "text")
     },
 
+    // Z-order (Morton) values over two key columns — the clustering key
+    // behind multi-column file pruning; pure bitwise Column arithmetic,
+    // oracle-replicated with the same magic-number spreads in DuckDB.
+    "layout_zorder" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders").select($"o_orderkey",
+        graft.operators.Layout.zValue2(
+          pmod($"o_custkey", lit(65536)), pmod($"o_orderkey", lit(65536)))
+          .as("zval"))
+    },
+
+    // Deterministic stratified sample: 20 docs per language, picked by
+    // a multiplicative-hash order — reuses the bounded-heap TopKByScore
+    // aggregate (its oracle-checked gate row; sim_topk_* also use it).
+    "pipeline_stratified" -> { (s, dir) =>
+      Sampling.stratified(Tables(s, dir, "documents"), "lang", "doc_id", 20)
+    },
+
     // Stream-stream join (batch-equivalent plan): purchases attributed
     // to same-user clicks in the preceding 30 minutes.
     "stream_join" -> { (s, dir) =>
@@ -601,6 +619,26 @@ object PipelineQueries {
         |FROM f b WHERE b.doc_id % 5 = 0
         |  AND NOT EXISTS (
         |    SELECT 1 FROM f c WHERE c.doc_id % 5 <> 0 AND c.fp = b.fp)""".stripMargin,
+
+    "layout_zorder" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    o_custkey % 65536 AS x, o_orderkey % 65536 AS y FROM orders),
+        |s1 AS (SELECT o_orderkey, (x | (x<<8)) & 16711935 AS x,
+        |              (y | (y<<8)) & 16711935 AS y FROM base),
+        |s2 AS (SELECT o_orderkey, (x | (x<<4)) & 252645135 AS x,
+        |              (y | (y<<4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, (x | (x<<2)) & 858993459 AS x,
+        |              (y | (y<<2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, (x | (x<<1)) & 1431655765 AS x,
+        |              (y | (y<<1)) & 1431655765 AS y FROM s3)
+        |SELECT o_orderkey, x | (y << 1) AS zval FROM s4""".stripMargin,
+
+    "pipeline_stratified" ->
+      """SELECT stratum, id, rank FROM (
+        |  SELECT lang AS stratum, doc_id AS id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
+        |  FROM documents) WHERE rank <= 20""".stripMargin,
 
     "stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,

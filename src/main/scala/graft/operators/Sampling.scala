@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Stratified sampling ("n documents per language/source/quality
+  * bucket") is how corpus mixes are rebalanced. The naive
+  * `Window.partitionBy(stratum).orderBy(rand)` shapes a full sort of
+  * every stratum into single tasks AND is non-reproducible; this
+  * implementation reuses the bounded-heap TopKByScore aggregate (see
+  * [[graft.functions.TopKAgg]]), so each input partition is pruned
+  * map-side to n rows per stratum before the only shuffle, and the
+  * "random" order is a deterministic hash of the id — same sample on
+  * every run, every cluster size.
+  */
+object Sampling {
+
+  /** Deterministic pseudo-random score from an integer id: Knuth
+    * multiplicative hash modulo a prime. Values stay < 2^20, so they
+    * are exact in double and reproducible in any engine's BIGINT
+    * arithmetic (no 64-bit-hash-to-double precision loss).
+    */
+  def idScore(id: Column): Column = pmod(id * lit(2654435761L), lit(1000003L))
+
+  /** Up to `n` rows per stratum, picked by ascending [[idScore]]
+    * (ties impossible within a stratum for distinct ids below the
+    * prime; the aggregate's id-ASC tiebreak covers collisions).
+    * Output: (stratum, id, rank 1..n).
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(stratumCol).as("stratum"), col(idCol).as("id"))
+      // TopKByScore keeps the HIGHEST scores — negate for ascending
+      .withColumn("score", -idScore(col("id")))
+      .groupBy(col("stratum"))
+      .agg(TopKAgg.topKByScore(col("score"), col("id"), n).as("topk"))
+      .select(col("stratum"), explode(col("topk")).as("e"))
+      .select(col("stratum"), col("e.id").as("id"), col("e.rank").as("rank"))
+}

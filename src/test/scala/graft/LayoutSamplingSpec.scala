@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, Sampling}
+
+class LayoutSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2: known Morton codes") {
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 1L), (65535L, 65535L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zValue2($"x", $"y").as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave: x bits at even positions, y bits at odd
+    assert(got == Seq(5L, 10L, 3L, 4294967295L))
+  }
+
+  test("zorderBy: every partition covers a compact 2-D tile") {
+    // 256x256 uniform grid, shuffled input order
+    val grid = (for { x <- 0 until 256; y <- 0 until 256 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .repartition(16) // destroy any input locality
+    val laid = Layout.zorderBy(grid, "x", "y", partitions = 16)
+    val ranges = laid
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(ranges.length == 16)
+    val avgX = ranges.map(_.getAs[Long]("xr")).sum.toDouble / ranges.length
+    val avgY = ranges.map(_.getAs[Long]("yr")).sum.toDouble / ranges.length
+    // 16 contiguous z-ranges over a 256x256 grid ≈ 64x64 tiles (range
+    // boundaries may straddle one tile edge) — far below the 255 span
+    // every partition would have under a single-column or random layout
+    assert(avgX < 140, s"avg x-range $avgX")
+    assert(avgY < 140, s"avg y-range $avgY")
+    // row set unchanged
+    assert(laid.count() == 256L * 256L)
+  }
+
+  test("stratified sample: deterministic, ≤n per stratum, matches window formulation") {
+    val docs = Tables(spark, sf001, "documents")
+    val s1 = Sampling.stratified(docs, "lang", "doc_id", 7)
+      .collect().map(_.toSeq).toSet
+    val s2 = Sampling.stratified(docs, "lang", "doc_id", 7)
+      .collect().map(_.toSeq).toSet
+    assert(s1 == s2 && s1.nonEmpty) // reproducible
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(Sampling.idScore($"doc_id").asc, $"doc_id".asc)
+    val viaWindow = docs
+      .select($"lang".as("stratum"), $"doc_id".as("id"),
+        row_number().over(w).as("rank"))
+      .filter($"rank" <= 7)
+      .collect().map(_.toSeq).toSet
+    assert(s1 == viaWindow)
+
+    // per-stratum cap holds
+    val counts = Sampling.stratified(docs, "lang", "doc_id", 7)
+      .groupBy("stratum").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 7))
+  }
+}

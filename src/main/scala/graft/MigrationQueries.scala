@@ -51,6 +51,49 @@ object MigrationQueries {
         $"source".try_cast("bigint").as("source_as_int")) // malformed → null
     },
 
+    // T6: temporal try_cast leniency — planted mixed-validity strings;
+    // invalid dates coerce to NULL, date-only strings get midnight.
+    "mig_temporal_cast" -> { (s, dir) =>
+      import s.implicits._
+      val raw = when(pmod($"doc_id", lit(4)) === 0, lit("2024-01-15 10:30:00"))
+        .when(pmod($"doc_id", lit(4)) === 1, lit("2024-13-45 99:99:99"))
+        .when(pmod($"doc_id", lit(4)) === 2, lit("2024-02-01"))
+        .otherwise(lit("not a date"))
+      Tables(s, dir, "documents").select($"doc_id",
+        CastPipeline.castColumn(raw, "timestamp", CompatConfig.default)
+          .as("ts_out"))
+    },
+
+    // T13: conversion-error analysis as a distributed query — count +
+    // sample of the values the declared type would coerce to NULL
+    // (CastDiagnostics.sampleFailures runs this same predicate).
+    "mig_cast_errors" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("x"), $"doc_id".cast("string")))
+          .otherwise($"doc_id".cast("string")).as("raw"))
+      val casted = CastPipeline.castColumn($"raw", "int", CompatConfig.default)
+      d.filter($"raw".isNotNull && casted.isNull)
+        .agg(count(lit(1)).as("n_failures"), min($"raw").as("sample_min"))
+    },
+
+    // D2: destination DB-default fill on non-nullable columns (string +
+    // numeric literal coercion) via the ConstraintEnforcer path.
+    "mig_db_defaults" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(5)) === 0, lit(null).cast("string"))
+          .otherwise($"lang").as("lang2"),
+        when(pmod($"doc_id", lit(7)) === 0, lit(null).cast("long"))
+          .otherwise($"doc_id").as("num2"))
+      graft.transform.ConstraintEnforcer.applyDbDefaults(d, Seq(
+        DestColumn("lang2", "varchar(10)", nullable = false,
+          default = Some("unknown")),
+        DestColumn("num2", "bigint", nullable = false,
+          default = Some("42"))))
+    },
+
     // T4: lenient boolean parse over real data ('N' parses false, rest null).
     "mig_bool_parse" -> { (s, dir) =>
       import s.implicits._
@@ -173,6 +216,28 @@ object MigrationQueries {
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CAST(n_chars AS BIGINT) AS n_chars, lang,
         |  TRY_CAST(source AS BIGINT) AS source_as_int
+        |FROM documents""".stripMargin,
+
+    "mig_temporal_cast" ->
+      """SELECT doc_id,
+        |  TRY_CAST(CASE WHEN doc_id % 4 = 0 THEN '2024-01-15 10:30:00'
+        |                WHEN doc_id % 4 = 1 THEN '2024-13-45 99:99:99'
+        |                WHEN doc_id % 4 = 2 THEN '2024-02-01'
+        |                ELSE 'not a date' END AS TIMESTAMP) AS ts_out
+        |FROM documents""".stripMargin,
+
+    "mig_cast_errors" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+        |         ELSE CAST(doc_id AS VARCHAR) END AS raw
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_failures, min(raw) AS sample_min
+        |FROM d WHERE raw IS NOT NULL AND TRY_CAST(raw AS INTEGER) IS NULL""".stripMargin,
+
+    "mig_db_defaults" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'unknown' ELSE lang END AS lang2,
+        |  CASE WHEN doc_id % 7 = 0 THEN 42 ELSE doc_id END AS num2
         |FROM documents""".stripMargin,
 
     "mig_bool_parse" ->

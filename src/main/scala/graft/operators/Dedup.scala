@@ -257,6 +257,63 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) rounds — the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14, public). Same output contract as
+    * [[connectedComponents]]; use this variant when components can be
+    * DEEP (long near-dup chains), where min-label propagation's
+    * round-per-hop becomes the bottleneck.
+    *
+    * Each round is two "star" steps over the undirected edge list — for
+    * every node u with neighborhood N(u) and m = min(N(u) ∪ {u}),
+    * large-star links every LARGER neighbor to m, small-star every
+    * smaller-or-equal one — provably halving component height per
+    * alternation until every component is a star centered at its
+    * minimum id. Per round: two groupBy(min) + join rounds over the
+    * (shrinking) edge list, lineage checkpointed.
+    */
+  def connectedComponentsLogStar(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 16): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    def starStep(edges: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val joined = nbrs.join(mins, "src")
+      // large-star: relink STRICTLY LARGER neighbors to the minimum;
+      // small-star: relink smaller neighbors AND u itself (dropping the
+      // self-link u→m loses the star edge of 2-node components)
+      val kept = if (large) joined.filter(col("dst") > col("src"))
+        else joined.filter(col("dst") < col("src"))
+      val relinked = kept.select(col("dst").as("src"), col("m").as("dst"))
+      if (large) relinked
+      else relinked.union(mins.select(col("src"), col("m").as("dst")))
+    }
+    var edges = canon(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+      .localCheckpoint(true)
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val next = canon(starStep(starStep(edges, large = true), large = false))
+        .localCheckpoint(true)
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    // converged: every edge is (member, root); roots appear only as dst
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    edges.select(col("src").as("id"), col("dst").as("comp"))
+      .distinct()
+      .union(roots)
+  }
+
   /** Embedding near-duplicate pairs: BANDED hyperplane-LSH (like minhash
     * banding — `bands` independent signatures of `planesPerBand` planes;
     * a pair is a candidate if ANY band matches, so recall is

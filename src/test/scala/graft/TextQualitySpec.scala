@@ -87,6 +87,26 @@ class TextQualitySpec extends SparkSpec {
     assert(got.size == 15)
   }
 
+  test("log-star components == min-propagation on random graphs; deep chain in few rounds") {
+    val rnd = new scala.util.Random(23)
+    val randomPairs = (1 to 150).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val viaProp = graft.operators.Dedup.connectedComponents(randomPairs, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = graft.operators.Dedup.connectedComponentsLogStar(randomPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp && viaStar.nonEmpty)
+
+    // a 64-node chain has diameter 63: min-propagation would need ~63
+    // rounds, the star alternation collapses it within 8
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponentsLogStar(chain, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 63L).forall(got(_) == 0L))
+  }
+
   test("incremental ingest: anti-join keeps only genuinely-new fingerprints") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
       .toDF("doc_id", "text")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ExprBridge.{toColumn => toCol, toExpression => toExpr}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -206,6 +206,23 @@ object VecOps {
     }
     s
   }
+
+  /** y = R·x for a row-major dims×dims matrix — the OPQ rotation applied
+    * per vector in one kernel pass (float accumulate in double).
+    */
+  def matVec(v: ArrayData, matrix: Array[Float], dims: Int): ArrayData = {
+    val out = new Array[Any](dims)
+    var r = 0
+    while (r < dims) {
+      var s = 0.0
+      var c = 0
+      val off = r * dims
+      while (c < dims) { s += matrix(off + c) * v.getFloat(c); c += 1 }
+      out(r) = s.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** minhash_sig(array<string>) → array<long> of k running minima, one pass. */
@@ -297,6 +314,26 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, dims: Int, seed: Lon
   * codebook rides the plan as a broadcast-referenced object (same
   * pattern as [[HyperplaneSig]]'s planes).
   */
+/** rotate_vec(array<float>) → array<float>: y = R·x for a broadcast
+  * row-major rotation matrix (OPQ pre-rotation).
+  */
+case class RotateVec(child: Expression, matrix: Seq[Float], dims: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val mat: Array[Float] = matrix.toArray
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.matVec(t.asInstanceOf[ArrayData], mat, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotMatrix", mat, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.matVec($t, $ref, $dims)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PqEncode(child: Expression, codebook: Seq[Float],
     m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -371,4 +408,6 @@ object VectorFunctions {
     toCol(PqLut(toExpr(q), codebook, m, ksub, dsub))
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     toCol(PqAdc(toExpr(codes), toExpr(lut), ksub))
+  def rotateVec(v: Column, matrix: Seq[Float], dims: Int): Column =
+    toCol(RotateVec(toExpr(v), matrix, dims))
 }

@@ -162,14 +162,22 @@ object Similarity {
         seed: Long = 42L, sampleN: Int = 20000,
         vecCol: String = "embedding", iters: Int = 12,
         preNormalized: Boolean = false): Array[Float] = {
-      require(dims % m == 0, s"dims=$dims not divisible by m=$m")
-      val dsub = dims / m
       val vexpr =
         if (preNormalized) col(vecCol) else Embeddings.normalize(col(vecCol))
       val sample: Array[Array[Float]] = corpus
         .select(vexpr.as("v"))
         .limit(sampleN).collect()
         .map(_.getSeq[Float](0).toArray)
+      kmeansSub(sample, dims, m, ksub, seed, iters)
+    }
+
+    /** Per-subspace Lloyd's k-means on an in-memory sample → flat
+      * [m][ksub][dsub] codebook (driver-side; the sample is bounded).
+      */
+    private[operators] def kmeansSub(sample: Array[Array[Float]], dims: Int,
+        m: Int, ksub: Int, seed: Long, iters: Int): Array[Float] = {
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+      val dsub = dims / m
       require(sample.nonEmpty, "empty training sample")
       val rnd = new java.util.Random(seed)
       val codebook = new Array[Float](m * ksub * dsub)
@@ -223,6 +231,126 @@ object Similarity {
         sub += 1
       }
       codebook
+    }
+
+    /** PQ-reconstruction of `v` under `cb` (nearest sub-centroid per
+      * subspace) — used by OPQ training and quantization-error tests.
+      */
+    private[graft] def reconstruct(v: Array[Float], cb: Array[Float],
+        dims: Int, m: Int, ksub: Int): Array[Float] = {
+      val dsub = dims / m
+      val out = new Array[Float](dims)
+      var sub = 0
+      while (sub < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val off = (sub * ksub + c) * dsub
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = v(sub * dsub + i) - cb(off + i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        System.arraycopy(cb, (sub * ksub + best) * dsub, out, sub * dsub, dsub)
+        sub += 1
+      }
+      out
+    }
+
+    /** OPQ (Ge et al., CVPR 2013, public): learn an orthonormal rotation
+      * R minimizing PQ quantization error, by alternating (a) codebook
+      * training on the rotated sample with (b) the orthogonal-Procrustes
+      * update R = V·Uᵀ from SVD(Σ x·qᵀ) — PQ assumes subspaces are
+      * independent; the rotation re-mixes correlated dimensions so the
+      * same code budget quantizes tighter. Training is driver-side on a
+      * bounded sample (like [[train]]); the learned R is a few KB
+      * broadcast with the plan and applied per row by the native
+      * RotateVec kernel. Returns (rotation row-major d×d, codebook).
+      */
+    def trainOpq(corpus: DataFrame, dims: Int, m: Int = 8, ksub: Int = 16,
+        seed: Long = 42L, sampleN: Int = 20000,
+        vecCol: String = "embedding", iters: Int = 12,
+        opqIters: Int = 6): (Array[Float], Array[Float]) = {
+      import breeze.linalg.{svd, DenseMatrix, DenseVector}
+      val sample: Array[Array[Float]] = corpus
+        .select(Embeddings.normalize(col(vecCol)).as("v"))
+        .limit(sampleN).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(sample.nonEmpty, "empty training sample")
+      var r = DenseMatrix.eye[Double](dims)
+      def rotated(x: Array[Float]): Array[Float] = {
+        val y = r * DenseVector(x.map(_.toDouble))
+        y.toArray.map(_.toFloat)
+      }
+      var t = 0
+      while (t < opqIters) {
+        val y = sample.map(rotated)
+        val cb = kmeansSub(y, dims, m, ksub, seed, iters)
+        // Procrustes: maximize tr(R·M) with M = Σ x·qᵀ → R = V·Uᵀ
+        val mMat = DenseMatrix.zeros[Double](dims, dims)
+        var i = 0
+        while (i < sample.length) {
+          val q = reconstruct(y(i), cb, dims, m, ksub)
+          val x = sample(i)
+          var a = 0
+          while (a < dims) {
+            var b = 0
+            while (b < dims) { mMat(a, b) += x(a) * q(b); b += 1 }
+            a += 1
+          }
+          i += 1
+        }
+        val svd.SVD(u, _, vt) = svd(mMat)
+        r = vt.t * u.t
+        t += 1
+      }
+      // final codebook trained under the FINAL rotation
+      val cbFinal = kmeansSub(sample.map(rotated), dims, m, ksub, seed, iters)
+      val rFlat = new Array[Float](dims * dims)
+      var a = 0
+      while (a < dims) {
+        var b = 0
+        while (b < dims) { rFlat(a * dims + b) = r(a, b).toFloat; b += 1 }
+        a += 1
+      }
+      (rFlat, cbFinal)
+    }
+
+    /** OPQ top-k: rotate (native RotateVec) then the same
+      * compressed-domain ADC scan + exact rerank as [[topK]]. The exact
+      * rerank uses the ORIGINAL vectors (rotation preserves cosine).
+      */
+    def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+        m: Int = 8, ksub: Int = 16, rerank: Int = 100, seed: Long = 42L,
+        idCol: String = "vec_id", vecCol: String = "embedding",
+        qidCol: String = "qid", opqIters: Int = 6): DataFrame = {
+      val dsub = dims / m
+      val (rot, cb0) = trainOpq(corpus, dims, m, ksub, seed,
+        vecCol = vecCol, opqIters = opqIters)
+      val cb = cb0.toSeq
+      val prep = (c: org.apache.spark.sql.Column) =>
+        VectorFunctions.rotateVec(Embeddings.normalize(c), rot.toSeq, dims)
+
+      val encoded = corpus.select(col(idCol).as("id"),
+        VectorFunctions.pqEncode(prep(col(vecCol)), cb, m, ksub, dsub).as("codes"))
+      val q = queries.select(col(qidCol).as("qid"),
+        VectorFunctions.pqLut(prep(col(vecCol)), cb, m, ksub, dsub).as("lut"))
+
+      val approx = encoded.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          VectorFunctions.pqAdc(col("codes"), col("lut"), ksub).as("adc"))
+        .filter(col("qid") =!= col("id"))
+      val cands = topKRank(approx, rerank, "adc").select(col("qid"), col("id"))
+
+      val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      val scored = cands
+        .join(cvecs, "id")
+        .join(broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("qv2"))), "qid")
+        .select(col("qid"), col("id"),
+          VectorFunctions.cosineSim(col("cvec"), col("qv2")).as("cosine"))
+      topKRank(scored, k, "cosine")
     }
 
     /** IVF+PQ composition — the classic billion-vector layout: k-means

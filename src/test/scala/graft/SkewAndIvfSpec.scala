@@ -107,4 +107,71 @@ class SkewAndIvfSpec extends SparkSpec {
     val recallPart = part.intersect(brute).size.toDouble / brute.size
     assert(recallPart >= 0.25, s"IVF+PQ partial-probe recall $recallPart")
   }
+
+  test("OPQ: rotation cuts quantization error vs plain PQ on rotated anisotropic data") {
+    // the canonical OPQ-vs-PQ geometry: an axis-aligned gaussian with
+    // strongly decaying per-dimension variance, mixed by a fixed random
+    // rotation — every PQ subspace then sees a blend of high- and
+    // low-variance directions (bad centroid budget allocation); the
+    // learned rotation can undo the mixing
+    val dims = 16; val m = 8; val ksub = 16
+    val rnd = new scala.util.Random(5)
+    // random orthogonal mix via Gram-Schmidt on a seeded random matrix
+    val mix = {
+      val q = Array.fill(dims)(Array.fill(dims)(rnd.nextGaussian()))
+      for (r <- 0 until dims) {
+        for (p <- 0 until r) {
+          val d = (0 until dims).map(c => q(r)(c) * q(p)(c)).sum
+          for (c <- 0 until dims) q(r)(c) -= d * q(p)(c)
+        }
+        val n = math.sqrt((0 until dims).map(c => q(r)(c) * q(r)(c)).sum)
+        for (c <- 0 until dims) q(r)(c) /= n
+      }
+      q
+    }
+    val vecs = (1 to 1500).map { i =>
+      val z = Array.tabulate(dims)(j => rnd.nextGaussian() * math.pow(0.75, j))
+      val v = Array.tabulate(dims)(r =>
+        (0 until dims).map(c => mix(r)(c) * z(c)).sum.toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+
+    val plainCb = Similarity.Pq.train(vecs, dims, m, ksub)
+    val (rot, opqCb) = Similarity.Pq.trainOpq(vecs, dims, m, ksub,
+      opqIters = 10)
+    val sample = vecs
+      .select(graft.operators.Embeddings.normalize($"embedding").as("v"))
+      .limit(1000).collect().map(_.getSeq[Float](0).toArray)
+
+    def sq(x: Array[Float], cb: Array[Float]): Double = {
+      val q = Similarity.Pq.reconstruct(x, cb, dims, m, ksub)
+      x.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    def rotate(x: Array[Float]): Array[Float] = {
+      val y = new Array[Float](dims)
+      var r = 0
+      while (r < dims) {
+        var acc = 0.0; var c = 0
+        while (c < dims) { acc += rot(r * dims + c) * x(c); c += 1 }
+        y(r) = acc.toFloat; r += 1
+      }
+      y
+    }
+    val plainErr = sample.map(sq(_, plainCb)).sum / sample.length
+    val opqErr = sample.map(x => sq(rotate(x), opqCb)).sum / sample.length
+    assert(opqErr < plainErr * 0.7,
+      s"OPQ mse $opqErr not clearly below plain PQ mse $plainErr")
+
+    // end-to-end: opqTopK output shape + sane recall vs brute
+    val queries = vecs.filter($"vec_id" <= 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opq = Similarity.Pq.opqTopK(vecs, queries, k = 5, dims = dims,
+        m = m, ksub = ksub, rerank = 60)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(opq.size == brute.size)
+    val recall = opq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"OPQ recall $recall")
+  }
 }

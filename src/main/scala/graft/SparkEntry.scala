@@ -158,6 +158,51 @@ object CoreQueries {
           decSum($"l_quantity").as("sum_qty"))
     },
 
+    // Pivot: event counts per day × event_type — DataFrame .pivot with
+    // pinned values (deterministic column set), conditional-agg oracle.
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      graft.Tables(s, dir, "events")
+        .select(date_trunc("day", $"ts").as("day"), $"event_type")
+        .groupBy($"day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"day", $"click".as("n_click"), $"view".as("n_view"),
+          $"purchase".as("n_purchase"), $"signup".as("n_signup"),
+          $"error".as("n_error"))
+    },
+
+    // Correlated-subquery shape: orders above their customer's average
+    // (decorrelated to an aggregate + equi-join — the plan Spark's own
+    // decorrelation produces, stated explicitly).
+    "q_above_avg" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val avgPer = o.groupBy($"o_custkey")
+        .agg((decSum($"o_totalprice") / count(lit(1))).as("avg_price"))
+      o.join(avgPer, "o_custkey")
+        .filter($"o_totalprice" > $"avg_price")
+        .select($"o_orderkey")
+    },
+
+    // Exact group median WITHOUT interpolation: element at the lower
+    // median position under a total order — engine-exact (interpolated
+    // percentile float math differs across engines; this doesn't).
+    "q_median" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      val n = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .filter($"rk" === floor(($"cnt" + 1) / 2))
+        .select($"o_orderpriority", $"o_totalprice".as("median_price"))
+    },
+
     // SQL frontend: the same engine drives spark.sql over registered
     // views (the reference's users talk SQL to the source warehouse).
     "q_sql" -> { (s, dir) =>
@@ -237,6 +282,31 @@ object CoreQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q_median" ->
+      """SELECT o_orderpriority, o_totalprice AS median_price FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |WHERE rk = (cnt + 1) // 2""".stripMargin
   )
 }

@@ -62,7 +62,27 @@ object GraftFunctions {
       info("graft_stopword_hits",
         "count of English stopword tokens in a string (quality signal)"),
       (es: Seq[Expression]) => StopwordHitsExpr(es(0),
-        TextFunctions.StopwordsByLang.head._2)))
+        TextFunctions.StopwordsByLang.head._2)),
+    ("graft_repetition",
+      info("graft_repetition",
+        "struct(n_tokens, distinct_tokens, top_token_count, " +
+          "top_bigram_count, top_trigram_count) repetition stats"),
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))),
+    ("graft_redact_pii",
+      info("graft_redact_pii",
+        "redact urls/emails/phone-like runs to [URL]/[EMAIL]/[PHONE]"),
+      // Built from catalyst RegExpReplace directly (a Column bridged
+      // back to Expression is an unresolved ColumnNode here and can't
+      // be evaluated inside a function-registry builder). Same pattern
+      // chain and order as TextQuality.redactPii.
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        import graft.operators.TextQuality._
+        def rep(e: Expression, p: String, r: String): Expression =
+          RegExpReplace(e, Literal(p), Literal(r))
+        rep(rep(rep(es(0), UrlPattern, "[URL]"), EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]")
+      }))
 
   /** Table-valued functions (`SELECT * FROM graft_asof_join(...)`).
     *

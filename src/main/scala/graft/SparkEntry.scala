@@ -158,6 +158,24 @@ object CoreQueries {
           decSum($"l_quantity").as("sum_qty"))
     },
 
+    // TPC-H Q14 shape: per-brand revenue share of one part type —
+    // broadcast dim join + conditional decimal-accumulated aggregate
+    // (covers the one table no other query touched).
+    "q14_promo" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          decSum(when($"p_type".startsWith("STANDARD"),
+            $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(lit(0)))
+            .as("standard_revenue"),
+          decSum($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .as("total_revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // Pivot: event counts per day × event_type — DataFrame .pivot with
     // pinned values (deterministic column set), conditional-agg oracle.
     "q_pivot" -> { (s, dir) =>
@@ -283,6 +301,17 @@ object CoreQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(CASE WHEN p_type LIKE 'STANDARD%'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS standard_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

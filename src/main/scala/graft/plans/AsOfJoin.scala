@@ -229,6 +229,14 @@ case class AsOfJoinExec(
 
     val advancing = ctx.freshName("asofAdvancing")
     val kc = ctx.freshName("asofKc")
+    // emit the output-column code exactly once and CLEAR it from the
+    // ExprCodes before consume() — consume's row construction calls
+    // evaluateVariables on the vars it receives, and un-cleared codes
+    // get emitted a second time ("redefinition of local variable",
+    // compile failure → silent interpreted fallback). Same discipline
+    // as SortMergeJoinExec.createLeftVars.
+    val allVars = leftVars ++ payloadVars
+    val evalAll = evaluateVariables(allVars)
     s"""
        |if (!$rStarted) { $rStarted = true; $advanceRight(); }
        |while ($leftInput.hasNext()) {
@@ -255,9 +263,8 @@ case class AsOfJoinExec(
        |      $hasMatch = true;
        |    }
        |  }
-       |  ${leftVars.map(_.code.toString).mkString("\n")}
-       |  ${payloadVars.map(_.code.toString).mkString("\n")}
-       |  ${consume(ctx, leftVars ++ payloadVars)}
+       |  $evalAll
+       |  ${consume(ctx, allVars)}
        |  if (shouldStop()) return;
        |}
      """.stripMargin

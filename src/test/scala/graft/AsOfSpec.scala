@@ -136,8 +136,14 @@ class AsOfSpec extends SparkSpec {
     // stage (its children feed it as stage inputs, SMJ-style). AQE only
     // materializes codegen stages at execution — collect first, then
     // read the FINAL adaptive plan.
+    // fallback=false turns a codegen COMPILE failure into a hard error —
+    // without it a broken doProduce silently degrades to interpreted
+    // (plan string still shows the codegen stage, so string asserts
+    // alone can't catch it)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     val df = run()
-    val genRows = df.collect().map(_.toSeq).toSet
+    val genRows = try df.collect().map(_.toSeq).toSet
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
     val finalPlan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan

@@ -35,6 +35,12 @@ class ExtensionsSpec extends SparkSpec {
         "graft_stopword_hits('the cat and the dog')").head()
     assert(lid.getString(0) == "en")
     assert(lid.getInt(1) == 3)
+    // round-3 kernels through SQL
+    val r3 = spark.sql(
+      "SELECT graft_repetition('a b a b a').top_bigram_count AS bg, " +
+        "graft_redact_pii('mail x@y.io now') AS red").head()
+    assert(r3.getInt(0) == 2)
+    assert(r3.getString(1) == "mail [EMAIL] now")
   }
 
   test("array<double> inputs are coerced, not misread (inputTypes)") {

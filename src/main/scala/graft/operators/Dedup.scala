@@ -234,8 +234,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair plan ONCE before mirroring it — the union
+    // below reads it twice, and upstream pair generation (e.g. the
+    // PPJoin pipeline) is the dominant cost of the whole operator
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true) // edges reused every iteration — cache once
     var labels = edges.select(col("src").as("id")).distinct()

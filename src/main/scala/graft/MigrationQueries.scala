@@ -64,6 +64,19 @@ object MigrationQueries {
           .as("ts_out"))
     },
 
+    // SCD2 history build from a change log: per-user purchase `value`
+    // versions with [valid_from, valid_to) epoch-micro bounds and an
+    // is_current flag — tie-broken per timestamp, no-change rows
+    // collapsed. One key-partitioned shuffle end to end.
+    "mig_scd2" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Scd.scd2FromChangeLog(
+          Tables(s, dir, "events").filter($"event_type" === "purchase"),
+          "user_id", "ts", "value", "event_id")
+        .select($"k".as("user_id"), $"attr".as("value"),
+          $"valid_from_us", $"valid_to_us", $"is_current")
+    },
+
     // T13: conversion-error analysis as a distributed query — count +
     // sample of the values the declared type would coerce to NULL
     // (CastDiagnostics.sampleFailures runs this same predicate).
@@ -211,6 +224,23 @@ object MigrationQueries {
 
     "mig_projection_rename" ->
       "SELECT c_custkey AS id, c_name AS name, c_acctbal FROM customer",
+
+    "mig_scd2" ->
+      """WITH b AS (SELECT user_id AS k,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS vf,
+        |    value AS attr, event_id AS tie
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT k, vf, attr,
+        |    row_number() OVER (PARTITION BY k, vf ORDER BY tie DESC) AS rn
+        |  FROM b),
+        |d AS (SELECT k, vf, attr,
+        |    lag(attr) OVER (PARTITION BY k ORDER BY vf) AS prev
+        |  FROM v WHERE rn = 1),
+        |sv AS (SELECT k, vf, attr FROM d WHERE prev IS NULL OR prev <> attr)
+        |SELECT k AS user_id, attr AS value, vf AS valid_from_us,
+        |  lead(vf) OVER (PARTITION BY k ORDER BY vf) AS valid_to_us,
+        |  (lead(vf) OVER (PARTITION BY k ORDER BY vf) IS NULL) AS is_current
+        |FROM sv""".stripMargin,
 
     "mig_cast_pipeline" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,

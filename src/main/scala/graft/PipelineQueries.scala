@@ -323,6 +323,30 @@ object PipelineQueries {
       Sampling.stratified(Tables(s, dir, "documents"), "lang", "doc_id", 20)
     },
 
+    // Deterministic train/val/test split by id hash (80/10/10) —
+    // membership is a pure function of the id, so it is stable across
+    // runs, cluster sizes, and corpus growth. Gate row aggregates
+    // per-split counts + char totals.
+    "pipeline_split" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+    },
+
+    // Sequence packing: next-fit-by-start into 2048-token bins within
+    // each source shard (windows stay partitioned — no global sort).
+    // Token count is the deterministic chars/4 estimate so the oracle
+    // can replay it exactly.
+    "pipeline_pack" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tokens", ceil($"n_chars" / lit(4.0)).cast("long"))
+      val packed = graft.operators.Packing.nextFitByStart(
+        docs, "source", "doc_id", "tokens", budget = 2048L)
+      graft.operators.Packing.packSummary(packed, budget = 2048L)
+    },
+
     // Stream-stream join (batch-equivalent plan): purchases attributed
     // to same-user clicks in the preceding 30 minutes.
     "stream_join" -> { (s, dir) =>
@@ -639,6 +663,29 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
         |  FROM documents) WHERE rank <= 20""".stripMargin,
+
+    "pipeline_split" ->
+      """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT CASE
+        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split, n_chars
+        |  FROM documents)
+        |GROUP BY split""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH t AS (SELECT source AS shard, doc_id AS id,
+        |    CAST(ceil(n_chars / 4) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT shard, id, tokens,
+        |    SUM(tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |p AS (SELECT shard, tokens, (cum - tokens) // 2048 AS bin FROM c)
+        |SELECT shard, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(SUM(tokens) AS DOUBLE) / 2048 AS fill
+        |FROM p GROUP BY shard, bin""".stripMargin,
 
     "stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,

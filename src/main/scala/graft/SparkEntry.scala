@@ -176,6 +176,30 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // Semi-join (EXISTS shape): customers with at least one urgent
+    // order — left_semi keeps the probe side unduplicated with no
+    // post-join distinct; the filtered build side broadcasts.
+    "q_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+
+    // CUBE: all grouping-set combinations of (segment, nation) in one
+    // pass — Spark expands grouping sets in a single Expand+agg, no
+    // self-union of per-level scans.
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .cube($"c_mktsegment", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), decSum($"c_acctbal").as("sum_bal"))
+    },
+
     // Pivot: event counts per day × event_type — DataFrame .pivot with
     // pinned values (deterministic column set), conditional-agg oracle.
     "q_pivot" -> { (s, dir) =>
@@ -312,6 +336,17 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_cube" ->
+      """SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (c_mktsegment, n_name)""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

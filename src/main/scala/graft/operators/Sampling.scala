@@ -40,4 +40,25 @@ object Sampling {
       .agg(TopKAgg.topKByScore(col("score"), col("id"), n).as("topk"))
       .select(col("stratum"), explode(col("topk")).as("e"))
       .select(col("stratum"), col("e.id").as("id"), col("e.rank").as("rank"))
+
+  /** Deterministic train/val/test assignment by id hash — the standard
+    * "split by hash, not by order" rule for training corpora (row order
+    * is partition-dependent in any distributed engine; an id hash gives
+    * the same membership on every run, cluster size, and engine, and
+    * new rows never reshuffle old ones between splits).
+    *
+    * Narrow (no shuffle, no state): bucket = [[idScore]] mod 100, rows
+    * with bucket < trainPct → "train", < trainPct+valPct → "val",
+    * rest → "test". Adds a `split` column.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = pmod(idScore(col(idCol)), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

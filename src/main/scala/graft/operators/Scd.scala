@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension history builder — the classic
+  * warehouse transform for tracking attribute changes over time: every
+  * change to a key's attribute closes the previous version row
+  * (valid_to) and opens a new one (valid_from), with exactly one open
+  * (`is_current`) row per key.
+  *
+  * Built from windows over the change log, so the whole history is one
+  * shuffle on the key: tie-break within equal timestamps, collapse
+  * no-change rows, then lead() for the validity interval. No iteration
+  * and no driver state — at 100 TB this is a single hash-partitioned
+  * sort per key group.
+  */
+object Scd {
+
+  /** Build SCD2 rows from a change log.
+    *
+    * @param log     change events: one row per observation
+    * @param keyCol  dimension key
+    * @param tsCol   observation time (timestamp column, micros)
+    * @param attrCol tracked attribute; a version row is opened whenever
+    *                its value differs from the key's previous version
+    * @param tieCol  deterministic tie-break for equal (key, ts): the
+    *                row with the HIGHEST tie value wins
+    * @return (key, attr, valid_from_us, valid_to_us, is_current) —
+    *         validity bounds as epoch micros, `valid_to_us` NULL on the
+    *         current row. Engine-portable output types by design.
+    */
+  def scd2FromChangeLog(log: DataFrame, keyCol: String, tsCol: String,
+      attrCol: String, tieCol: String): DataFrame = {
+    val base = log.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("vf"),
+      col(attrCol).as("attr"), col(tieCol).as("tie"))
+    // one candidate per (key, ts): latest writer wins
+    val perTs = Window.partitionBy(col("k"), col("vf"))
+      .orderBy(col("tie").desc)
+    val candidates = base
+      .withColumn("rn", row_number().over(perTs))
+      .filter(col("rn") === 1).drop("rn", "tie")
+    // collapse no-change observations (same attr as previous version —
+    // NULL-attr rows only survive as the key's first observation, by
+    // 3-valued `<>`, identically in any ANSI engine)
+    val byTime = Window.partitionBy(col("k")).orderBy(col("vf"))
+    val versions = candidates
+      .withColumn("prev", lag(col("attr"), 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .drop("prev")
+    versions
+      .withColumn("valid_to_us", lead(col("vf"), 1).over(byTime))
+      .select(col("k"), col("attr"), col("vf").as("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+  }
+}

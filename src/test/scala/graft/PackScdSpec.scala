@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling, Scd}
+
+class PackScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, partition-of-the-table, ~80/10/10") {
+    val docs = Tables(spark, sf001, "documents")
+    val split = Sampling.hashSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count())
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // hash split of a small table is noisy; train must still dominate
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    assert(counts("train") > counts.getOrElse("test", 0L))
+    // deterministic: same membership on re-run
+    val again = Sampling.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(_.toSeq).toSet
+    assert(again == split.select("doc_id", "split")
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("nextFitByStart: bins honor budget-by-start, order, and totals") {
+    val df = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 900L), ("a", 3L, 300L), ("a", 4L, 2500L),
+      ("a", 5L, 10L), ("b", 1L, 2048L), ("b", 2L, 1L)
+    ).toDF("src", "id", "tok")
+    val packed = Packing.nextFitByStart(df, "src", "id", "tok", 2048L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // shard a cumsums: 1000, 1900, 2200, 4700, 4710
+    // starts:          0,    1000, 1900, 2200, 4700 → bins 0,0,0,1,2
+    assert(packed(("a", 1L)) == 0L && packed(("a", 2L)) == 0L)
+    assert(packed(("a", 3L)) == 0L) // starts at 1900 < 2048
+    assert(packed(("a", 4L)) == 1L) // oversized doc, own span
+    assert(packed(("a", 5L)) == 2L)
+    // shard b: doc of exactly budget fills bin 0; next starts bin 1
+    assert(packed(("b", 1L)) == 0L && packed(("b", 2L)) == 1L)
+    // summary preserves totals
+    val sums = Packing.packSummary(
+      Packing.nextFitByStart(df, "src", "id", "tok", 2048L), 2048L)
+    assert(sums.agg(sum("bin_tokens")).head().getLong(0) == 6759L)
+  }
+
+  test("scd2: versions, tie-break, no-change collapse, one current per key") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val log = Seq(
+      // key 1: value changes 10→20, then a no-change observation
+      (1L, t("2024-01-01 00:00:00"), 10.0, 100L),
+      (1L, t("2024-01-02 00:00:00"), 20.0, 101L),
+      (1L, t("2024-01-03 00:00:00"), 20.0, 102L),
+      // key 2: two writers at the SAME ts — highest tie wins (30.0)
+      (2L, t("2024-01-01 00:00:00"), 99.0, 200L),
+      (2L, t("2024-01-01 00:00:00"), 30.0, 201L)
+    ).toDF("k", "ts", "v", "eid")
+    val hist = Scd.scd2FromChangeLog(log, "k", "ts", "v", "eid")
+      .orderBy("k", "valid_from_us").collect()
+    assert(hist.length == 3)
+    val k1 = hist.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+    // first version closed exactly where the second opens
+    assert(k1(0).getLong(3) == k1(1).getLong(2))
+    assert(!k1(0).getBoolean(4) && k1(1).getBoolean(4))
+    assert(k1(1).isNullAt(3)) // current row open-ended
+    val k2 = hist.filter(_.getLong(0) == 2L)
+    assert(k2.map(_.getDouble(1)).toSeq == Seq(30.0))
+    assert(k2(0).getBoolean(4))
+    // exactly one current row per key
+    val curr = Scd.scd2FromChangeLog(log, "k", "ts", "v", "eid")
+      .filter(col("is_current")).groupBy("k").count()
+      .collect().map(_.getLong(1))
+    assert(curr.forall(_ == 1L))
+  }
+}

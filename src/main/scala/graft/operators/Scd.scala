@@ -36,12 +36,13 @@ object Scd {
     val base = log.select(col(keyCol).as("k"),
       unix_micros(col(tsCol)).as("vf"),
       col(attrCol).as("attr"), col(tieCol).as("tie"))
-    // one candidate per (key, ts): latest writer wins
-    val perTs = Window.partitionBy(col("k"), col("vf"))
-      .orderBy(col("tie").desc)
+    // one candidate per (key, ts): latest writer wins. max_by instead
+    // of a row_number window — it partial-aggregates map-side and, as
+    // a hash aggregate, doesn't force a (k, vf)-sorted exchange the
+    // k-partitioned windows below can't reuse.
     val candidates = base
-      .withColumn("rn", row_number().over(perTs))
-      .filter(col("rn") === 1).drop("rn", "tie")
+      .groupBy(col("k"), col("vf"))
+      .agg(max_by(col("attr"), col("tie")).as("attr"))
     // collapse no-change observations (same attr as previous version —
     // NULL-attr rows only survive as the key's first observation, by
     // 3-valued `<>`, identically in any ANSI engine)

@@ -323,6 +323,15 @@ object PipelineQueries {
       Sampling.stratified(Tables(s, dir, "documents"), "lang", "doc_id", 20)
     },
 
+    // Exact edit-distance fuzzy pairs (levenshtein ≤ 1) over customer
+    // names — FastSS deletion-neighborhood candidates + levenshtein
+    // verify; oracle is the brute-force quadratic, so the gate proves
+    // the pruned candidate generator misses nothing.
+    "dedup_fuzzy_pairs" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables(s, dir, "customer"),
+        "c_custkey", "c_name", maxDist = 1)
+    },
+
     // Deterministic train/val/test split by id hash (80/10/10) —
     // membership is a pure function of the id, so it is stable across
     // runs, cluster sizes, and corpus growth. Gate row aggregates
@@ -663,6 +672,12 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
         |  FROM documents) WHERE rank <= 20""".stripMargin,
+
+    "dedup_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "pipeline_split" ->
       """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -24,6 +24,33 @@ object TextOps {
     if (s.isEmpty) Array.empty[String] else Ws.split(s)
   }
 
+  /** Distinct ≤k-deletion variants of a string, itself included —
+    * deterministic order (original first, then depth-first by deletion
+    * position). Neighborhood size is O(len^k); callers
+    * keep k ≤ 2. Equal-budget invariant: a variant's remaining budget
+    * is k minus (len(original) - len(variant)), a pure function of its
+    * length, so the first visit always explores with the full budget
+    * and the seen-set prune is lossless.
+    */
+  def deletionVariants(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val seen = new java.util.LinkedHashSet[String]
+    def rec(cur: String, left: Int): Unit = {
+      if (!seen.add(cur) || left == 0) return
+      var i = 0
+      while (i < cur.length) {
+        rec(cur.substring(0, i) + cur.substring(i + 1), left - 1)
+        i += 1
+      }
+    }
+    rec(s, math.max(k, 0))
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Ordered-distinct word n-gram shingles; < n tokens → one whole-doc
     * shingle (matches the Column formulation in TextFunctions exactly).
     */
@@ -147,6 +174,25 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     TextOps.wordShingles(t.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordShingles($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** deletion_variants(string, k) → all DISTINCT strings obtainable by
+  * deleting at most k characters (the string itself included) — the
+  * FastSS deletion-neighborhood index key set (Bocek et al., 2007,
+  * public): ed(s,t) ≤ k guarantees the neighborhoods of s and t
+  * intersect, so an equi-join on these keys is a COMPLETE candidate
+  * generator for edit-distance joins. Char-level (Spark and DuckDB
+  * levenshtein agree on the verify side).
+  */
+case class DeletionVariantsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.deletionVariants(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.deletionVariants($t, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -328,4 +374,6 @@ object TextExprs {
     toCol(LangIdExpr(toExpr(text), langWords))
   def repetitionStats(text: Column): Column =
     toCol(RepetitionStatsExpr(toExpr(text)))
+  def deletionVariants(text: Column, k: Int): Column =
+    toCol(DeletionVariantsExpr(toExpr(text), k))
 }

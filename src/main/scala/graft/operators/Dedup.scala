@@ -357,4 +357,48 @@ object Dedup {
         VectorFunctions.cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** EXACT edit-distance self-join: all pairs with
+    * levenshtein(a, b) ≤ maxDist — fuzzy key matching for curation
+    * (near-identical titles/names/urls that exact dedup misses).
+    *
+    * Candidates come from the FastSS deletion-neighborhood index
+    * ([[graft.functions.TextOps.deletionVariants]]): an equi-join on
+    * "string with ≤ k chars deleted" keys. Unlike fixed-position
+    * segment (pigeonhole) schemes, a shared corpus-wide prefix does NOT
+    * produce one universal bucket — a deletion key differs from its
+    * source in at most k chars, so buckets only group near-identical
+    * strings. Index blow-up is the FastSS tradeoff: O(len^k) keys per
+    * row — keep k ≤ 2 and apply to short key-like columns (names,
+    * titles, ids), not whole documents. The candidate pair set is
+    * distinct'd BEFORE verification, so levenshtein runs once per pair.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (deletion-index size is O(len^k)): $maxDist")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    // candidate generation moves (id, key) ONLY, and the pair set is
+    // distinct'd as bare id pairs BEFORE the strings come back — a pair
+    // sharing several deletion keys still shuffles/verifies once (the
+    // same slim-candidates/verify-join split the other dedup operators
+    // use; distinct over the string-carrying rows measured 2x slower)
+    val keyed = base.select(col("id"),
+      explode(graft.functions.TextExprs.deletionVariants(col("s"), maxDist))
+        .as("key"))
+    val candidates = keyed.as("a")
+      .join(keyed.as("b"), col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = base.select(col("id").as("id_a"), col("s").as("s_a"))
+    val sb = base.select(col("id").as("id_b"), col("s").as("s_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -63,6 +63,12 @@ object GraftFunctions {
         "count of English stopword tokens in a string (quality signal)"),
       (es: Seq[Expression]) => StopwordHitsExpr(es(0),
         TextFunctions.StopwordsByLang.head._2)),
+    ("graft_deletion_variants",
+      info("graft_deletion_variants",
+        "distinct <=k-char-deletion variants of a string (FastSS " +
+          "fuzzy-join index keys); arg2 = k"),
+      (es: Seq[Expression]) => DeletionVariantsExpr(es(0),
+        es(1).eval().asInstanceOf[Int])),
     ("graft_repetition",
       info("graft_repetition",
         "struct(n_tokens, distinct_tokens, top_token_count, " +

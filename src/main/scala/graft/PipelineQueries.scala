@@ -343,6 +343,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
     },
 
+    // Deterministic corpus mixing: per-source keep rates (domain
+    // reweighting) — src0 kept at 10%, src1 at 50%, src2 dropped,
+    // everything else whole. Gate row checks surviving counts.
+    "pipeline_mix" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.weightedKeep(Tables(s, dir, "documents"), "doc_id",
+          "source", Map("src0" -> 100, "src1" -> 500, "src2" -> 0))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Sequence packing: next-fit-by-start into 2048-token bins within
     // each source shard (windows stay partitioned — no global sort).
     // Token count is the deterministic chars/4 estimate so the oracle
@@ -688,6 +699,14 @@ object PipelineQueries {
         |    ELSE 'test' END AS split, n_chars
         |  FROM documents)
         |GROUP BY split""".stripMargin,
+
+    "pipeline_mix" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000003 % 1000 < CASE source
+        |  WHEN 'src0' THEN 100 WHEN 'src1' THEN 500
+        |  WHEN 'src2' THEN 0 ELSE 1000 END
+        |GROUP BY source""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT source AS shard, doc_id AS id,

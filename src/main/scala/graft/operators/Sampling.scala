@@ -61,4 +61,24 @@ object Sampling {
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic corpus mixing: keep each row with a per-group rate
+    * ("domain reweighting" — downsample boilerplate-heavy sources,
+    * keep the rare ones whole). Rates are integer per-mille so the
+    * threshold comparison is exact integer arithmetic in any engine.
+    * Narrow (filter only). Nested property: a group's 100‰ keep set is
+    * a subset of its 500‰ keep set — rate changes never resample.
+    */
+  def weightedKeep(df: DataFrame, idCol: String, groupCol: String,
+      keepPerMille: Map[String, Int],
+      defaultPerMille: Int = 1000): DataFrame = {
+    require((defaultPerMille +: keepPerMille.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), s"per-mille rates must be 0..1000")
+    val pm = pmod(idScore(col(idCol)), lit(1000L))
+    val thresh = keepPerMille.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultPerMille)) { case (acc, (g, p)) =>
+        when(col(groupCol) === g, lit(p)).otherwise(acc)
+      }
+    df.filter(pm < thresh)
+  }
 }

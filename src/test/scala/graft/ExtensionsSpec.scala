@@ -38,9 +38,11 @@ class ExtensionsSpec extends SparkSpec {
     // round-3 kernels through SQL
     val r3 = spark.sql(
       "SELECT graft_repetition('a b a b a').top_bigram_count AS bg, " +
-        "graft_redact_pii('mail x@y.io now') AS red").head()
+        "graft_redact_pii('mail x@y.io now') AS red, " +
+        "graft_deletion_variants('ab', 1) AS dv").head()
     assert(r3.getInt(0) == 2)
     assert(r3.getString(1) == "mail [EMAIL] now")
+    assert(r3.getSeq[String](2) == Seq("ab", "b", "a"))
   }
 
   test("array<double> inputs are coerced, not misread (inputTypes)") {

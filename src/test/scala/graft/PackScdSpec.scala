@@ -27,6 +27,28 @@ class PackScdSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("weightedKeep: per-group rates, nested keep sets, zero drops all") {
+    val docs = Tables(spark, sf001, "documents")
+    val kept = Sampling.weightedKeep(docs, "doc_id", "source",
+      Map("src0" -> 100, "src1" -> 500, "src2" -> 0))
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src2"))
+    assert(bySrc.getOrElse("src0", 0L) < orig("src0"))
+    // untouched groups survive whole
+    assert(bySrc("src3") == orig("src3"))
+    // nested: raising a rate only ADDS rows (rate changes never resample)
+    val small = Sampling.weightedKeep(docs, "doc_id", "source",
+        Map("src1" -> 100)).filter($"source" === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.weightedKeep(docs, "doc_id", "source",
+        Map("src1" -> 500)).filter($"source" === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
   test("nextFitByStart: bins honor budget-by-start, order, and totals") {
     val df = Seq(
       ("a", 1L, 1000L), ("a", 2L, 900L), ("a", 3L, 300L), ("a", 4L, 2500L),

@@ -33,6 +33,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // drop blocks left by previous queries (localCheckpoint RDDs from
+      // iterative operators are pinned until explicitly unpersisted —
+      // by the timed pass they'd tax storage memory: dedup_components
+      // measured 7.0s in the full sweep vs 3.6s isolated before this)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // pay previous queries' GC debt before the clock starts — without
       // this, allocation-heavy early queries tax whichever query GC
       // happens to land on (observed 2-3x per-query swings run-to-run)

@@ -276,6 +276,13 @@ object PipelineQueries {
         Tables(s, dir, "events"), gapSeconds = 1800L)
     },
 
+    // Sliding windows (1 h every 15 min): each event in 4 overlapping
+    // windows; the oracle replays Spark's epoch-aligned window starts
+    // with a list comprehension.
+    "stream_sliding" -> { (s, dir) =>
+      graft.streaming.EventStreams.slidingAgg(Tables(s, dir, "events"))
+    },
+
     // Deterministic projection of the streaming-dedup state: one row per
     // payload fingerprint with the first event id and duplicate count
     // (dropDuplicates itself keeps an arbitrary row under parallelism, so
@@ -632,6 +639,15 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+        |    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+        |      * 900000000 - i * 900000000) AS win_start
+        |  FROM events, (SELECT unnest(range(4)) AS i))
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "stream_sessions" ->
       """WITH x AS (

@@ -176,6 +176,34 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // Exact group quantiles: percentile() is an exact sort-based
+    // aggregate; quantity values are integers so the linear
+    // interpolation is bit-exact in double across engines (fractions
+    // are dyadic). At 100 TB swap for approx_percentile (t-digest).
+    "q_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("qs"), count(lit(1)).as("n"))
+        .select($"l_returnflag",
+          element_at($"qs", 1).as("q25"),
+          element_at($"qs", 2).as("q50"),
+          element_at($"qs", 3).as("q75"), $"n")
+    },
+
+    // Explicit GROUPING SETS (finer than rollup/cube): (priority, flag),
+    // (priority), and grand total — one Expand pass, no self-union.
+    "q_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+            Seq($"o_orderpriority"), Seq()),
+          $"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("sum_price"))
+    },
+
     // Semi-join (EXISTS shape): customers with at least one urgent
     // order — left_semi keeps the probe side unduplicated with no
     // post-join distinct; the filtered build side broadcasts.
@@ -336,6 +364,21 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.50) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), ())""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

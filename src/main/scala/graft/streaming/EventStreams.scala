@@ -37,6 +37,21 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window aggregate (1 h windows every 15 min): each event
+    * lands in size/slide = 4 windows — Spark expands window membership
+    * with a generator BEFORE the partial agg, so the shuffle carries
+    * (window, type) partial sums, never the 4× event rows. Watermark
+    * bounds streaming state exactly as in [[hourlyAgg]].
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Batch sessionization (gaps-and-islands with a lag window): a new
     * session starts after `gapSeconds` of user inactivity. This is the
     * oracle-checkable equivalent of [[sessionizeStateful]].

@@ -41,6 +41,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming sliding-window agg == batch; 4 windows per event") {
+    val stream = EventStreams.readStreamEvents(spark, eventsDir)
+    val q = EventStreams.slidingAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sliding_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_out")
+      .select("win_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.slidingAgg(batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // total membership = 4 × event count (size/slide overlap factor)
+    val total = EventStreams.slidingAgg(batchEvents)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == 4L * batchEvents.count())
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == batch gaps-and-islands") {
     val stream = EventStreams.readStreamEvents(spark, eventsDir)
     val evStream = stream.as[EventStreams.Event]

@@ -64,6 +64,17 @@ object MigrationQueries {
           .as("ts_out"))
     },
 
+    // SCD1 / CDC compaction: latest purchase value per user — a single
+    // map-side-combinable max_by aggregate (the change-log compaction
+    // shape; contrast mig_scd2 which keeps full history).
+    "mig_compact" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Scd.latestSnapshot(
+          Tables(s, dir, "events").filter($"event_type" === "purchase"),
+          "user_id", "ts", "value", "event_id")
+        .select($"k".as("user_id"), $"attr".as("value"), $"last_us")
+    },
+
     // SCD2 history build from a change log: per-user purchase `value`
     // versions with [valid_from, valid_to) epoch-micro bounds and an
     // is_current flag — tie-broken per timestamp, no-change rows
@@ -224,6 +235,15 @@ object MigrationQueries {
 
     "mig_projection_rename" ->
       "SELECT c_custkey AS id, c_name AS name, c_acctbal FROM customer",
+
+    "mig_compact" ->
+      """SELECT user_id, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS last_us
+        |FROM (SELECT user_id, value, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rn = 1""".stripMargin,
 
     "mig_scd2" ->
       """WITH b AS (SELECT user_id AS k,

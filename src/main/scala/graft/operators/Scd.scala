@@ -31,6 +31,21 @@ object Scd {
     *         validity bounds as epoch micros, `valid_to_us` NULL on the
     *         current row. Engine-portable output types by design.
     */
+  /** SCD1 / CDC compaction: the LATEST attribute value per key — one
+    * map-side-combinable aggregate (no window, no sort), the shape that
+    * compacts a 100 TB change log with a single shuffle of one row per
+    * key per map partition.
+    *
+    * @return (key, attr, last_us): latest observation by (ts, tie).
+    */
+  def latestSnapshot(log: DataFrame, keyCol: String, tsCol: String,
+      attrCol: String, tieCol: String): DataFrame =
+    log.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("vf"),
+        col(attrCol).as("attr"), col(tieCol).as("tie"))
+      .groupBy(col("k"))
+      .agg(max_by(col("attr"), struct(col("vf"), col("tie"))).as("attr"),
+        max(col("vf")).as("last_us"))
+
   def scd2FromChangeLog(log: DataFrame, keyCol: String, tsCol: String,
       attrCol: String, tieCol: String): DataFrame = {
     val base = log.select(col(keyCol).as("k"),

@@ -70,6 +70,18 @@ class PackScdSpec extends SparkSpec {
     assert(sums.agg(sum("bin_tokens")).head().getLong(0) == 6759L)
   }
 
+  test("latestSnapshot == the is_current rows of scd2 (attr per key)") {
+    val events = Tables(spark, sf001, "events")
+      .filter($"event_type" === "purchase")
+    val snap = Scd.latestSnapshot(events, "user_id", "ts", "value", "event_id")
+      .select($"k", $"attr").collect().map(_.toSeq).toSet
+    val current = Scd.scd2FromChangeLog(
+        events, "user_id", "ts", "value", "event_id")
+      .filter($"is_current")
+      .select($"k", $"attr").collect().map(_.toSeq).toSet
+    assert(snap == current && snap.nonEmpty)
+  }
+
   test("scd2: versions, tie-break, no-change collapse, one current per key") {
     def t(s: String) = Timestamp.valueOf(s)
     val log = Seq(

@@ -64,6 +64,13 @@ object MigrationQueries {
           .as("ts_out"))
     },
 
+    // Profiling: fixed-width value histogram of order totals — one
+    // aggregate pass, portable floor-bin arithmetic.
+    "mig_histogram" -> { (s, dir) =>
+      graft.operators.Profile.histogram(
+        Tables(s, dir, "orders"), "o_totalprice", width = 25000.0)
+    },
+
     // SCD1 / CDC compaction: latest purchase value per user — a single
     // map-side-combinable max_by aggregate (the change-log compaction
     // shape; contrast mig_scd2 which keeps full history).
@@ -235,6 +242,14 @@ object MigrationQueries {
 
     "mig_projection_rename" ->
       "SELECT c_custkey AS id, c_name AS name, c_acctbal FROM customer",
+
+    "mig_histogram" ->
+      """SELECT bin, CAST(bin AS DOUBLE) * 25000 AS lo,
+        |  COUNT(*) AS n
+        |FROM (SELECT CAST(floor(o_totalprice / CAST(25000 AS DOUBLE))
+        |    AS BIGINT) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |GROUP BY bin""".stripMargin,
 
     "mig_compact" ->
       """SELECT user_id, value,

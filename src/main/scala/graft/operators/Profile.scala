@@ -51,4 +51,20 @@ object Profile {
     }.toSeq.toDF("column", "type", "n_rows", "n_nulls", "n_distinct",
       "min_value", "max_value")
   }
+
+  /** Fixed-width histogram of a numeric column: (bin, lo, n) with
+    * bin = floor(value / width). One aggregate pass; IEEE division is
+    * correctly rounded in any engine, so bin edges are portable.
+    * NULLs are excluded (they're a profile stat, not a bin).
+    */
+  def histogram(df: DataFrame, column: String, width: Double): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    df.filter(col(column).isNotNull)
+      .select(floor(col(column).cast("double") / lit(width))
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin").cast("double") * lit(width)).as("lo"),
+        col("n"))
+  }
 }

@@ -23,8 +23,14 @@ object Sampling {
     * multiplicative hash modulo a prime. Values stay < 2^20, so they
     * are exact in double and reproducible in any engine's BIGINT
     * arithmetic (no 64-bit-hash-to-double precision loss).
+    *
+    * Reduced mod-first: (id mod p)·K ≤ 1000003·2654435761 < 2^63, so
+    * the product cannot overflow for ANY bigint id — `id·K` directly
+    * would overflow (and ANSI mode throws) for ids above ~3.5e9, which
+    * a 100 TB corpus reaches. By congruence the result is identical.
     */
-  def idScore(id: Column): Column = pmod(id * lit(2654435761L), lit(1000003L))
+  def idScore(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L))
 
   /** Up to `n` rows per stratum, picked by ascending [[idScore]]
     * (ties impossible within a stratum for distinct ids below the

@@ -350,6 +350,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
     },
 
+    // Per-group dynamic-threshold filter: keep documents above their
+    // language's MEDIAN length — the "top half by quality, per stratum"
+    // curation shape (threshold computed per group, broadcast back).
+    // Integer-valued medians make the interpolation engine-exact; at
+    // 100 TB swap percentile for approx_percentile.
+    "pipeline_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val med = d.groupBy($"lang")
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      d.join(broadcast(med), "lang")
+        .filter($"n_chars" > $"med")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), min($"n_chars").as("min_chars"))
+    },
+
     // Deterministic corpus mixing: per-source keep rates (domain
     // reweighting) — src0 kept at 10%, src1 at 50%, src2 dropped,
     // everything else whole. Gate row checks surviving counts.
@@ -715,6 +731,15 @@ object PipelineQueries {
         |    ELSE 'test' END AS split, n_chars
         |  FROM documents)
         |GROUP BY split""".stripMargin,
+
+    "pipeline_quality_filter" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM documents d JOIN m ON d.lang = m.lang
+        |WHERE d.n_chars > m.med
+        |GROUP BY d.lang""".stripMargin,
 
     "pipeline_mix" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs

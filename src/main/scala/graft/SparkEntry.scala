@@ -176,6 +176,31 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // Market-basket co-occurrence: event-type pairs by distinct-user
+    // support, plus lift. Per-user type sets are tiny (5 types), so the
+    // pair explode is bounded; support counts partial-aggregate.
+    "q_cooccur" -> { (s, dir) =>
+      import s.implicits._
+      val ut = Tables(s, dir, "events")
+        .select($"user_id", $"event_type").distinct()
+      val total = Tables(s, dir, "events")
+        .select($"user_id").distinct().count()
+      val pairs = ut.as("a").join(ut.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+        .agg(count(lit(1)).as("support"))
+      val singles = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(singles.select($"event_type".as("type_a"),
+          $"n".as("n_a"))), "type_a")
+        .join(broadcast(singles.select($"event_type".as("type_b"),
+          $"n".as("n_b"))), "type_b")
+        .select($"type_a", $"type_b", $"support",
+          ($"support".cast("double") * lit(total.toDouble) /
+            ($"n_a" * $"n_b").cast("double")).as("lift"))
+    },
+
     // Exact group quantiles: percentile() is an exact sort-based
     // aggregate; quantity values are integers so the linear
     // interpolation is bit-exact in double across engines (fractions
@@ -364,6 +389,24 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS total
+        |  FROM events),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, support,
+        |  CAST(support AS DOUBLE) * t.total
+        |    / CAST(sa.n * sb.n AS DOUBLE) AS lift
+        |FROM p CROSS JOIN t
+        |JOIN s sa ON sa.event_type = p.type_a
+        |JOIN s sb ON sb.event_type = p.type_b""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

@@ -70,6 +70,63 @@ class PackScdSpec extends SparkSpec {
     assert(sums.agg(sum("bin_tokens")).head().getLong(0) == 6759L)
   }
 
+  test("scd2 invariants on a randomized change log") {
+    val rnd = new scala.util.Random(7)
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // many collisions: few keys, few timestamps, few values
+    val log = (1 to 400).map { i =>
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(40)),
+        rnd.nextInt(3).toDouble, i.toLong)
+    }.toDF("k", "ts", "v", "eid")
+    val hist = Scd.scd2FromChangeLog(log, "k", "ts", "v", "eid")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    val byKey = hist.groupBy(_._1)
+    byKey.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // exactly one open (current) interval per key, and it's the last
+      assert(rows.count(_._5) == 1)
+      assert(sorted.last._4.isEmpty && sorted.last._5)
+      // intervals chain: each valid_to == next valid_from; no overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"gap/overlap: $a -> $b")
+          // consecutive versions always differ (no-change collapsed)
+          assert(a._2 != b._2)
+        case _ =>
+      }
+    }
+    // every key in the log appears
+    assert(byKey.keySet == (0 until 8).map(_.toLong).toSet)
+  }
+
+  test("packing invariants on randomized shards") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 500).map { i =>
+      (s"s${rnd.nextInt(6)}", i.toLong, (rnd.nextInt(3000) + 1).toLong)
+    }.toDF("src", "id", "tok")
+    val budget = 2048L
+    val packed = Packing.nextFitByStart(df, "src", "id", "tok", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // total tokens preserved; bins monotone in id within shard and
+    // contiguous from 0; a new bin starts only when the previous bin's
+    // start-measured fill reached the budget
+    assert(packed.map(_._3).sum ==
+      df.agg(sum("tok")).head().getLong(0))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      // local sequential replay: every row's bin is exactly
+      // floor(running-total-before-row / budget)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4 == 0L)
+      var cum = 0L
+      sorted.foreach { case (_, _, tok, bin) =>
+        assert(cum / budget == bin, s"start $cum bin $bin")
+        cum += tok
+      }
+    }
+  }
+
   test("latestSnapshot == the is_current rows of scd2 (attr per key)") {
     val events = Tables(spark, sf001, "events")
       .filter($"event_type" === "purchase")

@@ -63,6 +63,23 @@ object GraftFunctions {
         "count of English stopword tokens in a string (quality signal)"),
       (es: Seq[Expression]) => StopwordHitsExpr(es(0),
         TextFunctions.StopwordsByLang.head._2)),
+    ("graft_bloom_agg",
+      info("graft_bloom_agg",
+        "aggregate keys into a binary Bloom sketch; args: key, " +
+          "expected_items, num_bits (Spark's internal BloomFilterAggregate)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.XxHash64
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        new BloomFilterAggregate(XxHash64(Seq(es(0)), 42L), es(1), es(2))
+          .toAggregateExpression()
+      }),
+    ("graft_might_contain",
+      info("graft_might_contain",
+        "probe a graft_bloom_agg sketch; args: bloom, key"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+        BloomFilterMightContain(es(0), XxHash64(Seq(es(1)), 42L))
+      }),
     ("graft_deletion_variants",
       info("graft_deletion_variants",
         "distinct <=k-char-deletion variants of a string (FastSS " +

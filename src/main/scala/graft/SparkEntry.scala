@@ -176,6 +176,25 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // Bloom-pruned join: lineitem filtered by a Bloom sketch of urgent
+    // orders BEFORE its shuffle; the real join removes the sketch's
+    // false positives, so results == the plain join (the oracle).
+    "q_bloom_join" -> { (s, dir) =>
+      import s.implicits._
+      val urgent = Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey")
+      graft.operators.BloomPrune.join(
+          Tables(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+          urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 200000L, numBits = 4L * 1024 * 1024)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          decSum($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .as("revenue"))
+    },
+
     // Market-basket co-occurrence: event-type pairs by distinct-user
     // support, plus lift. Per-user type sets are tiny (5 types), so the
     // pair explode is bounded; support counts partial-aggregate.
@@ -389,6 +408,14 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey""".stripMargin,
 
     "q_cooccur" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

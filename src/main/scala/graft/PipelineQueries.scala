@@ -184,6 +184,19 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // SQ8 with rerank >= the verify-SF corpus: the exact rerank then
+    // re-scores every candidate, so the result provably equals brute
+    // force and the brute SQL is a true oracle (sim_topk_ivf pattern);
+    // the compressed-scan + rerank plan shape is still the one measured.
+    "sim_topk_sq8" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.Sq8.topK(e, queries, k = 5, dims = 64, rerank = 2000)
+        .select($"qid", $"id", $"rank")
+    },
+
     // Range (interval) join via binning: for each order, how many other
     // orders the same customer placed within the following 7 days. The
     // naive BETWEEN join is a per-key cross product; see
@@ -678,6 +691,16 @@ object PipelineQueries {
         |FROM x GROUP BY user_id""".stripMargin,
 
     "sim_topk_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "sim_topk_sq8" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid, c.vec_id AS id,
         |        list_cosine_similarity(c.embedding, q.qv) AS cos

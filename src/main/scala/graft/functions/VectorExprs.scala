@@ -207,6 +207,40 @@ object VecOps {
     s
   }
 
+  /** SQ8 encode: one byte per dimension, round((v-min)/scale) clamped
+    * to [0, 255]; scale 0 (constant dimension) encodes as 0.
+    */
+  def sq8Encode(v: ArrayData, mins: Array[Float],
+      scales: Array[Float]): Array[Byte] = {
+    val d = mins.length
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val s = scales(i)
+      val c = if (s == 0f) 0
+        else math.round((v.getFloat(i) - mins(i)) / s)
+      out(i) = math.max(0, math.min(255, c)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** SQ8 asymmetric dot: Σ q_i · (min_i + code_i·scale_i) — the
+    * dequantization folds into the accumulate, one pass, no allocation.
+    */
+  def sq8Dot(codes: Array[Byte], q: ArrayData, mins: Array[Float],
+      scales: Array[Float]): Double = {
+    val d = codes.length
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      val c = codes(i) & 0xff
+      s += q.getFloat(i).toDouble * (mins(i) + c * scales(i))
+      i += 1
+    }
+    s
+  }
+
   /** y = R·x for a row-major dims×dims matrix — the OPQ rotation applied
     * per vector in one kernel pass (float accumulate in double).
     */
@@ -371,6 +405,54 @@ case class PqLut(child: Expression, codebook: Seq[Float],
     copy(child = newChild)
 }
 
+/** sq8_encode(array<float>) → binary: one byte per dimension,
+  * code_i = round((v_i - min_i)/scale_i) clamped to 0..255. 4–8×
+  * smaller than raw float vectors with near-lossless recall after
+  * exact rerank (FAISS's SQ8 layout, public).
+  */
+case class Sq8Encode(child: Expression, mins: Seq[Float], scales: Seq[Float])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val mn: Array[Float] = mins.toArray
+  @transient private lazy val sc: Array[Float] = scales.toArray
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.sq8Encode(t.asInstanceOf[ArrayData], mn, sc)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rmn = ctx.addReferenceObj("sq8Mins", mn, "float[]")
+    val rsc = ctx.addReferenceObj("sq8Scales", sc, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.sq8Encode($t, $rmn, $rsc)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** sq8_dot(codes binary, q array<float>) → double: asymmetric dot
+  * against dequantized codes, Σ q_i·(min_i + code_i·scale_i).
+  */
+case class Sq8Dot(left: Expression, right: Expression,
+    mins: Seq[Float], scales: Seq[Float])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(BinaryType, ArrayType(FloatType))
+  @transient private lazy val mn: Array[Float] = mins.toArray
+  @transient private lazy val sc: Array[Float] = scales.toArray
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sq8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData], mn, sc)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rmn = ctx.addReferenceObj("sq8Mins", mn, "float[]")
+    val rsc = ctx.addReferenceObj("sq8Scales", sc, "float[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.sq8Dot($a, $b, $rmn, $rsc)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** pq_adc(codes, lut) → double approximate dot product. */
 case class PqAdc(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
@@ -408,6 +490,11 @@ object VectorFunctions {
     toCol(PqLut(toExpr(q), codebook, m, ksub, dsub))
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     toCol(PqAdc(toExpr(codes), toExpr(lut), ksub))
+  def sq8Encode(v: Column, mins: Seq[Float], scales: Seq[Float]): Column =
+    toCol(Sq8Encode(toExpr(v), mins, scales))
+  def sq8Dot(codes: Column, q: Column, mins: Seq[Float],
+      scales: Seq[Float]): Column =
+    toCol(Sq8Dot(toExpr(codes), toExpr(q), mins, scales))
   def rotateVec(v: Column, matrix: Seq[Float], dims: Int): Column =
     toCol(RotateVec(toExpr(v), matrix, dims))
 }

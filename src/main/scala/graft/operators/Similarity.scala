@@ -155,6 +155,70 @@ object Similarity {
     topKRank(scored, k, "cosine")
   }
 
+  /** Scalar quantization (SQ8, the FAISS `SQ8` layout): one byte per
+    * dimension with per-dimension (min, scale) learned from a sample.
+    * Complements PQ: 4–8× compression with much lower distortion than
+    * PQ at the same code budget when dims is small; encode/score are
+    * single-pass codegen'd kernels. Same scan-codes → exact-rerank
+    * plan shape as [[Pq]].
+    */
+  object Sq8 {
+
+    /** Per-dimension (mins, scales) from a driver-side sample — scale
+      * maps each dimension's sample range onto 0..255.
+      */
+    def train(corpus: DataFrame, dims: Int, sampleN: Int = 20000,
+        vecCol: String = "embedding",
+        preNormalized: Boolean = false): (Seq[Float], Seq[Float]) = {
+      val vexpr =
+        if (preNormalized) col(vecCol) else Embeddings.normalize(col(vecCol))
+      val sample = corpus.select(vexpr.as("v"))
+        .limit(sampleN).collect().map(_.getSeq[Float](0).toArray)
+      val mins = Array.fill(dims)(Float.MaxValue)
+      val maxs = Array.fill(dims)(Float.MinValue)
+      sample.foreach { v =>
+        var i = 0
+        while (i < dims) {
+          if (v(i) < mins(i)) mins(i) = v(i)
+          if (v(i) > maxs(i)) maxs(i) = v(i)
+          i += 1
+        }
+      }
+      val scales = Array.tabulate(dims)(i =>
+        if (maxs(i) > mins(i)) (maxs(i) - mins(i)) / 255f else 0f)
+      (mins.toSeq, scales.toSeq)
+    }
+
+    /** SQ8 top-k: compressed-domain approximate scan over byte codes,
+      * exact cosine rerank of the top-`rerank` candidates per query.
+      */
+    def topK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+        rerank: Int = 100,
+        idCol: String = "vec_id", vecCol: String = "embedding",
+        qidCol: String = "qid"): DataFrame = {
+      val (mins, scales) = train(corpus, dims, vecCol = vecCol)
+      val encoded = corpus.select(col(idCol).as("id"),
+        VectorFunctions.sq8Encode(
+          Embeddings.normalize(col(vecCol)), mins, scales).as("codes"))
+      val q = queries.select(col(qidCol).as("qid"),
+        Embeddings.normalize(col(vecCol)).as("qn"))
+      val approx = encoded.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          VectorFunctions.sq8Dot(col("codes"), col("qn"), mins, scales)
+            .as("adot"))
+        .filter(col("qid") =!= col("id"))
+      val cands = topKRank(approx, rerank, "adot").select(col("qid"), col("id"))
+      val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      val scored = cands
+        .join(cvecs, "id")
+        .join(broadcast(queries.select(col(qidCol).as("qid"),
+          col(vecCol).as("qv2"))), "qid")
+        .select(col("qid"), col("id"),
+          VectorFunctions.cosineSim(col("cvec"), col("qv2")).as("cosine"))
+      topKRank(scored, k, "cosine")
+    }
+  }
+
   /** Product quantization (Jégou et al., TPAMI 2011): each vector is
     * compressed to `m` sub-codebook indices; a query scores the whole
     * corpus from its ADC lookup table — `m` table adds per row instead

@@ -86,6 +86,38 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(pq == pq2)
   }
 
+  test("SQ8: byte codes approximate cosine tightly; rerank recovers top-k") {
+    val e = Tables(spark, sf001, "embeddings")
+    val dims = e.select(size($"embedding")).head().getInt(0)
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+
+    // per-dimension quantization is much tighter than PQ subspace codes
+    val (mins, scales) = Similarity.Sq8.train(e, dims)
+    val enc = e.select($"vec_id".as("id"),
+      graft.functions.VectorFunctions.sq8Encode(
+        graft.operators.Embeddings.normalize($"embedding"), mins, scales)
+        .as("codes"),
+      $"embedding")
+    val q1 = queries.limit(1).select(
+      graft.operators.Embeddings.normalize($"embedding").as("qn"),
+      $"embedding".as("qvec"))
+    val err = enc.crossJoin(broadcast(q1))
+      .select(abs(
+        graft.functions.VectorFunctions.sq8Dot($"codes", $"qn", mins, scales) -
+          graft.functions.VectorFunctions.cosineSim($"embedding", $"qvec"))
+        .as("e"))
+      .agg(avg($"e")).head().getDouble(0)
+    assert(err < 0.02, s"mean SQ8 error $err")
+
+    val brute = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.Sq8.topK(e, queries, k = 5, dims = dims, rerank = 50)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = sq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+  }
+
   test("IVF+PQ: full probe with generous rerank recovers brute-force top-k") {
     val e = Tables(spark, sf001, "embeddings")
     val dims = e.select(size($"embedding")).head().getInt(0)

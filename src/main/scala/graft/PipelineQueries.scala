@@ -343,6 +343,35 @@ object PipelineQueries {
       Sampling.stratified(Tables(s, dir, "documents"), "lang", "doc_id", 20)
     },
 
+    // Corpus n-gram statistics: document frequency of word trigrams,
+    // top 20 — the language-model / boilerplate-mining count table.
+    // One kernel pass per doc (distinct shingles), count partial-aggs.
+    "text_ngram_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(explode(TF.wordShingles($"text", 3)).as("ngram"))
+        .groupBy($"ngram").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"ngram".asc).limit(20)
+    },
+
+    // Ordered funnel: signup → first click strictly after → first
+    // purchase strictly after that, per user; one row of stage counts.
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val s1 = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c1 = e.filter($"event_type" === "click")
+        .join(s1, "user_id").filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p1 = e.filter($"event_type" === "purchase")
+        .join(c1, "user_id").filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(c1.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p1.agg(count(lit(1)).as("n_purchase_after")))
+    },
+
     // Exact edit-distance fuzzy pairs (levenshtein ≤ 1) over customer
     // names — FastSS deletion-neighborhood candidates + levenshtein
     // verify; oracle is the brute-force quadratic, so the gate proves
@@ -738,6 +767,27 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
         |  FROM documents) WHERE rank <= 20""".stripMargin,
+
+    "text_ngram_counts" -> (Shingles +
+      """, u AS (SELECT unnest(sh) AS ngram FROM sh)
+        |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM u GROUP BY ngram
+        |ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin),
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |c1 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    GROUP BY e.user_id),
+        |p1 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |    JOIN c1 ON e.user_id = c1.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > c1.t2
+        |    GROUP BY e.user_id)
+        |SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS n_click_after,
+        |  CAST((SELECT COUNT(*) FROM p1) AS BIGINT) AS n_purchase_after""".stripMargin,
 
     "dedup_fuzzy_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

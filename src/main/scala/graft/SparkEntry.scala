@@ -202,8 +202,10 @@ object CoreQueries {
       import s.implicits._
       val ut = Tables(s, dir, "events")
         .select($"user_id", $"event_type").distinct()
-      val total = Tables(s, dir, "events")
-        .select($"user_id").distinct().count()
+      // total stays IN the plan as a broadcast 1-row aggregate — no
+      // eager driver action at query-build time
+      val total = ut.select($"user_id").distinct()
+        .agg(count(lit(1)).cast("double").as("total"))
       val pairs = ut.as("a").join(ut.as("b"),
           $"a.user_id" === $"b.user_id" &&
             $"a.event_type" < $"b.event_type")
@@ -215,8 +217,9 @@ object CoreQueries {
           $"n".as("n_a"))), "type_a")
         .join(broadcast(singles.select($"event_type".as("type_b"),
           $"n".as("n_b"))), "type_b")
+        .crossJoin(broadcast(total))
         .select($"type_a", $"type_b", $"support",
-          ($"support".cast("double") * lit(total.toDouble) /
+          ($"support".cast("double") * $"total" /
             ($"n_a" * $"n_b").cast("double")).as("lift"))
     },
 

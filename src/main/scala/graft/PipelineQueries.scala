@@ -356,20 +356,26 @@ object PipelineQueries {
 
     // Ordered funnel: signup → first click strictly after → first
     // purchase strictly after that, per user; one row of stage counts.
+    // ONE scan + ONE user-partitioned sort: the three stage times are
+    // stacked min-over-window expressions (t2's predicate reads t1, so
+    // they chain over the same window spec — no join-back per stage,
+    // no re-scan of the fact table per stage).
     "q_funnel" -> { (s, dir) =>
       import s.implicits._
-      val e = Tables(s, dir, "events")
-      val s1 = e.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val c1 = e.filter($"event_type" === "click")
-        .join(s1, "user_id").filter($"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val p1 = e.filter($"event_type" === "purchase")
-        .join(c1, "user_id").filter($"ts" > $"t2")
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
-      s1.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(c1.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(p1.agg(count(lit(1)).as("n_purchase_after")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      Tables(s, dir, "events")
+        .select($"user_id", $"ts", $"event_type")
+        .withColumn("t1",
+          min(when($"event_type" === "signup", $"ts")).over(w))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        .groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+        .agg(count($"t1").as("n_signup"),
+          count($"t2").as("n_click_after"),
+          count($"t3").as("n_purchase_after"))
     },
 
     // Exact edit-distance fuzzy pairs (levenshtein ≤ 1) over customer

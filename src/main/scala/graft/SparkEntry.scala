@@ -200,8 +200,12 @@ object CoreQueries {
     // pair explode is bounded; support counts partial-aggregate.
     "q_cooccur" -> { (s, dir) =>
       import s.implicits._
+      // the distinct frame feeds FOUR consumers (self-join both sides,
+      // singles, total) — materialize it once instead of re-scanning
+      // the events table per consumer
       val ut = Tables(s, dir, "events")
         .select($"user_id", $"event_type").distinct()
+        .localCheckpoint(true)
       // total stays IN the plan as a broadcast 1-row aggregate — no
       // eager driver action at query-build time
       val total = ut.select($"user_id").distinct()

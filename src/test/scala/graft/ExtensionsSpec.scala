@@ -99,8 +99,14 @@ class ExtensionsSpec extends SparkSpec {
     val viaApi = graft.operators.AsOf.join(
       left, right, "k", "lt", "rt", Seq("price"))
     assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
-    assert(viaSql.collect().map(_.toSeq).toSet ==
-      viaApi.collect().map(_.toSeq).toSet)
+    // fallback=false: a codegen COMPILE failure in the merge exec must
+    // fail loudly here, not silently degrade (this exact test shape
+    // caught the round-3 redefinition bug only via a log line)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(viaSql.collect().map(_.toSeq).toSet ==
+        viaApi.collect().map(_.toSeq).toSet)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
     // the SQL route reaches the native merge exec, not a rewrite
     assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
 

@@ -48,6 +48,29 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs == brute force on random small-alphabet strings") {
+    // 2-letter alphabet, lengths 0..8: dense ed<=k neighborhoods with
+    // many ins/del pairs and massive shared prefixes/suffixes
+    val rnd = new scala.util.Random(23)
+    val docs = (1 to 250).map { i =>
+      val len = rnd.nextInt(9)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val fast = Dedup.editDistancePairs(docs, "id", "s", k)
+        .collect().map(_.toSeq).toSet
+      val a = docs.select($"id".as("id_a"), $"s".as("n_a"))
+      val brute = a.crossJoin(docs.select($"id".as("id_b"), $"s".as("n_b")))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          levenshtein($"n_a", $"n_b").cast("long").as("d"))
+        .filter($"d" <= k)
+        .collect().map(_.toSeq).toSet
+      assert(fast == brute, s"k=$k: ${(brute -- fast).take(5)} missed")
+      assert(brute.size > 100, s"k=$k degenerate corpus: ${brute.size}")
+    }
+  }
+
   test("editDistancePairs matches brute force on real customer names") {
     val c = Tables(spark, sf001, "customer")
     val fast = Dedup.editDistancePairs(c, "c_custkey", "c_name", 1)

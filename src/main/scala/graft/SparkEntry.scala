@@ -176,6 +176,20 @@ object CoreQueries {
           count(lit(1)).as("n"))
     },
 
+    // JSON processing: extract a typed field from the semi-structured
+    // props column and aggregate — get_json_object is codegen'd path
+    // extraction, no UDF and no full from_json materialization when
+    // only one field is read.
+    "q_json" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n"), sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+    },
+
     // Bloom-pruned join: lineitem filtered by a Bloom sketch of urgent
     // orders BEFORE its shuffle; the real join removes the sketch's
     // false positives, so results == the plain join (the oracle).
@@ -415,6 +429,14 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -165,15 +165,22 @@ object CoreQueries {
       import s.implicits._
       val l = Tables(s, dir, "lineitem")
       val p = Tables(s, dir, "part")
-      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      // pre-aggregate the fact to part grain in EXACT decimal before
+      // the broadcast join (the q3_join trick): the brand agg then
+      // reads |part| rows, not |lineitem|, and decimal associativity
+      // keeps the two-level sum bit-identical to the one-level oracle
+      val perPart = l.groupBy($"l_partkey")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(18,4)")).as("rev"),
+          count(lit(1)).as("cnt"))
+      perPart.join(broadcast(p), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
-          decSum(when($"p_type".startsWith("STANDARD"),
-            $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(lit(0)))
-            .as("standard_revenue"),
-          decSum($"l_extendedprice" * (lit(1) - $"l_discount"))
-            .as("total_revenue"),
-          count(lit(1)).as("n"))
+          sum(when($"p_type".startsWith("STANDARD"), $"rev")
+            .otherwise(lit(0).cast("decimal(28,4)")))
+            .cast("double").as("standard_revenue"),
+          sum($"rev").cast("double").as("total_revenue"),
+          sum($"cnt").as("n"))
     },
 
     // JSON processing: extract a typed field from the semi-structured

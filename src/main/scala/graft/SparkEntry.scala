@@ -183,6 +183,24 @@ object CoreQueries {
           sum($"cnt").as("n"))
     },
 
+    // Skew-resistant two-phase aggregation: pre-aggregate on
+    // (key, salt) so one hot key spreads over saltFactor reducers
+    // before the final combine — decimal accumulation keeps the result
+    // bit-identical to the direct single-phase oracle.
+    "q_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Skew.twoPhaseAgg(
+        Tables(s, dir, "events")
+          .select($"event_type",
+            $"value".cast("decimal(18,4)").as("value"),
+            lit(1L).as("one")),
+        key = "event_type", saltFactor = 8,
+        partial = Map("value" -> (c => sum(c)), "one" -> (c => sum(c))),
+        combine = Map("value" -> (c => sum(c)), "one" -> (c => sum(c))))
+        .select($"event_type", $"value".cast("double").as("sum_value"),
+          $"one".as("n"))
+    },
+
     // JSON processing: extract a typed field from the semi-structured
     // props column and aggregate — get_json_object is codegen'd path
     // extraction, no UDF and no full from_json materialization when
@@ -436,6 +454,12 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_json" ->
       """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,

@@ -183,6 +183,22 @@ object CoreQueries {
           sum($"cnt").as("n"))
     },
 
+    // Skew-resistant salted join: the hot-key fact side gets a row-hash
+    // salt, the dim side replicates saltFactor times, so one hot key
+    // spreads over saltFactor reducers; results == the plain join (the
+    // oracle). Aggregated to order counts per segment for a stable gate.
+    "q_skew_join" -> { (s, dir) =>
+      import s.implicits._
+      val joined = graft.operators.Skew.saltedJoin(
+        Tables(s, dir, "orders").select($"o_custkey", $"o_totalprice"),
+        Tables(s, dir, "customer").select($"c_custkey".as("o_custkey"),
+          $"c_mktsegment"),
+        key = "o_custkey", saltFactor = 8)
+      joined.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum($"o_totalprice").as("sum_price"))
+    },
+
     // Skew-resistant two-phase aggregation: pre-aggregate on
     // (key, salt) so one hot key spreads over saltFactor reducers
     // before the final combine — decimal accumulation keeps the result
@@ -454,6 +470,12 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,

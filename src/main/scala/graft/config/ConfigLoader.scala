@@ -37,15 +37,27 @@ object ConfigLoader {
   def loadFlat(path: String, env: Map[String, String] = sys.env): Map[String, String] = {
     val root = parse(path, env)
     val out = Map.newBuilder[String, String]
-    def walk(node: JsonNode, prefix: String): Unit =
+    // grouped → flat drops the group name EXCEPT for the reference's
+    // explicit table-name normalization (config_loader.py:87-88,
+    // 102-103): source.table_name and destination.table_name are
+    // PREFIXED, never collapsed — collapsing made the two collide on
+    // `table_name` and left the CLI's source_table/dest_table unfed
+    // from grouped configs.
+    def flatKey(group: String, key: String): String = (group, key) match {
+      case ("source", "table_name")      => "source_table"
+      case ("destination", "table_name") => "dest_table"
+      case (_, k)                        => k
+    }
+    def walk(node: JsonNode, group: String): Unit =
       node.properties().asScala.foreach { e =>
         val key = e.getKey
         val v = e.getValue
         if (key == "mappings") () // structured; not flattened
-        else if (v.isObject) walk(v, prefix) // grouped → flat: drop group name
+        else if (v.isObject) walk(v, key) // grouped → flat
         else if (v.isArray) // scalar arrays flatten to CSV (string_null_tokens)
-          out += key -> v.elements().asScala.map(_.asText()).mkString(",")
-        else if (v.isValueNode) out += key -> v.asText()
+          out += flatKey(group, key) ->
+            v.elements().asScala.map(_.asText()).mkString(",")
+        else if (v.isValueNode) out += flatKey(group, key) -> v.asText()
       }
     walk(root, "")
     out.result()

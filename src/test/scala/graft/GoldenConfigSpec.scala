@@ -47,7 +47,10 @@ class GoldenConfigSpec extends SparkSpec {
     Files.writeString(cfgPath, configJson)
 
     val flat = ConfigLoader.loadFlat(cfgPath.toString, Map.empty)
-    assert(flat("table_name") == "lm_spu") // last-writer grouped flatten
+    // grouped table names normalize PREFIXED (reference
+    // config_loader.py:87-88, 102-103) — no lossy collision
+    assert(flat("source_table") == "ods_lm_spu")
+    assert(flat("dest_table") == "lm_spu")
     assert(flat("mode") == "overwrite")
     assert(flat("string_null_tokens") == "nan,None,null,<NA>,NaN")
     val compat = ConfigLoader.compatFrom(flat)
@@ -74,8 +77,8 @@ class GoldenConfigSpec extends SparkSpec {
     val db = tmpDir("golden-derby") + "/db"
     val sink = new JdbcSink(s"jdbc:derby:$db;create=true", dialect = DerbyDialect)
     val spec = MigrationSpec(
-      sourceTable = flat.getOrElse("source_table", "ods_lm_spu"),
-      destTable = flat("table_name"),
+      sourceTable = flat("source_table"),
+      destTable = flat("dest_table"),
       mode = WriteMode.parse(flat("mode")),
       fullScanGuardLimit = None,
       mapping = plan, compat = compat)

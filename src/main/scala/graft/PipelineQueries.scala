@@ -343,6 +343,14 @@ object PipelineQueries {
       Sampling.stratified(Tables(s, dir, "documents"), "lang", "doc_id", 20)
     },
 
+    // Context-window chunking: 50-token windows, stride 40 (overlap
+    // 10) — narrow generator expansion, chunk text reassembled with
+    // builtin slice/concat_ws.
+    "text_chunks" -> { (s, dir) =>
+      TF.chunkByTokens(Tables(s, dir, "documents"), "doc_id", "text",
+        w = 50, s = 40)
+    },
+
     // Corpus n-gram statistics: document frequency of word trigrams,
     // top 20 — the language-model / boilerplate-mining count table.
     // One kernel pass per doc (distinct shingles), count partial-aggs.
@@ -773,6 +781,20 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
         |  FROM documents) WHERE rank <= 20""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT id, toks, len(toks) AS n,
+        |    (greatest(len(toks) - 50, 0) + 39) // 40 AS last_idx FROM t),
+        |c AS (SELECT id, toks, n,
+        |    unnest(range(0, last_idx + 1)) AS chunk_idx FROM n)
+        |SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[chunk_idx*40+1 : chunk_idx*40+50], ' ')
+        |    AS chunk_text,
+        |  CAST(least(50, n - chunk_idx*40) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
 
     "text_ngram_counts" -> (Shingles +
       """, u AS (SELECT unnest(sh) AS ngram FROM sh)

@@ -96,4 +96,36 @@ object TextFunctions {
     * interpretation and was the dominant cost of the dedup pipeline.
     */
   def wordShingles(c: Column, n: Int): Column = TextExprs.wordShingles(c, n)
+
+  /** Split a document into overlapping token-window chunks — the
+    * context-window preprocessing step for training corpora (size `w`
+    * tokens, stride `s`, so consecutive chunks overlap by `w - s`).
+    * Pure builtin Column arithmetic (split/sequence/slice/concat_ws,
+    * all codegen'd): a generator expansion, narrow, output inherits
+    * input partitioning. Chunk i covers tokens [i·s+1, i·s+w]; the
+    * chunk count is 1 + ceil(max(n-w, 0)/s), so a short document is
+    * exactly one chunk and the final chunk may be partial.
+    *
+    * Input must have (idCol, textCol). Output:
+    * (id, chunk_idx, chunk_text, n_chunk_tokens).
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int, s: Int): org.apache.spark.sql.DataFrame = {
+    require(w > 0 && s > 0 && s <= w, s"need 0 < stride <= window: w=$w s=$s")
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      // integer ceil-div via (x + s - 1) div s — `div` is integer in
+      // Spark SQL and `//` is its ANSI-engine floor-div counterpart
+      .withColumn("last_idx",
+        expr(s"(greatest(n - $w, 0) + ${s - 1}) div $s"))
+      .select(col("id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("last_idx"))).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * s + 1, lit(w)))
+          .as("chunk_text"),
+        least(lit(w), col("n") - col("chunk_idx") * s)
+          .cast("long").as("n_chunk_tokens"))
+  }
 }

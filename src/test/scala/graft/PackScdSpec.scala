@@ -70,6 +70,31 @@ class PackScdSpec extends SparkSpec {
     assert(sums.agg(sum("bin_tokens")).head().getLong(0) == 6759L)
   }
 
+  test("chunkByTokens: boundaries, overlap, full coverage") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, toks(10)),  // shorter than window → 1 chunk
+      (2L, toks(50)),  // exactly one window → 1 chunk
+      (3L, toks(90)),  // [1-50], [41-90] → 2 full chunks
+      (4L, toks(91))   // + partial [81-91]
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .chunkByTokens(df, "doc_id", "text", w = 50, s = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._4).toSeq == Seq(10L))
+    assert(byDoc(2L).map(_._4).toSeq == Seq(50L))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(50L, 50L))
+    assert(byDoc(4L).map(_._4).toSeq == Seq(50L, 50L, 11L))
+    // overlap: chunk 1 of doc 3 starts at token 41
+    assert(byDoc(3L)(1)._3.startsWith("t41 ") )
+    assert(byDoc(4L)(2)._3 == (81 to 91).map(i => s"t$i").mkString(" "))
+    // every token of doc 4 appears in at least one chunk
+    val covered = byDoc(4L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 91).map(i => s"t$i").toSet)
+  }
+
   test("scd2 invariants on a randomized change log") {
     val rnd = new scala.util.Random(7)
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: as-of join logical node → merge exec
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    // optimizer rule: per-group top-k window anti-pattern → bounded
+    // heap aggregate (see TopKWindowRewrite for the exactness guard)
+    e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 

@@ -310,6 +310,34 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("sum_price"))
     },
 
+    // TPC-H Q7 shape: bilateral order volume between nation pairs by
+    // year — the fact joins two independent broadcast dimension chains
+    // (supplier→nation, order→customer→nation) and groups on a derived
+    // year column; one fact shuffle on the final grouping only.
+    "q7_volume" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val n1 = n.select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = n.select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      l.join(broadcast(su.select($"s_suppkey", $"s_nationkey".as("s_nk"))),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), "s_nk")
+        .join(o.select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c.select($"c_custkey", $"c_nationkey".as("c_nk"))),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(n2), "c_nk")
+        .filter($"supp_nation" < $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"o_orderdate").as("l_year"))
+        .agg(decSum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
     // Semi-join (EXISTS shape): customers with at least one urgent
     // order — left_semi keeps the probe side unduplicated with no
     // post-join distinct; the filtered build side broadcasts.
@@ -531,6 +559,21 @@ object CoreQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |  (o_orderpriority), ())""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(o_orderdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -53,6 +53,33 @@ class TopKRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rule is active through the GraftExtensions injection path") {
+    // a session constructed with withExtensions over the SAME context
+    // (clear the active/default session so the builder doesn't hand
+    // back the shared one) — proves injectOptimizerRule wiring, not
+    // just extraOptimizations. Never stop s2: it shares the context.
+    val S = org.apache.spark.sql.SparkSession
+    S.clearActiveSession(); S.clearDefaultSession()
+    val s2 = S.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "builder returned the shared session")
+      import s2.implicits._
+      val df = (1 to 300).map(i => (i % 3, i.toLong, (i % 17).toDouble))
+        .toDF("g", "id", "score")
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Window "),
+        "injected rule did not fire:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      assert(q.count() == 12)
+    } finally {
+      S.setActiveSession(spark); S.setDefaultSession(spark)
+    }
+  }
+
   test("guards: nullable inputs, extra columns, other ranks do NOT rewrite") {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.TopKWindowRewrite)

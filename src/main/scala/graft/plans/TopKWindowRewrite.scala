@@ -25,6 +25,16 @@ import graft.functions.TopKByScore
   * the engine's own operators apply by hand (Similarity.topKRank);
   * the rule extends it to SQL-frontend users via GraftExtensions.
   *
+  * Relation to Spark's own `InferWindowGroupLimit` (3.5+): that rule
+  * inserts a WindowGroupLimit that pre-filters each MAP partition to
+  * its local top-k, but the final Window still sorts and ranks every
+  * surviving row of a group in ONE task — with few groups that task
+  * still receives k × input-partitions rows and a full per-group sort.
+  * This rewrite removes the Window entirely: the merge side is a heap
+  * merge inside a hash aggregate, never a per-group sort task. (When
+  * the rewrite fires the WindowGroupLimit becomes a harmless extra
+  * prefilter below the aggregate.)
+  *
   * Fires only where equivalence is EXACT:
   *  - single window expression, `row_number()` (rank ties impossible);
   *  - ordering is precisely (score: double DESC NULLS LAST,

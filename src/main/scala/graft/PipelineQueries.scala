@@ -343,6 +343,26 @@ object PipelineQueries {
       Sampling.stratified(Tables(s, dir, "documents"), "lang", "doc_id", 20)
     },
 
+    // End-to-end assembly composition: exact-dedup survivors →
+    // per-language median-length quality filter → train/val/test hash
+    // split → per-(split, lang) counts. Proves the corpus-assembly
+    // operators compose into one plan (dedup agg, broadcast threshold,
+    // narrow split — a single job, no intermediate materialization).
+    "pipeline_assembly" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val keep = Dedup.exact(d, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      val survivors = d.join(keep, "doc_id")
+      val med = survivors.groupBy($"lang")
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      val filtered = survivors.join(broadcast(med), "lang")
+        .filter($"n_chars" > $"med")
+      Sampling.hashSplit(filtered, "doc_id")
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+    },
+
     // Context-window chunking: 50-token windows, stride 40 (overlap
     // 10) — narrow generator expansion, chunk text reassembled with
     // builtin slice/concat_ws.
@@ -781,6 +801,24 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
         |  FROM documents) WHERE rank <= 20""".stripMargin,
+
+    "pipeline_assembly" ->
+      """WITH f AS (SELECT doc_id, lang, n_chars,
+        |    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
+        |  FROM documents),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp),
+        |surv AS (SELECT f.* FROM f JOIN reps USING (doc_id)),
+        |m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM surv GROUP BY lang),
+        |q AS (SELECT surv.doc_id, surv.lang, surv.n_chars
+        |  FROM surv JOIN m ON surv.lang = m.lang WHERE n_chars > med),
+        |s AS (SELECT lang, n_chars, CASE
+        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split FROM q)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY split, lang""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id AS id,

@@ -63,10 +63,15 @@ object Bench {
       name -> math.min(once(fn), once(fn))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: the full-Double rendering of 80+ queries pushed the
+    // JSON line past the driver's output tail buffer (BENCH_r03 captured
+    // the line with its head cut off -> parse failure). ~1.9KB now.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$cold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

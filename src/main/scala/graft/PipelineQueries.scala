@@ -382,6 +382,18 @@ object PipelineQueries {
         .orderBy($"df".desc, $"ngram".asc).limit(20)
     },
 
+    // Benchmark decontamination: training docs sharing >= 3 distinct
+    // word trigrams with the held-out "benchmark" split (doc_id % 23).
+    // Benchmark shingles broadcast; the corpus never shuffles — only
+    // collision hits reach the per-pair count (operators/Decontaminate).
+    "text_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.overlapPairs(
+        d.filter($"doc_id" % 23 =!= 0), d.filter($"doc_id" % 23 === 0),
+        "doc_id", "text", n = 3, minShared = 3)
+    },
+
     // Ordered funnel: signup → first click strictly after → first
     // purchase strictly after that, per user; one row of stage counts.
     // ONE scan + ONE user-partitioned sort: the three stage times are
@@ -833,6 +845,15 @@ object PipelineQueries {
         |    AS chunk_text,
         |  CAST(least(50, n - chunk_idx*40) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+
+    "text_decontam" -> (Shingles +
+      """, b AS (SELECT doc_id AS bench_id, unnest(sh) AS ngram
+        |        FROM sh WHERE doc_id % 23 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS ngram
+        |      FROM sh WHERE doc_id % 23 <> 0)
+        |SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM c JOIN b USING (ngram)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin),
 
     "text_ngram_counts" -> (Shingles +
       """, u AS (SELECT unnest(sh) AS ngram FROM sh)

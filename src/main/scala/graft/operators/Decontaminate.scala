@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation/benchmark set (the standard train-set
+  * hygiene step for LLM corpora — n-gram collision decontamination as
+  * published for GPT-3 (Brown et al. 2020 §C) and PaLM; public method).
+  *
+  * Scale shape (100 TB corpus, ~10^4..10^6 benchmark docs): the
+  * benchmark side is tiny by construction, so its exploded distinct
+  * shingle table is BROADCAST — the corpus side streams map-side
+  * through the hash join with no shuffle of corpus text or shingles.
+  * Only actual collisions (rare: contamination is the exception) reach
+  * the (doc, bench_doc) count shuffle, which carries two longs per hit.
+  * Shingles per document are distinct ([[TextFunctions.wordShingles]]),
+  * so a plain COUNT per pair IS the distinct-shared-shingle count — no
+  * count_distinct expand needed.
+  */
+object Decontaminate {
+
+  /** (doc_id, bench_id, n_shared) for every corpus×benchmark document
+    * pair sharing at least `minShared` distinct word n-grams.
+    */
+  def overlapPairs(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minShared: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    c.join(broadcast(b), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus rows with every contaminated document removed: anti-join on
+    * the distinct flagged ids. The flagged set is small (collisions
+    * only), so Spark plans a broadcast anti-join — the corpus never
+    * shuffles.
+    */
+  def clean(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minShared: Int = 5): DataFrame = {
+    val flagged = overlapPairs(corpus, bench, idCol, textCol, n, minShared)
+      .select(col("doc_id")).distinct()
+    corpus.join(flagged,
+      corpus(idCol) === flagged("doc_id"), "left_anti")
+  }
+}

@@ -267,6 +267,17 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_tokens")
     },
 
+    // Per-source cap (crawl curation's per-domain limit): keep the 10
+    // longest docs per source, n_chars DESC / doc_id ASC — bounded-heap
+    // TopKByScore map-side prune, kept ids broadcast back for full rows
+    // (operators/Sampling.capPerGroup).
+    "pipeline_source_cap" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.capPerGroup(Tables(s, dir, "documents"),
+          "source", "doc_id", col("n_chars"), n = 10)
+        .select($"source", $"doc_id", $"rank", $"n_chars")
+    },
+
     // custom TypedImperativeAggregate: per-label embedding centroids
     // (fixed-size buffers, no element explosion; exactness proven in
     // EmbeddingsSpec against the posexplode formulation)
@@ -737,6 +748,15 @@ object PipelineQueries {
         |SELECT s.doc_id, s.lang, s.n_tokens
         |FROM stats s JOIN keep k ON s.doc_id = k.doc_id
         |WHERE s.n_tokens >= 20 AND s.alpha > 0.5""".stripMargin,
+
+    "pipeline_source_cap" ->
+      """SELECT source, doc_id, rank, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS INT)
+        |      AS rank
+        |  FROM documents)
+        |WHERE rank <= 10""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

@@ -47,6 +47,35 @@ object Sampling {
       .select(col("stratum"), explode(col("topk")).as("e"))
       .select(col("stratum"), col("e.id").as("id"), col("e.rank").as("rank"))
 
+  /** Per-group cap ("domain cap"): keep at most `n` best rows per group
+    * by (`scoreCol` DESC, id ASC tiebreak) — crawl curation's per-domain
+    * limit, where one hot domain can contribute billions of pages that
+    * would drown the mix.
+    *
+    * Two-stage shape: the bounded-heap [[graft.functions.TopKAgg]]
+    * aggregate prunes each input partition to ≤ n rows per group
+    * map-side, so the only wide exchange carries k·groups·partitions
+    * (id, score) pairs — never the documents, and never a full
+    * per-group sort (the window formulation puts the entire hot domain
+    * in ONE task). Full rows come back via a join on the kept ids: the
+    * kept set is ≤ n·|groups| rows, which Spark broadcasts, so the
+    * corpus side stays narrow end-to-end.
+    *
+    * Output: every `df` column plus `rank` (1..n within the group).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      score: Column, n: Int): DataFrame = {
+    val kept = df
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        score.cast("double").as("score"))
+      .groupBy(col("grp"))
+      .agg(TopKAgg.topKByScore(col("score"), col("id"), n).as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.id").as("__keep_id"), col("e.rank").as("rank"))
+    df.join(broadcast(kept), df(idCol) === kept("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** Deterministic train/val/test assignment by id hash — the standard
     * "split by hash, not by order" rule for training corpora (row order
     * is partition-dependent in any distributed engine; an id hash gives

@@ -61,4 +61,26 @@ class LayoutSamplingSpec extends SparkSpec {
       .groupBy("stratum").count().collect().map(_.getLong(1))
     assert(counts.forall(_ <= 7))
   }
+
+  test("capPerGroup: matches window formulation incl. score ties, keeps full rows") {
+    val docs = Tables(spark, sf001, "documents")
+    val capped = Sampling.capPerGroup(docs, "source", "doc_id",
+      $"n_chars", n = 5)
+    // full schema survives, plus rank
+    assert(capped.columns.toSet == docs.columns.toSet + "rank")
+
+    val mine = capped.select($"source", $"doc_id", $"rank")
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"n_chars".cast("double").desc, $"doc_id".asc)
+    val viaWindow = docs
+      .select($"source", $"doc_id", row_number().over(w).as("rank"))
+      .filter($"rank" <= 5)
+      .collect().map(_.toSeq).toSet
+    assert(mine == viaWindow && mine.nonEmpty)
+
+    val counts = capped.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 5))
+  }
 }

@@ -116,6 +116,18 @@ object PipelineQueries {
         .select($"id", $"comp", $"comp_size")
     },
 
+    // Cluster representative selection: the dedup keep-list — best doc
+    // (longest, id-ASC tiebreak) per near-dup component, singletons kept
+    // as their own clusters. max_by aggregate, no per-cluster window
+    // task (operators/Dedup.clusterRepresentatives).
+    "dedup_representatives" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        "doc_id", "text", n = 3, threshold = 0.5).select($"id_a", $"id_b")
+      Dedup.clusterRepresentatives(docs, pairs, "doc_id", $"n_chars")
+    },
+
     "dedup_minhash_pairs" -> { (s, dir) =>
       // approximate candidates, verified with true jaccard (no oracle:
       // banding may miss ~1% of pairs; recall asserted in PipelineSpec)
@@ -710,6 +722,34 @@ object PipelineQueries {
         |          FROM comp GROUP BY comp)
         |SELECT comp.id, comp.comp, sizes.comp_size
         |FROM comp JOIN sizes ON comp.comp = sizes.c""".stripMargin),
+
+    "dedup_representatives" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT comp.id, comp.comp, documents.n_chars
+        |  FROM comp JOIN documents ON comp.id = documents.doc_id),
+        |ranked AS (
+        |  SELECT id AS keep_id, comp AS cluster_id,
+        |    row_number() OVER (PARTITION BY comp
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, id ASC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+        |  FROM scored)
+        |SELECT keep_id, cluster_id, cluster_size FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, doc_id, CAST(1 AS BIGINT) FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin),
 
     "q_range_join" ->
       """SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_follow

@@ -262,6 +262,38 @@ object Dedup {
     labels
   }
 
+  /** The keep-list a dedup stage actually applies: one representative
+    * per near-dup cluster (highest `score`, id-ASC tiebreak) plus every
+    * singleton document untouched by any pair.
+    *
+    * Representative choice is a `max_by` over `struct(score, -id)` —
+    * one partial-aggregable pass, so a degenerate giant cluster
+    * (millions of identical boilerplate pages, the 100 TB reality)
+    * combines map-side instead of landing in one window task. The
+    * singleton side is a broadcast anti-join against the (small)
+    * member-id set.
+    *
+    * Output: (keep_id, cluster_id, cluster_size); singletons carry
+    * cluster_id = own id, cluster_size = 1.
+    */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String, score: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = docs.select(col(idCol).as("id"),
+      score.cast("double").as("__score"))
+    val reps = comp.join(scored, "id")
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("id"), struct(col("__score"), (-col("id")).as("nid")))
+          .as("keep_id"))
+      .select(col("keep_id"), col("cluster_id"), col("cluster_size"))
+    val singles = docs
+      .join(broadcast(comp.select(col("id").as(idCol))), Seq(idCol), "left_anti")
+      .select(col(idCol).as("keep_id"), col(idCol).as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    reps.unionByName(singles)
+  }
+
   /** Connected components in O(log n) rounds — the large-star/small-star
     * alternation (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14, public). Same output contract as

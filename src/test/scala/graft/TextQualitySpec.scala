@@ -87,6 +87,48 @@ class TextQualitySpec extends SparkSpec {
     assert(got.size == 15)
   }
 
+  test("cluster representatives: best-score rep per component, singletons kept") {
+    val docs = Seq(
+      (1L, 50L), (2L, 80L), (3L, 80L),   // cluster {1,2,3}: 2 and 3 tie on
+                                         // score → id-ASC keeps 2
+      (10L, 5L), (11L, 9L),              // cluster {10,11}: 11 wins
+      (42L, 7L), (43L, 1L)               // singletons (no pairs)
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.clusterRepresentatives(
+        docs, pairs, "doc_id", col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (2L, 1L, 3L), (11L, 10L, 2L),      // reps with cluster sizes
+      (42L, 42L, 1L), (43L, 43L, 1L)))   // singletons as own clusters
+  }
+
+  test("cluster representatives on real docs == window formulation") {
+    val docs = Tables(spark, sf001, "documents")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs,
+      "doc_id", "text", n = 3, threshold = 0.5).select($"id_a", $"id_b")
+    val res = graft.operators.Dedup.clusterRepresentatives(
+      docs, pairs, "doc_id", $"n_chars")
+
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"comp")
+      .orderBy($"n_chars".cast("double").desc, $"id".asc)
+    val viaWindow = comp.join(docs, $"id" === $"doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"id", $"comp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mineClusters = res.filter($"cluster_size" >= 2)
+      .select($"keep_id", $"cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mineClusters == viaWindow && mineClusters.nonEmpty)
+
+    // every doc accounted for exactly once: reps + dropped = all docs
+    val nMembers = comp.count()
+    val nClusters = comp.select("comp").distinct().count()
+    assert(res.count() == docs.count() - nMembers + nClusters)
+  }
+
   test("log-star components == min-propagation on random graphs; deep chain in few rounds") {
     val rnd = new scala.util.Random(23)
     val randomPairs = (1 to 150).map { _ =>

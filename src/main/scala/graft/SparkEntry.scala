@@ -407,6 +407,64 @@ object CoreQueries {
         .select($"o_orderpriority", $"o_totalprice".as("median_price"))
     },
 
+    // TPC-H Q2 shape: rows matching their group's minimum (min-cost
+    // supplier per part). Decorrelated to a per-key min + equi-join —
+    // the plan Spark's own subquery decorrelation produces: one fact
+    // shuffle on the key for the min, the join reuses that partitioning,
+    // supplier broadcast. min/equality on raw doubles involve no
+    // arithmetic, so the filter is engine-exact.
+    "q_mincost" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      val mins = li.groupBy($"l_partkey")
+        .agg(min($"l_extendedprice").as("min_price"))
+      li.join(mins, "l_partkey")
+        .filter($"l_extendedprice" === $"min_price")
+        .join(broadcast(Tables(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"l_partkey", $"l_suppkey", $"s_name", $"min_price")
+        .distinct()
+    },
+
+    // Window-function breadth: lag/lead/ntile/percent_rank/cume_dist in
+    // one per-customer pass (one shuffle + one sort serves all five —
+    // same window spec). percent_rank/cume_dist are single integer
+    // divisions, bit-exact cross-engine; the (date, key) order is a
+    // total order, so no tie ambiguity.
+    "q_window_fns" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+    },
+
+    // TPC-H Q22 shape: global scalar subquery (avg balance of positive
+    // accounts) broadcast into a filter, then an anti-join against
+    // orders — "rich customers who never bought". The scalar is a 1-row
+    // aggregate kept IN the plan (broadcast nested loop), never a
+    // driver-side collect; avg = decimal-exact sum / count in ONE
+    // double division, bit-exact cross-engine.
+    "q22_idle_rich" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val avgBal = c.filter($"c_acctbal" > 0)
+        .agg((decSum($"c_acctbal") / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(Tables(s, dir, "orders"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), decSum($"c_acctbal").as("sum_bal"))
+    },
+
     // SQL frontend: the same engine drives spark.sql over registered
     // views (the reference's users talk SQL to the source warehouse).
     "q_sql" -> { (s, dir) =>
@@ -601,6 +659,37 @@ object CoreQueries {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |           / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q_mincost" ->
+      """SELECT DISTINCT l_partkey, l_suppkey, s_name,
+        |  l_extendedprice AS min_price
+        |FROM lineitem l JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_extendedprice = (
+        |  SELECT min(l_extendedprice) FROM lineitem i
+        |  WHERE i.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q_window_fns" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_median" ->
       """SELECT o_orderpriority, o_totalprice AS median_price FROM (

@@ -465,6 +465,37 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), decSum($"c_acctbal").as("sum_bal"))
     },
 
+    // GK-sketch quantiles (operators/Sketch.quantiles): fixed-size
+    // mergeable summary instead of q_quantiles' exact sort-based
+    // percentile. At accuracy >= group size GK never compresses, so the
+    // result is exactly the rank-ceil(p*n) element (= quantile_disc) —
+    // which is what the oracle checks; at 100 TB lower the accuracy
+    // knob and the same plan gives bounded-rank-error answers.
+    "sketch_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sketch.quantiles(Tables(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75))
+        .select($"o_orderpriority",
+          element_at($"qs", 1).as("q25"),
+          element_at($"qs", 2).as("q50"),
+          element_at($"qs", 3).as("q75"), $"n")
+    },
+
+    // Mergeable-HLL distinct rollup (operators/Sketch): per-month
+    // customer sketches unioned to one estimate — the stored-sketch
+    // pattern that answers "distinct users this quarter" from |groups|
+    // rows instead of a 100 TB rescan. No oracle: the DataSketches HLL
+    // binary isn't replicable in the gate engine; merge-equality and
+    // error bounds are asserted in SketchSpec.
+    "sketch_hll_rollup" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sketch.hllRollup(
+        graft.operators.Sketch.hllSketches(
+          Tables(s, dir, "orders")
+            .withColumn("m", month($"o_orderdate")),
+          "m", "o_custkey"))
+    },
+
     // SQL frontend: the same engine drives spark.sql over registered
     // views (the reference's users talk SQL to the source warehouse).
     "q_sql" -> { (s, dir) =>
@@ -659,6 +690,14 @@ object CoreQueries {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |           / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "sketch_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.25) AS q25,
+        |  quantile_disc(o_totalprice, 0.50) AS q50,
+        |  quantile_disc(o_totalprice, 0.75) AS q75,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_mincost" ->
       """SELECT DISTINCT l_partkey, l_suppkey, s_name,

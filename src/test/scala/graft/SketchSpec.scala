@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketch
+
+/** Mergeable-sketch operators: HLL merge equality + error bounds, GK
+  * quantile exactness at full accuracy, CMS frequency bounds.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = Tables(spark, sf001, "orders")
+
+  test("HLL: union of partial sketches == direct sketch; error bound vs exact") {
+    val direct = Sketch.hllDistinct(
+        orders.withColumn("g", lit(1)), "g", "o_custkey")
+      .head().getLong(1)
+    val rolled = Sketch.hllRollup(
+        Sketch.hllSketches(
+          orders.withColumn("m", month($"o_orderdate")), "m", "o_custkey"))
+      .head().getLong(0)
+    // merging per-month sketches must reproduce the direct estimate
+    assert(rolled == direct)
+
+    val exact = orders.select(count_distinct($"o_custkey")).head().getLong(0)
+    assert(math.abs(rolled - exact).toDouble / exact < 0.02,
+      s"HLL estimate $rolled vs exact $exact")
+  }
+
+  test("HLL per-group: coupon-mode cardinalities are exact") {
+    val got = Sketch.hllDistinct(orders, "o_orderpriority", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy($"o_orderpriority")
+      .agg(count_distinct($"o_custkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sf0.001 cardinalities (~150/group) sit far below the lgK=14
+    // coupon capacity, where DataSketches is exact by construction
+    assert(got == exact)
+  }
+
+  test("GK quantiles at full accuracy == exact rank-ceil(p*n) selection") {
+    val got = Sketch.quantiles(orders, "o_orderpriority", "o_totalprice",
+        Seq(0.25, 0.5, 0.75))
+      .select($"o_orderpriority", element_at($"qs", 2).as("q50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // ground truth: the element at rank ceil(0.5 * n) under a total sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"o_totalprice".asc)
+    val truth = orders
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"o_orderpriority")))
+      .filter($"rk" === ceil($"n" * 0.5))
+      .select($"o_orderpriority", $"o_totalprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == truth && got.nonEmpty)
+  }
+
+  test("CMS: estimates overcount only, within eps*N") {
+    val n = orders.count()
+    val truth = orders.groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketch.cmsFrequencies(orders, "o_orderpriority",
+        truth.keys.toSeq.sorted, eps = 0.001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS undercounted $k: ${est(k)} < $t")
+      assert(est(k) <= t + (0.001 * n).toLong + 1,
+        s"CMS overcount beyond bound for $k: ${est(k)} vs $t")
+    }
+  }
+}

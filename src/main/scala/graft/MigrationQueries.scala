@@ -95,6 +95,28 @@ object MigrationQueries {
           $"valid_from_us", $"valid_to_us", $"is_current")
     },
 
+    // MERGE INTO (upsert + tombstones) applied as one full-outer join:
+    // a deterministic change batch (doubled totals for keys %10,
+    // tombstones for %97, fresh inserts shifted by +10M for %13) onto
+    // the orders base — whole-row replace semantics, oracle replays the
+    // identical batch in SQL (operators/Scd.mergeUpsert).
+    "mig_merge_upsert" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir, "orders")
+      val updates = base
+        .filter($"o_orderkey" % 10 === 0 && $"o_orderkey" % 97 =!= 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+        .withColumn("_del", lit(false))
+      val deletes = base.filter($"o_orderkey" % 97 === 0)
+        .withColumn("_del", lit(true))
+      val inserts = base.filter($"o_orderkey" % 13 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+        .withColumn("_del", lit(false))
+      graft.operators.Scd.mergeUpsert(base,
+        updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey", deletedCol = Some("_del"))
+    },
+
     // T13: conversion-error analysis as a distributed query — count +
     // sample of the values the declared type would coerce to NULL
     // (CastDiagnostics.sampleFailures runs this same predicate).
@@ -276,6 +298,37 @@ object MigrationQueries {
         |  lead(vf) OVER (PARTITION BY k ORDER BY vf) AS valid_to_us,
         |  (lead(vf) OVER (PARTITION BY k ORDER BY vf) IS NULL) AS is_current
         |FROM sv""".stripMargin,
+
+    "mig_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+        |    FALSE AS _del
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, TRUE
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority, FALSE
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderkey
+        |       ELSE b.o_orderkey END AS o_orderkey,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+        |       ELSE b.o_custkey END AS o_custkey,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+        |       ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderdate
+        |       ELSE b.o_orderdate END AS o_orderdate,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority
+        |       ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM orders b FULL OUTER JOIN changes c
+        |  ON b.o_orderkey = c.o_orderkey
+        |WHERE NOT COALESCE(c._del, FALSE)""".stripMargin,
 
     "mig_cast_pipeline" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -46,6 +46,47 @@ object Scd {
       .agg(max_by(col("attr"), struct(col("vf"), col("tie"))).as("attr"),
         max(col("vf")).as("last_us"))
 
+  /** MERGE INTO semantics as one relational pass: apply a deduplicated
+    * change batch (upserts + optional tombstones) onto a base table.
+    *
+    *   - key in both        → the change row replaces the base row
+    *                          WHOLE-ROW (a NULL in the change means set
+    *                          NULL, not keep-old — MERGE semantics)
+    *   - key only in batch  → insert
+    *   - key only in base   → keep
+    *   - tombstoned key     → drop
+    *
+    * One full-outer join on the key. At scale the base is the big side:
+    * bucket/partition it by the key and the join co-locates; a small
+    * change batch broadcasts and the base never shuffles at all. The
+    * whole-row CASE (not per-column coalesce) keys off the batch key's
+    * presence.
+    *
+    * `changes` must carry the base schema plus (optionally) a boolean
+    * `deletedCol`, and at most one row per key — pre-compact a raw
+    * change log with [[latestSnapshot]] semantics first.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.forall(changes.columns.contains),
+      s"changes must carry every base column; missing " +
+        dataCols.filterNot(changes.columns.contains).mkString(","))
+    val b = base.as("b")
+    val c = changes.as("c")
+    val joined = b.join(c, col(s"b.$keyCol") === col(s"c.$keyCol"),
+      "full_outer")
+    val inBatch = col(s"c.$keyCol").isNotNull
+    val kept = deletedCol match {
+      case Some(d) => joined.filter(!(inBatch && coalesce(col(s"c.$d"),
+        lit(false))))
+      case None => joined
+    }
+    kept.select(dataCols.map { cn =>
+      when(inBatch, col(s"c.$cn")).otherwise(col(s"b.$cn")).as(cn)
+    }: _*)
+  }
+
   def scd2FromChangeLog(log: DataFrame, keyCol: String, tsCol: String,
       attrCol: String, tieCol: String): DataFrame = {
     val base = log.select(col(keyCol).as("k"),

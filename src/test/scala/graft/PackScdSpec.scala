@@ -164,6 +164,33 @@ class PackScdSpec extends SparkSpec {
     assert(snap == current && snap.nonEmpty)
   }
 
+  test("mergeUpsert: update replaces whole row, tombstone drops, insert adds, rest kept") {
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "name", "price")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 25.0, false), // update: NULL name must WIN (whole-row)
+      (3L, "c", 30.0, true),                        // tombstone
+      (9L, "z", 90.0, false)                        // insert
+    ).toDF("k", "name", "price", "_del")
+    val got = graft.operators.Scd.mergeUpsert(base, changes, "k", Some("_del"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      (1L, Some("a"), 10.0),
+      (2L, None, 25.0),
+      (4L, Some("d"), 40.0),
+      (9L, Some("z"), 90.0)))
+  }
+
+  test("mergeUpsert without tombstone column: pure upsert") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val got = graft.operators.Scd.mergeUpsert(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
   test("scd2: versions, tie-break, no-change collapse, one current per key") {
     def t(s: String) = Timestamp.valueOf(s)
     val log = Seq(

@@ -507,6 +507,14 @@ object PipelineQueries {
       graft.streaming.EventStreams.attributePurchases(Tables(s, dir, "events"))
     },
 
+    // Stream-stream LEFT OUTER join: every purchase, matched click or
+    // NULL ("organic") — the streaming path needs watermark+range so
+    // null rows flush on watermark passage (StreamingSpec).
+    "stream_join_left" -> { (s, dir) =>
+      graft.streaming.EventStreams.attributePurchasesLeft(
+        Tables(s, dir, "events"))
+    },
+
     // ---------------- multimodal plumbing ----------------
     "mm_decode_meta" -> { (s, dir) =>
       Multimodal.decodeMeta(
@@ -991,6 +999,17 @@ object PipelineQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT c.user_id, c.click_id, p.purchase_id
         |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000""".stripMargin,
+
+    "stream_join_left" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, c.click_id
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
         |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000""".stripMargin,
 
     "sim_topk_brute" ->

@@ -173,6 +173,46 @@ object EventStreams {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER attribution: every purchase, with its
+    * qualifying same-user click when one exists within `windowSeconds`
+    * before it, and NULL click columns otherwise ("organic"
+    * conversions stay in the result — the inner join silently drops
+    * them).
+    *
+    * Streaming path: outer stream-stream joins additionally require
+    * the watermark + event-time range so the engine KNOWS when a
+    * purchase can no longer find a click — only then is the
+    * null-padded row emitted and its state evicted. Consequence tested
+    * in StreamingSpec: unmatched rows appear once the watermark passes
+    * purchase_ts + window, so a tail purchase needs later data to
+    * flush it (batch equality holds after a watermark-advancing flush
+    * event). Batch path: the identical plan is an ordinary left range
+    * join.
+    */
+  def attributePurchasesLeft(events: DataFrame,
+      windowSeconds: Long = 1800L,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks0 = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purch0 = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val (clicks, purch) =
+      if (events.isStreaming)
+        (clicks0.withWatermark("click_ts", watermark),
+          purch0.withWatermark("purchase_ts", watermark))
+      else (clicks0, purch0)
+    purch.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $windowSeconds SECONDS"),
+        "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"))
+  }
+
   /** File-source streaming read of an events parquet (schema pinned from
     * a batch probe; nanos ts normalized like the batch path).
     */

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{max, unix_micros}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
@@ -138,6 +139,54 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     // with watermark = 2h, all windows older than max(ts)-2h are final
     assert(spark.table("hourly_append").count() > 0)
+  }
+
+  test("stream-stream LEFT OUTER join == batch after watermark flush; organic rows present") {
+    // outer-join null rows are only emitted when a LATER batch advances
+    // the watermark past purchase_ts + window — stage the real events
+    // plus two far-future flush files (sentinel users < 0), processed as
+    // separate micro-batches, so every real unmatched purchase flushes.
+    val d = tmpDir("stream-events-left")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val maxUs = batchEvents.select(max(unix_micros($"ts"))).head().getLong(0)
+    def writeFlush(name: String, uid: Long, ns: Long): Unit = {
+      val tmp = tmpDir(s"flush-$name")
+      Seq((9000000L - uid, ns, uid, "click", 0.0, "{}"),
+        (9100000L - uid, ns, uid - 1, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$d/$name.parquet"))
+    }
+    val day = 86400L * 1000000L
+    writeFlush("z_flush1", -1L, (maxUs + 10 * day) * 1000L)
+    writeFlush("z_flush2", -3L, (maxUs + 20 * day) * 1000L)
+
+    val schema = Tables.read(spark, s"$d/events.parquet").schema
+    val stream = Tables.normalizeNanos(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d))
+    val joined = EventStreams.attributePurchasesLeft(stream)
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_left_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_left_out")
+      .filter($"user_id" >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.attributePurchasesLeft(batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the left-outer point: organic purchases survive with NULL click
+    assert(batch.exists(_(2) == null))
   }
 
   test("stream-stream self-join (click→purchase attribution) == batch range join") {

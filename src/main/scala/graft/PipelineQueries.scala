@@ -405,6 +405,13 @@ object PipelineQueries {
         .orderBy($"df".desc, $"ngram".asc).limit(20)
     },
 
+    // Characteristic terms per doc: top-3 by (tf DESC, df ASC, term ASC)
+    // — integer-exact tf-idf ordering (operators/TextQuality.topTermsTfDf).
+    "text_top_terms" -> { (s, dir) =>
+      TextQuality.topTermsTfDf(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+    },
+
     // Benchmark decontamination: training docs sharing >= 3 distinct
     // word trigrams with the held-out "benchmark" split (doc_id % 23).
     // Benchmark shingles broadcast; the corpus never shuffles — only
@@ -913,6 +920,23 @@ object PipelineQueries {
         |    AS chunk_text,
         |  CAST(least(50, n - chunk_idx*40) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text),'\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS INT)
+        |      AS rank
+        |  FROM tf JOIN dfreq USING (term))
+        |WHERE rank <= 3""".stripMargin,
 
     "text_decontam" -> (Shingles +
       """, b AS (SELECT doc_id AS bench_id, unnest(sh) AS ngram

@@ -98,4 +98,35 @@ object TextQuality {
         (col("sum_freq").cast("double") / col("n_tokens"))
           .as("mean_token_freq"))
   }
+
+  /** Per-document characteristic terms: top `k` tokens by term
+    * frequency, rarest-in-corpus first on ties (tf DESC, df ASC, term
+    * ASC) — the integer-exact core of tf-idf ranking (the float idf
+    * log is left to consumers; the ORDER is already idf's order on a
+    * tf tie, so the gate stays engine-exact).
+    *
+    * Shape: one explode feeds both aggregates — tf partial-aggregates
+    * on (doc, term); df counts distinct docs per term. The df table is
+    * |vocab| rows joined back on term (hash join on the term key — at
+    * corpus scale vocab is heavy-tailed, and the join key distribution
+    * matches the tf table's, so no broadcast assumption). The final
+    * top-k window partitions by DOCUMENT — bounded groups (a doc's
+    * distinct terms), so no single-task risk at any corpus size.
+    */
+  def topTermsTfDf(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
 }

@@ -70,6 +70,23 @@ class TextQualitySpec extends SparkSpec {
     assert(got(2L) == ((3L, 6L, 1L, 1L, 2.0)))
   }
 
+  test("topTermsTfDf: tf-desc order, df-asc then term-asc tie-breaks") {
+    val docs = Seq(
+      (1L, "x x y z"),   // tf: x=2, y=1, z=1; df: x=2, y=1, z=2
+      (2L, "x z z q")    // tf: z=2, x=1, q=1; df: q=1
+    ).toDF("doc_id", "text")
+    val got = TextQuality.topTermsTfDf(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: x first (tf 2); then y before z (tf tie 1, df 1 < 2)
+    assert(got((1L, 1)) == (("x", 2L, 2L)))
+    assert(got((1L, 2)) == (("y", 1L, 1L)))
+    // doc 2: z first (tf 2); then q before x (tf tie 1, df 1 < 2)
+    assert(got((2L, 1)) == (("z", 2L, 2L)))
+    assert(got((2L, 2)) == (("q", 1L, 1L)))
+  }
+
   test("connected components: transitive chains collapse to min-id clusters") {
     val pairs = Seq(
       (2L, 1L), (2L, 3L),                    // component {1,2,3} → 1

@@ -128,6 +128,21 @@ object PipelineQueries {
       Dedup.clusterRepresentatives(docs, pairs, "doc_id", $"n_chars")
     },
 
+    // Near-dup graph degree: how many partners each duplicate doc has —
+    // the triage stat that separates pairwise dupes from boilerplate
+    // hubs (a hub's degree explodes quadratically; its CLUSTER is what
+    // dedup_representatives collapses). Mirror-union + one count agg.
+    "dedup_degree" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+        .select($"id_a", $"id_b").localCheckpoint(true)
+      pairs.select($"id_a".as("doc_id"))
+        .unionAll(pairs.select($"id_b".as("doc_id")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("degree"))
+    },
+
     "dedup_minhash_pairs" -> { (s, dir) =>
       // approximate candidates, verified with true jaccard (no oracle:
       // banding may miss ~1% of pairs; recall asserted in PipelineSpec)
@@ -737,6 +752,18 @@ object PipelineQueries {
         |          FROM comp GROUP BY comp)
         |SELECT comp.id, comp.comp, sizes.comp_size
         |FROM comp JOIN sizes ON comp.comp = sizes.c""".stripMargin),
+
+    "dedup_degree" -> (Shingles +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |  SELECT id_a AS doc_id FROM pairs
+        |  UNION ALL SELECT id_b FROM pairs)
+        |GROUP BY doc_id""".stripMargin),
 
     "dedup_representatives" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
       """,

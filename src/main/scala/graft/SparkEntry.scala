@@ -465,6 +465,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), decSum($"c_acctbal").as("sum_bal"))
     },
 
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue —
+    // fact pre-aggregated to order grain in exact decimal (the q3
+    // trick), one shuffle to customer grain, dims broadcast, and the
+    // global top-k is TakeOrderedAndProject (per-partition heads, no
+    // full sort) with a key tiebreak for determinism.
+    "q10_returns" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      val perOrder = li.groupBy($"l_orderkey")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,4)")).as("rev"))
+      perOrder.join(Tables(s, dir, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(sum($"rev").as("revd"), count(lit(1)).as("n_orders"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"n_name",
+          $"revd".cast("double").as("revenue"), $"n_orders")
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    },
+
     // GK-sketch quantiles (operators/Sketch.quantiles): fixed-size
     // mergeable summary instead of q_quantiles' exact sort-based
     // percentile. At accuracy >= group size GK never compresses, so the
@@ -690,6 +715,19 @@ object CoreQueries {
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |           / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "sketch_quantiles" ->
       """SELECT o_orderpriority,

@@ -401,6 +401,29 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
     },
 
+    // Round-4 hygiene capstone: decontaminate (vs the %23 held-out
+    // benchmark) → collapse near-dup clusters to their best
+    // representative → cap each source at its 10 longest survivors →
+    // deterministic hash split. Every stage is an operator gated on its
+    // own above; the oracle replays the full composition in one SQL.
+    "pipeline_hygiene" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter($"doc_id" % 23 =!= 0)
+      val bench = d.filter($"doc_id" % 23 === 0)
+      val clean = graft.operators.Decontaminate.clean(
+        corpus, bench, "doc_id", "text", n = 3, minShared = 3)
+      val pairs = Dedup.ngramJaccardPairs(clean, "doc_id", "text",
+        n = 3, threshold = 0.5).select($"id_a", $"id_b")
+      val keep = Dedup.clusterRepresentatives(clean, pairs, "doc_id",
+        $"n_chars").select($"keep_id".as("doc_id"))
+      val capped = Sampling.capPerGroup(clean.join(keep, "doc_id"),
+        "source", "doc_id", $"n_chars", n = 10)
+      Sampling.hashSplit(capped, "doc_id")
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+    },
+
     // Context-window chunking: 50-token windows, stride 40 (overlap
     // 10) — narrow generator expansion, chunk text reassembled with
     // builtin slice/concat_ws.
@@ -933,6 +956,58 @@ object PipelineQueries {
         |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY split, lang""".stripMargin,
+
+    "pipeline_hygiene" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS ngram
+        |      FROM sh WHERE doc_id % 23 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS ngram
+        |      FROM sh WHERE doc_id % 23 <> 0),
+        |flag AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id, b.bench_id, COUNT(*) AS ns
+        |    FROM c JOIN b USING (ngram) GROUP BY 1, 2)
+        |  WHERE ns >= 3),
+        |clean AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 23 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flag)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM sh a, sh b2 WHERE a.doc_id < b2.doc_id
+        |    AND a.doc_id IN (SELECT doc_id FROM clean)
+        |    AND b2.doc_id IN (SELECT doc_id FROM clean)
+        |    AND CAST(len(list_intersect(a.sh,b2.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b2.sh)-len(list_intersect(a.sh,b2.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT comp.id, comp.comp, documents.n_chars
+        |  FROM comp JOIN documents ON comp.id = documents.doc_id),
+        |reps AS (SELECT id AS doc_id FROM (
+        |    SELECT id, row_number() OVER (PARTITION BY comp
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |keepids AS (SELECT doc_id FROM reps
+        |  UNION ALL
+        |  SELECT doc_id FROM clean
+        |  WHERE doc_id NOT IN (SELECT id FROM comp)),
+        |capped AS (SELECT source, doc_id, n_chars FROM (
+        |    SELECT d.source, d.doc_id, d.n_chars,
+        |      row_number() OVER (PARTITION BY d.source
+        |        ORDER BY CAST(d.n_chars AS DOUBLE) DESC, d.doc_id ASC)
+        |        AS rn
+        |    FROM documents d JOIN keepids USING (doc_id)) WHERE rn <= 10)
+        |SELECT CASE
+        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM capped GROUP BY 1, 2""".stripMargin),
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id AS id,

@@ -116,6 +116,20 @@ object PipelineQueries {
         .select($"id", $"comp", $"comp_size")
     },
 
+    // Same cluster contract via the O(log n) large-star/small-star
+    // alternation (the deep-chain-safe variant) — gated against the
+    // identical recursive-CTE oracle as the min-propagation operator.
+    "dedup_components_star" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5).select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponentsLogStar(pairs)
+      val sizes = comp.groupBy($"comp".as("c"))
+        .agg(count(lit(1)).as("comp_size"))
+      comp.join(sizes, $"comp" === $"c")
+        .select($"id", $"comp", $"comp_size")
+    },
+
     // Cluster representative selection: the dedup keep-list — best doc
     // (longest, id-ASC tiebreak) per near-dup component, singletons kept
     // as their own clusters. max_by aggregate, no per-cluster window
@@ -582,6 +596,30 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
       |        FROM documents))""".stripMargin
 
+  /** Duplicate-cluster oracle (recursive min-label reachability over the
+    * exact jaccard pair set) — shared verbatim by `dedup_components` and
+    * `dedup_components_star`: both operators promise the same output.
+    */
+  private val ComponentsOracle: String =
+    Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |sizes AS (SELECT comp AS c, CAST(count(*) AS BIGINT) AS comp_size
+        |          FROM comp GROUP BY comp)
+        |SELECT comp.id, comp.comp, sizes.comp_size
+        |FROM comp JOIN sizes ON comp.comp = sizes.c""".stripMargin
+
   /** Shared CTE for the multimodal oracles: the StubDecoder's metadata
     * derivation replayed in DuckDB. `u` is the first 8 sha256 bytes as
     * unsigned; Java's signed big-endian long `h` relates as
@@ -757,24 +795,10 @@ object PipelineQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
 
-    "dedup_components" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
-      """,
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
-        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, lab) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
-        |sizes AS (SELECT comp AS c, CAST(count(*) AS BIGINT) AS comp_size
-        |          FROM comp GROUP BY comp)
-        |SELECT comp.id, comp.comp, sizes.comp_size
-        |FROM comp JOIN sizes ON comp.comp = sizes.c""".stripMargin),
+    "dedup_components" -> ComponentsOracle,
+
+    // the log-star variant has the identical output contract
+    "dedup_components_star" -> ComponentsOracle,
 
     "dedup_degree" -> (Shingles +
       """,

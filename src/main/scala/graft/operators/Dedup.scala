@@ -270,8 +270,10 @@ object Dedup {
     * one partial-aggregable pass, so a degenerate giant cluster
     * (millions of identical boilerplate pages, the 100 TB reality)
     * combines map-side instead of landing in one window task. The
-    * singleton side is a broadcast anti-join against the (small)
-    * member-id set.
+    * singleton side is an anti-join against the member-id set —
+    * NOT hint-broadcast: on a heavily duplicated crawl the member set
+    * is a large fraction of the corpus, so the planner must keep the
+    * freedom to shuffle it (AQE broadcasts when it is actually small).
     *
     * Output: (keep_id, cluster_id, cluster_size); singletons carry
     * cluster_id = own id, cluster_size = 1.
@@ -288,7 +290,7 @@ object Dedup {
           .as("keep_id"))
       .select(col("keep_id"), col("cluster_id"), col("cluster_size"))
     val singles = docs
-      .join(broadcast(comp.select(col("id").as(idCol))), Seq(idCol), "left_anti")
+      .join(comp.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol).as("keep_id"), col(idCol).as("cluster_id"),
         lit(1L).as("cluster_size"))
     reps.unionByName(singles)

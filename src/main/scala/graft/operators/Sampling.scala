@@ -57,9 +57,12 @@ object Sampling {
     * map-side, so the only wide exchange carries k·groups·partitions
     * (id, score) pairs — never the documents, and never a full
     * per-group sort (the window formulation puts the entire hot domain
-    * in ONE task). Full rows come back via a join on the kept ids: the
-    * kept set is ≤ n·|groups| rows, which Spark broadcasts, so the
-    * corpus side stays narrow end-to-end.
+    * in ONE task). Full rows come back via a join on the kept ids —
+    * ≤ n·|groups| rows, but deliberately NOT hint-broadcast: with
+    * millions of groups (per-domain caps over the open web) the kept
+    * set is itself large, and a forced broadcast would be a driver
+    * OOM. AQE sees the aggregate's output size and picks the
+    * broadcast side exactly when it really is small.
     *
     * Output: every `df` column plus `rank` (1..n within the group).
     */
@@ -72,7 +75,7 @@ object Sampling {
       .agg(TopKAgg.topKByScore(col("score"), col("id"), n).as("topk"))
       .select(explode(col("topk")).as("e"))
       .select(col("e.id").as("__keep_id"), col("e.rank").as("rank"))
-    df.join(broadcast(kept), df(idCol) === kept("__keep_id"))
+    df.join(kept, df(idCol) === kept("__keep_id"))
       .drop("__keep_id")
   }
 

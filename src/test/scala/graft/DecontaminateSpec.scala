@@ -61,6 +61,14 @@ class DecontaminateSpec extends SparkSpec {
     assert(cleaned.count() == corpus.count() - nFlagged)
   }
 
+  test("disjoint vocabularies: zero flags, clean() is identity") {
+    val corpus = Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val bench = Seq((2L, "xx yy zz ww vv uu")).toDF("doc_id", "text")
+    assert(Decontaminate.overlapPairs(corpus, bench, "doc_id", "text",
+      minShared = 1).count() == 0)
+    assert(Decontaminate.clean(corpus, bench, "doc_id", "text").count() == 1)
+  }
+
   test("benchmark side broadcasts: corpus has no pre-join exchange") {
     val plan = Decontaminate.overlapPairs(
       docs.filter($"doc_id" % 23 =!= 0), docs.filter($"doc_id" % 23 === 0),

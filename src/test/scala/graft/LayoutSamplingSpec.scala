@@ -83,4 +83,11 @@ class LayoutSamplingSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(counts.forall(_ <= 5))
   }
+
+  test("capPerGroup with n >= group size keeps every row") {
+    val docs = Tables(spark, sf001, "documents")
+    val capped = Sampling.capPerGroup(docs, "source", "doc_id",
+      $"n_chars", n = 1000000)
+    assert(capped.count() == docs.count())
+  }
 }

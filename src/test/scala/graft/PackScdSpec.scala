@@ -183,6 +183,19 @@ class PackScdSpec extends SparkSpec {
       (9L, Some("z"), 90.0)))
   }
 
+  test("mergeUpsert edge cases: empty batch is identity; all-tombstone batch empties matches") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val idGot = graft.operators.Scd.mergeUpsert(base, empty, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(idGot == Set((1L, "a"), (2L, "b")))
+
+    val allDel = Seq((1L, "a", true), (2L, "b", true))
+      .toDF("k", "v", "_del")
+    assert(graft.operators.Scd.mergeUpsert(base, allDel, "k", Some("_del"))
+      .count() == 0)
+  }
+
   test("mergeUpsert without tombstone column: pure upsert") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq((2L, "B"), (3L, "C")).toDF("k", "v")

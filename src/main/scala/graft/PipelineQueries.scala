@@ -1065,13 +1065,15 @@ object PipelineQueries {
         |WHERE rank <= 3""".stripMargin,
 
     "text_decontam" -> (Shingles +
-      """, b AS (SELECT doc_id AS bench_id, unnest(sh) AS ngram
+      """, b AS (SELECT doc_id AS bench_id, len(sh) AS bench_n_sh,
+        |          unnest(sh) AS ngram
         |        FROM sh WHERE doc_id % 23 = 0),
         |c AS (SELECT doc_id, unnest(sh) AS ngram
         |      FROM sh WHERE doc_id % 23 <> 0)
-        |SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(b.bench_n_sh AS DOUBLE) AS frac
         |FROM c JOIN b USING (ngram)
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin),
+        |GROUP BY 1, 2, b.bench_n_sh HAVING COUNT(*) >= 3""".stripMargin),
 
     "text_ngram_counts" -> (Shingles +
       """, u AS (SELECT unnest(sh) AS ngram FROM sh)

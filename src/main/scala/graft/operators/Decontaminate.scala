@@ -22,20 +22,28 @@ import graft.functions.TextFunctions
   */
 object Decontaminate {
 
-  /** (doc_id, bench_id, n_shared) for every corpus×benchmark document
-    * pair sharing at least `minShared` distinct word n-grams.
+  /** (doc_id, bench_id, n_shared, frac) for every corpus×benchmark
+    * document pair sharing at least `minShared` distinct word n-grams.
+    * `frac` = n_shared / |benchmark doc's shingles| — the containment
+    * ratio practitioners threshold on ("X% of the eval item appears in
+    * this training doc"); a single integer division, engine-exact.
     */
   def overlapPairs(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 3, minShared: Int = 5): DataFrame = {
+      n: Int = 5, minShared: Int = 5): DataFrame = {
     val c = corpus.select(col(idCol).as("doc_id"),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
-    val b = bench.select(col(idCol).as("bench_id"),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val bSh = bench.select(col(idCol).as("bench_id"),
+      TextFunctions.wordShingles(col(textCol), n).as("shs"))
+    val b = bSh.select(col("bench_id"), size(col("shs")).as("bench_n_sh"),
+      explode(col("shs")).as("sh"))
     c.join(broadcast(b), "sh")
-      .groupBy(col("doc_id"), col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"), col("bench_n_sh"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("bench_n_sh").cast("double"))
+          .as("frac"))
   }
 
   /** Corpus rows with every contaminated document removed: anti-join on
@@ -45,7 +53,7 @@ object Decontaminate {
     */
   def clean(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 3, minShared: Int = 5): DataFrame = {
+      n: Int = 5, minShared: Int = 5): DataFrame = {
     val flagged = overlapPairs(corpus, bench, idCol, textCol, n, minShared)
       .select(col("doc_id")).distinct()
     corpus.join(flagged,

@@ -167,6 +167,23 @@ object GraftFunctions {
           strArg(es(4), "start column"), strArg(es(5), "end column"),
           binWidth = longArg(es(6), "binWidth"))
           .queryExecution.logical
+      }),
+    ("graft_decontaminate",
+      info("graft_decontaminate",
+        "graft_decontaminate(corpus, bench, idCol, textCol, n, minShared)" +
+          " — benchmark-contamination pairs (doc_id, bench_id, n_shared," +
+          " frac) between the named tables/views"),
+      (es: Seq[Expression]) => {
+        require(es.length == 6,
+          "graft_decontaminate(corpus, bench, idCol, textCol, n, minShared)")
+        val spark = SparkSession.active
+        graft.operators.Decontaminate.overlapPairs(
+          spark.table(strArg(es(0), "corpus table")),
+          spark.table(strArg(es(1), "bench table")),
+          strArg(es(2), "id column"), strArg(es(3), "text column"),
+          n = longArg(es(4), "n").toInt,
+          minShared = longArg(es(5), "minShared").toInt)
+          .queryExecution.logical
       }))
 
   /** Register into an existing session's function registry. */

@@ -128,6 +128,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(rSql.count() > 0)
   }
 
+  test("TVF surface: graft_decontaminate from spark.sql == DataFrame API") {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, sf001, "documents")
+    docs.filter(col("doc_id") % 23 =!= 0)
+      .createOrReplaceTempView("tvf_corpus")
+    docs.filter(col("doc_id") % 23 === 0)
+      .createOrReplaceTempView("tvf_bench")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_decontaminate(
+        |  'tvf_corpus', 'tvf_bench', 'doc_id', 'text', 3, 2)""".stripMargin)
+    val viaApi = graft.operators.Decontaminate.overlapPairs(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0),
+      "doc_id", "text", n = 3, minShared = 2)
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      viaApi.collect().map(_.toSeq).toSet)
+    assert(viaSql.count() > 0)
+  }
+
   test("MySQL dialect maps the reference's DDL types (schema_mapper.py:95-117)") {
     val d = GraftMySqlDialect
     assert(d.canHandle("jdbc:mysql://host/db"))

@@ -71,6 +71,13 @@ object MigrationQueries {
         Tables(s, dir, "orders"), "o_totalprice", width = 25000.0)
     },
 
+    // Profiling: top-5 most frequent values of the categorical columns
+    // (bounded-heap per-column top-k; operators/Profile.topValues).
+    "mig_top_values" -> { (s, dir) =>
+      graft.operators.Profile.topValues(
+        Tables(s, dir, "documents"), Seq("lang", "source"), k = 5)
+    },
+
     // SCD1 / CDC compaction: latest purchase value per user — a single
     // map-side-combinable max_by aggregate (the change-log compaction
     // shape; contrast mig_scd2 which keeps full history).
@@ -272,6 +279,19 @@ object MigrationQueries {
         |    AS BIGINT) AS bin
         |  FROM orders WHERE o_totalprice IS NOT NULL)
         |GROUP BY bin""".stripMargin,
+
+    "mig_top_values" ->
+      """WITH u AS (
+        |  SELECT 'lang' AS col_name, lang AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source FROM documents),
+        |c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+        |  FROM u WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT col_name, value, n, rank FROM (
+        |  SELECT col_name, value, n,
+        |    CAST(row_number() OVER (PARTITION BY col_name
+        |      ORDER BY n DESC, value ASC) AS INT) AS rank
+        |  FROM c) WHERE rank <= 5""".stripMargin,
 
     "mig_compact" ->
       """SELECT user_id, value,

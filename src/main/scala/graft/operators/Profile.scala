@@ -52,6 +52,32 @@ object Profile {
       "min_value", "max_value")
   }
 
+  /** Most-frequent values per column — the profiler's "top categories"
+    * view. One count aggregate per column (unioned — column count is
+    * small and static), then the bounded-heap top-k per column
+    * ((n DESC, value ASC), the TopKByScore tiebreak), so no per-column
+    * sort and no single task ranks a high-cardinality column's whole
+    * value set.
+    *
+    * Output: (col_name, value, n, rank 1..k) — value stringified.
+    */
+  def topValues(df: DataFrame, columns: Seq[String], k: Int): DataFrame = {
+    require(columns.nonEmpty, "topValues: need at least one column")
+    val counted = columns.map { c =>
+      df.select(lit(c).as("col_name"), col(c).cast("string").as("value"))
+        .filter(col("value").isNotNull)
+        .groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("n"))
+    }.reduce(_ unionByName _)
+    counted
+      .groupBy(col("col_name"))
+      .agg(graft.functions.TopKAgg.topKByScore(
+        col("n").cast("double"), col("value"), k).as("topk"))
+      .select(col("col_name"), explode(col("topk")).as("e"))
+      .select(col("col_name"), col("e.id").as("value"),
+        col("e.score").cast("long").as("n"), col("e.rank").as("rank"))
+  }
+
   /** Fixed-width histogram of a numeric column: (bin, lo, n) with
     * bin = floor(value / width). One aggregate pass; IEEE division is
     * correctly rounded in any engine, so bin edges are portable.

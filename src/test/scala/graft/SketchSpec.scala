@@ -57,6 +57,19 @@ class SketchSpec extends SparkSpec {
     assert(got == truth && got.nonEmpty)
   }
 
+  test("Profile.topValues: frequency order, all-tied values rank by value ASC") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("c", "x"))
+      .toDF("c1", "c2")
+    val got = graft.operators.Profile.topValues(df, Seq("c1", "c2"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(("c1", 1)) == (("a", 2L)))  // most frequent first
+    assert(got(("c1", 2)) == (("b", 1L)))  // tie b/c -> value ASC
+    assert(got(("c2", 1)) == (("x", 3L)))
+    assert(got(("c2", 2)) == (("y", 1L)))
+  }
+
   test("CMS: estimates overcount only, within eps*N") {
     val n = orders.count()
     val truth = orders.groupBy($"o_orderpriority").count()

@@ -11,9 +11,12 @@ import graft.functions.TextFunctions
   * published for GPT-3 (Brown et al. 2020 §C) and PaLM; public method).
   *
   * Scale shape (100 TB corpus, ~10^4..10^6 benchmark docs): the
-  * benchmark side is tiny by construction, so its exploded distinct
-  * shingle table is BROADCAST — the corpus side streams map-side
-  * through the hash join with no shuffle of corpus text or shingles.
+  * benchmark side is small relative to the corpus, so the planner
+  * broadcasts its exploded distinct-shingle table (AQE decides from
+  * the ACTUAL size — no forced hint, because at the 10^6-doc end the
+  * exploded table is 10^8+ rows and a forced broadcast would abort
+  * the job rather than degrade to a shuffle join) — the corpus side
+  * then streams map-side with no shuffle of corpus text or shingles.
   * Only actual collisions (rare: contamination is the exception) reach
   * the (doc, bench_doc) count shuffle, which carries two longs per hit.
   * Shingles per document are distinct ([[TextFunctions.wordShingles]]),
@@ -37,7 +40,7 @@ object Decontaminate {
       TextFunctions.wordShingles(col(textCol), n).as("shs"))
     val b = bSh.select(col("bench_id"), size(col("shs")).as("bench_n_sh"),
       explode(col("shs")).as("sh"))
-    c.join(broadcast(b), "sh")
+    c.join(b, "sh")
       .groupBy(col("doc_id"), col("bench_id"), col("bench_n_sh"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -63,12 +63,17 @@ object Profile {
     */
   def topValues(df: DataFrame, columns: Seq[String], k: Int): DataFrame = {
     require(columns.nonEmpty, "topValues: need at least one column")
-    val counted = columns.map { c =>
-      df.select(lit(c).as("col_name"), col(c).cast("string").as("value"))
-        .filter(col("value").isNotNull)
-        .groupBy(col("col_name"), col("value"))
-        .agg(count(lit(1)).as("n"))
-    }.reduce(_ unionByName _)
+    // ONE scan: unpivot via explode(array(struct...)) — a per-column
+    // union would rescan the table once per profiled column (Spark
+    // does not CSE across union branches)
+    val counted = df
+      .select(explode(array(columns.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))
+      }: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
     counted
       .groupBy(col("col_name"))
       .agg(graft.functions.TopKAgg.topKByScore(

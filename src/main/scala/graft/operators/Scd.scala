@@ -73,10 +73,14 @@ object Scd {
       s"changes must carry every base column; missing " +
         dataCols.filterNot(changes.columns.contains).mkString(","))
     val b = base.as("b")
-    val c = changes.as("c")
+    // presence marker, NOT c.key.isNotNull: a NULL-keyed change row
+    // never equi-matches, and SQL MERGE then takes the NOT MATCHED
+    // branch — it must INSERT as-is, not collapse into a phantom
+    // all-NULL row on the unmatched side
+    val c = changes.withColumn("__present", lit(true)).as("c")
     val joined = b.join(c, col(s"b.$keyCol") === col(s"c.$keyCol"),
       "full_outer")
-    val inBatch = col(s"c.$keyCol").isNotNull
+    val inBatch = col("c.__present").isNotNull
     val kept = deletedCol match {
       case Some(d) => joined.filter(!(inBatch && coalesce(col(s"c.$d"),
         lit(false))))

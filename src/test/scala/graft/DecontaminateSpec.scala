@@ -69,10 +69,12 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.clean(corpus, bench, "doc_id", "text").count() == 1)
   }
 
-  test("benchmark side broadcasts: corpus has no pre-join exchange") {
-    val plan = Decontaminate.overlapPairs(
+  test("small benchmark side ends up broadcast (AQE-chosen, not hinted)") {
+    val df = Decontaminate.overlapPairs(
       docs.filter($"doc_id" % 23 =!= 0), docs.filter($"doc_id" % 23 === 0),
-      "doc_id", "text").queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
+      "doc_id", "text")
+    df.collect() // AQE finalizes plans per stage only after execution
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
   }
 }

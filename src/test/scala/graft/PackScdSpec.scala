@@ -196,6 +196,15 @@ class PackScdSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("mergeUpsert: NULL-keyed change row inserts as-is (SQL MERGE NOT MATCHED), no phantom row") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((null.asInstanceOf[java.lang.Long], "weird"))
+      .toDF("k", "v")
+    val got = graft.operators.Scd.mergeUpsert(base, changes, "k")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "a"), (None, "weird")))
+  }
+
   test("mergeUpsert without tombstone column: pure upsert") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq((2L, "B"), (3L, "C")).toDF("k", "v")

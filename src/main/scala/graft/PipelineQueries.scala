@@ -291,6 +291,29 @@ object PipelineQueries {
           |  'user_id', 'ts', 'o_orderdate', 'o_orderdate')""".stripMargin)
     },
 
+    // Same range join through the SQL TVF (symmetry with q_asof_tvf):
+    // the SQL route must reach the identical binned operator plan.
+    "q_range_tvf" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      val orders = Tables(s, dir, "orders")
+      orders.select($"o_orderkey".as("p_orderkey"),
+        $"o_custkey".as("user_id"),
+        unix_micros($"o_orderdate".cast("timestamp")).as("t"))
+        .createOrReplaceTempView("range_pts_v")
+      orders.select($"o_orderkey", $"o_custkey".as("user_id"),
+        unix_micros($"o_orderdate".cast("timestamp")).as("win_start"),
+        (unix_micros($"o_orderdate".cast("timestamp"))
+          + lit(7L * 24 * 3600 * 1000000L)).as("win_end"))
+        .createOrReplaceTempView("range_iv_v")
+      s.sql(
+        s"""SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_follow
+           |FROM graft_range_join('range_pts_v', 'range_iv_v',
+           |  'user_id', 't', 'win_start', 'win_end', ${7L * 24 * 3600 * 1000000L})
+           |WHERE p_orderkey <> o_orderkey
+           |GROUP BY o_orderkey""".stripMargin)
+    },
+
     // ---------------- composed curation pipeline ----------------
     // quality filter + exact-dedup keep-list in one flow — the "curate a
     // training corpus" end-to-end shape.
@@ -839,6 +862,16 @@ object PipelineQueries {
         |UNION ALL
         |SELECT doc_id, doc_id, CAST(1 AS BIGINT) FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin),
+
+    // the TVF route must produce the identical result
+    "q_range_tvf" ->
+      """SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_follow
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey
+        | AND b.o_orderdate >= a.o_orderdate
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+        | AND b.o_orderkey <> a.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q_range_join" ->
       """SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_follow

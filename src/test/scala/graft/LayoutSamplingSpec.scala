@@ -84,6 +84,15 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(counts.forall(_ <= 5))
   }
 
+  test("capPerGroup plan: partial top-k heap runs before the group exchange") {
+    val docs = Tables(spark, sf001, "documents")
+    val plan = Sampling.capPerGroup(docs, "source", "doc_id",
+      $"n_chars", n = 5).queryExecution.executedPlan.toString
+    // the map-side prune is the whole scale argument: a partial
+    // topkbyscore must appear (upstream of the grp exchange)
+    assert(plan.contains("partial_topkbyscore"))
+  }
+
   test("capPerGroup with n >= group size keeps every row") {
     val docs = Tables(spark, sf001, "documents")
     val capped = Sampling.capPerGroup(docs, "source", "doc_id",

@@ -70,6 +70,14 @@ class SketchSpec extends SparkSpec {
     assert(got(("c2", 2)) == (("y", 1L)))
   }
 
+  test("topValues plan: ONE table scan regardless of profiled column count") {
+    val plan = graft.operators.Profile.topValues(
+      orders, Seq("o_orderstatus", "o_orderpriority"), k = 3)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
   test("CMS: estimates overcount only, within eps*N") {
     val n = orders.count()
     val truth = orders.groupBy($"o_orderpriority").count()

@@ -181,6 +181,19 @@ object PipelineQueries {
         .select($"id_a", $"id_b")
     },
 
+    // SemDeDup-style clustered semantic dedup: k-means cells bound the
+    // quadratic term, exact cosine within cells (operators/Dedup
+    // semanticPairs). No oracle: the k-means assignment isn't
+    // replicable in the gate engine; containment in the exact pair
+    // set, nlist=1 ≡ brute force, determinism, and recall are all
+    // asserted in PipelineSpec.
+    "dedup_semantic" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.semanticPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nlist = 8)
+        .select($"id_a", $"id_b")
+    },
+
     // ---------------- similarity search ----------------
     "sim_topk_brute" -> { (s, dir) =>
       import s.implicits._
@@ -595,6 +608,38 @@ object PipelineQueries {
     "stream_join_left" -> { (s, dir) =>
       graft.streaming.EventStreams.attributePurchasesLeft(
         Tables(s, dir, "events"))
+    },
+
+    // Incremental upsert materialization (batch-equivalent fold): three
+    // arrival batches (split by event_id mod 3 — deliberately NOT
+    // time-ordered) folded through the order-insensitive ts-conditional
+    // MERGE converge to the batch latest-per-key snapshot. The true
+    // streaming foreachBatch run of the same fold (streaming/UpsertSink,
+    // versioned parquet state + pointer commit) is proven equal batch-by
+    // -batch in StreamingSpec.
+    "stream_upsert" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val batches = (0 to 2).map(i =>
+        graft.streaming.UpsertSink.compactBatch(
+          ev.filter(pmod($"event_id", lit(3)) === i),
+          "user_id", "ts", "value", "event_id"))
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.streaming.UpsertSink.stateSchema)
+      batches.foldLeft(empty)((st, b) =>
+        graft.operators.Scd.mergeUpsertLatest(st, b, "k", "last_us", "tie"))
+        .select($"k".as("user_id"), $"v".as("last_value"), $"last_us")
+    },
+
+    // Time-series resample + forward fill: a 6-hour grid per user where
+    // each grid instant carries the latest event value at-or-before it
+    // (pandas resample().last().ffill()). Slot compaction is one max_by
+    // aggregate; the fill is the NATIVE as-of merge join — no per-key
+    // window over raw points (operators/GapFill).
+    "q_gapfill" -> { (s, dir) =>
+      graft.operators.GapFill.resampleFfill(Tables(s, dir, "events"),
+        "user_id", "ts", "value", "event_id", stepSeconds = 21600L)
     },
 
     // ---------------- multimodal plumbing ----------------
@@ -1196,6 +1241,41 @@ object PipelineQueries {
         |SELECT p.user_id, p.purchase_id, c.click_id
         |FROM p LEFT JOIN c ON c.user_id = p.user_id
         |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000""".stripMargin,
+
+    "stream_upsert" ->
+      """SELECT user_id, CAST(value AS DOUBLE) AS last_value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS last_us
+        |FROM (SELECT user_id, value, ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH slotted AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000 AS slot_us,
+        |    ts, event_id, value
+        |  FROM events),
+        |per_slot AS (
+        |  SELECT user_id, slot_us, value AS v FROM (
+        |    SELECT user_id, slot_us, value,
+        |      row_number() OVER (PARTITION BY user_id, slot_us
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM slotted) WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(slot_us) AS t0, max(slot_us) AS t1
+        |           FROM per_slot GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(t0, t1, 21600000000)) AS slot_us
+        |         FROM bounds)
+        |SELECT g.user_id, g.slot_us,
+        |  (SELECT v FROM per_slot o
+        |   WHERE o.user_id = g.user_id AND o.slot_us <= g.slot_us
+        |   ORDER BY o.slot_us DESC LIMIT 1) AS v_filled,
+        |  EXISTS (SELECT 1 FROM per_slot o
+        |          WHERE o.user_id = g.user_id AND o.slot_us = g.slot_us)
+        |    AS is_observed
+        |FROM grid g""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

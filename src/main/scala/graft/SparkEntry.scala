@@ -532,6 +532,79 @@ object CoreQueries {
         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderpriority""")
+    },
+
+    // Time-based RANGE window frame: per customer, the 90-day trailing
+    // revenue and order count at each order — the frame rows-based
+    // windows cannot express (peers = calendar distance, not row
+    // count). Ordered by integer day number so the frame bound is
+    // exact; the sum accumulates in decimal so frame-internal order
+    // can't perturb the emitted double. One shuffle on the customer
+    // key, O(window-span) state per key in the range-frame evaluator.
+    "q_trailing_window" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dayNum = datediff(to_date($"o_orderdate"),
+        lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy($"o_custkey").orderBy(dayNum)
+        .rangeBetween(-89, Window.currentRow)
+      Tables(s, dir, "orders").select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice".cast("decimal(18,4)")).over(w)
+          .cast("double").as("trail_sum"),
+        count(lit(1)).over(w).as("n_trail"))
+    },
+
+    // Cohort retention matrix: users bucketed by first-activity week ×
+    // activity week — the classic growth-analytics shape. Distinct
+    // (user, week) first (shuffle carries pairs, not events), cohort =
+    // a per-user min that reuses the user partitioning, final agg is
+    // |weeks|² rows. All counts — engine-exact.
+    "q_retention" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", date_trunc("week", $"ts").as("w")).distinct()
+      val cohort = ev.groupBy($"user_id").agg(min($"w").as("cohort_w"))
+      ev.join(cohort, "user_id")
+        .groupBy($"cohort_w", $"w")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // Per-group correlation + least-squares regression from EXACT
+    // decimal moments (n, Σx, Σy, Σx², Σy², Σxy accumulate in decimal —
+    // order-insensitive), combined into corr/slope/intercept with one
+    // identical double expression tree in both engines. The moment
+    // trick is the 100 TB shape too: one partial-aggregable pass, six
+    // numbers per group, no second scan — and it sidesteps the
+    // float-nondeterminism that makes naive corr() un-gateable.
+    "q_corr_regr" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select(
+        $"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("decimal(12,3)").as("x"),
+        $"l_extendedprice".cast("decimal(12,3)").as("y"))
+      val m = li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").cast("double").as("sx"),
+          sum($"y").cast("double").as("sy"),
+          sum($"x" * $"x").cast("double").as("sxx"),
+          sum($"y" * $"y").cast("double").as("syy"),
+          sum($"x" * $"y").cast("double").as("sxy"))
+      val nd = $"n".cast("double")
+      val covN = nd * $"sxy" - $"sx" * $"sy"
+      val varX = nd * $"sxx" - $"sx" * $"sx"
+      val varY = nd * $"syy" - $"sy" * $"sy"
+      val slope = covN / varX
+      // emit as scaled integers: the derived stats pass through sqrt /
+      // division, whose doubles are NOT guaranteed bit-identical across
+      // engines (observed 1-ulp corr drift vs DuckDB); rounding to a
+      // fixed decimal scale absorbs ulp noise and the BIGINT emission
+      // is representation-invariant in the gate
+      m.select($"l_returnflag", $"l_linestatus", $"n",
+        round((covN / sqrt(varX * varY)) * 1e9).cast("long")
+          .as("corr_e9"),
+        round(slope * 1e6).cast("long").as("slope_e6"),
+        round((($"sy" - slope * $"sx") / nd) * 1e6).cast("long")
+          .as("intercept_e6"))
     }
   )
 
@@ -775,6 +848,60 @@ object CoreQueries {
         |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
         |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
         |  FROM orders)
-        |WHERE rk = (cnt + 1) // 2""".stripMargin
+        |WHERE rk = (cnt + 1) // 2""".stripMargin,
+
+    "q_trailing_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01',
+        |                      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trail_sum,
+        |  CAST(COUNT(*) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01',
+        |                      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_trail
+        |FROM orders""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS cohort_w FROM ev GROUP BY 1)
+        |SELECT c.cohort_w, ev.w, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_corr_regr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,3))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))
+        |           * CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,3))
+        |           * CAST(l_extendedprice AS DECIMAL(12,3))) AS DOUBLE)
+        |      AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))
+        |           * CAST(l_extendedprice AS DECIMAL(12,3))) AS DOUBLE)
+        |      AS sxy
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |         * (CAST(n AS DOUBLE) * syy - sy * sy)) * 1e9) AS BIGINT)
+        |    AS corr_e9,
+        |  CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1e6) AS BIGINT)
+        |    AS slope_e6,
+        |  CAST(round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS intercept_e6
+        |FROM m""".stripMargin
   )
 }

@@ -435,4 +435,53 @@ object Dedup {
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** SemDeDup-style SEMANTIC near-dup pairs (Abbas et al. 2023,
+    * public): coarse k-means clusters the embedding space, then exact
+    * cosine pairs are computed WITHIN each cluster only. Complements
+    * [[embeddingNearDupPairs]]: LSH banding buckets by random
+    * projections (per-pair recall is analytic but candidate volume is
+    * data-blind); clustering bounds the quadratic term by cell
+    * population and misses only pairs the quantizer splits — the
+    * tradeoff the semantic-dedup literature picked for web-scale
+    * corpora.
+    *
+    * Scale shape: the quantizer fits on a bounded sample (cached by
+    * training-plan semantic hash — the offline-index seam IVF already
+    * uses); assignment is one broadcast matvec per row; the self-join
+    * equi-keys on `cell`, so pair generation co-partitions by cell and
+    * is quadratic only within a cell (nlist grows with the corpus to
+    * hold cell size ~constant; hot cells split by AQE). Within a cell
+    * every pair must be verified anyway, so vectors riding the
+    * cell-local join IS the candidate verification — there is no
+    * slimmer exact formulation per cell.
+    *
+    * Output: (id_a, id_b, cosine, cell), id_a < id_b, cosine ≥
+    * threshold. Deterministic for a fixed seed.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", array_to_vector(col("vec")))
+    // nlist=1 degenerates to brute force (ml.KMeans rejects k=1)
+    val assigned = if (nlist <= 1) {
+      vecs.select(col("id"), col("vec"), lit(0).as("cell"))
+    } else {
+      val model = Similarity.fitQuantizer(
+        vecs.select("features"), nlist, seed)
+      model.transform(vecs)
+        .select(col("id"), col("vec"), col("prediction").as("cell"))
+    }
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSim(col("vec_a"), col("vec_b")).as("cosine"),
+        col("cell"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -91,6 +91,45 @@ object Scd {
     }: _*)
   }
 
+  /** CDC upsert that tolerates OUT-OF-ORDER batch arrival: on a key
+    * match the row with the greater `(orderCol, tieCol)` wins — SQL
+    * `MERGE ... WHEN MATCHED AND s.ts >= t.ts THEN UPDATE`. Plain
+    * [[mergeUpsert]] is last-writer-wins by ARRIVAL, which silently
+    * regresses state when a replayed/late batch lands after a newer
+    * one; this variant makes the fold order-insensitive, so folding any
+    * permutation of change batches converges to the same state — the
+    * property an incremental `foreachBatch` materialization needs
+    * ([[graft.streaming.UpsertSink]]).
+    *
+    * Same single full-outer join and whole-row CASE as [[mergeUpsert]];
+    * `changes` must carry the base schema (including `orderCol` /
+    * `tieCol`) and at most one row per key.
+    */
+  def mergeUpsertLatest(base: DataFrame, changes: DataFrame,
+      keyCol: String, orderCol: String, tieCol: String): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.forall(changes.columns.contains),
+      s"changes must carry every base column; missing " +
+        dataCols.filterNot(changes.columns.contains).mkString(","))
+    // presence markers on BOTH sides (not key.isNotNull): a NULL-keyed
+    // state or change row never equi-matches but must still survive the
+    // outer join as itself, same reasoning as mergeUpsert
+    val b = base.withColumn("__bpresent", lit(true)).as("b")
+    val c = changes.withColumn("__present", lit(true)).as("c")
+    val joined = b.join(c, col(s"b.$keyCol") === col(s"c.$keyCol"),
+      "full_outer")
+    val inBatch = col("c.__present").isNotNull
+    val inBase = col("b.__bpresent").isNotNull
+    // ties (equal order AND tie) go to the change row: >= keeps a
+    // replayed batch idempotent rather than flip-flopping
+    val changeWins = inBatch && (!inBase ||
+      struct(col(s"c.$orderCol"), col(s"c.$tieCol")) >=
+        struct(col(s"b.$orderCol"), col(s"b.$tieCol")))
+    joined.select(dataCols.map { cn =>
+      when(changeWins, col(s"c.$cn")).otherwise(col(s"b.$cn")).as(cn)
+    }: _*)
+  }
+
   def scd2FromChangeLog(log: DataFrame, keyCol: String, tsCol: String,
       attrCol: String, tieCol: String): DataFrame = {
     val base = log.select(col(keyCol).as("k"),

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.operators.Scd
+
+/** Incremental materialized state: a streaming `foreachBatch` sink that
+  * folds each micro-batch of a change stream into a latest-per-key
+  * parquet state table — the continuously-maintained "current snapshot"
+  * every CDC / feature-store / crawl-frontier pipeline keeps.
+  *
+  * Batch fold semantics: compact the micro-batch to one row per key
+  * (map-side-combinable `max_by`), then apply it with the
+  * ORDER-INSENSITIVE merge ([[Scd.mergeUpsertLatest]] — greater
+  * `(last_us, tie)` wins on key match). Order-insensitivity is what
+  * makes the stream fold correct: micro-batch boundaries are arbitrary,
+  * replays re-deliver data, and late events arrive behind newer ones —
+  * under this merge every delivery order converges to the same state,
+  * equal to the batch `latestSnapshot` over all events (asserted in
+  * StreamingSpec).
+  *
+  * Exactly-once on a non-transactional file sink, the standard way:
+  *   - each batch writes a COMPLETE new state version to
+  *     `state/v=<batchId>/` (never in place — the previous version is
+  *     concurrently being read as the merge's base);
+  *   - a pointer file `_CURRENT` flips to the new version LAST, via
+  *     write-temp + atomic rename;
+  *   - a replayed batch (failure before/after the flip) rewrites its
+  *     own version dir and re-flips the same pointer — idempotent, and
+  *     the `>=`-tie rule in the merge makes even a DOUBLE-applied batch
+  *     a no-op.
+  * On HDFS this maps 1:1 (rename is atomic); on S3-class stores the
+  * pointer becomes a manifest commit — the versioned layout is the
+  * portable part.
+  *
+  * Scale: per batch, ONE shuffle to compact the batch (rows/key per map
+  * partition) and one key join against the state. At a real deployment
+  * the state table is bucketed by key so the merge join co-locates and
+  * only the (small) batch moves; compaction of old `v=` dirs is the
+  * same retention job any snapshot store runs.
+  */
+object UpsertSink {
+
+  /** State row: key, latest value, its event-time micros, tie-break. */
+  val stateSchema: StructType = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType),
+    StructField("last_us", LongType), StructField("tie", LongType)))
+
+  private def pointerPath(stateDir: String) =
+    java.nio.file.Paths.get(stateDir, "_CURRENT")
+
+  /** The committed state, or an empty typed frame before any commit. */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = pointerPath(stateDir)
+    if (java.nio.file.Files.exists(p)) {
+      val v = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      spark.read.schema(stateSchema).parquet(s"$stateDir/$v")
+    } else {
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[Row], stateSchema)
+    }
+  }
+
+  /** Compact a raw change batch to one row per key: the latest
+    * observation by (event time, tie) — ONE max_by of the whole row.
+    */
+  def compactBatch(batch: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame =
+    batch.select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("double").as("v"),
+        unix_micros(col(tsCol)).as("last_us"),
+        col(tieCol).cast("long").as("tie"))
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("v"), col("last_us"), col("tie")),
+        struct(col("last_us"), col("tie"))).as("r"))
+      .select(col("k"), col("r.v").as("v"), col("r.last_us").as("last_us"),
+        col("r.tie").as("tie"))
+
+  /** Fold one (already compacted) batch into the versioned state. */
+  def applyBatch(spark: SparkSession, stateDir: String,
+      compacted: DataFrame, batchId: Long): Unit = {
+    val merged = Scd.mergeUpsertLatest(
+      currentState(spark, stateDir), compacted, "k", "last_us", "tie")
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    val tmp = java.nio.file.Paths.get(stateDir, s"_CURRENT.tmp$batchId")
+    java.nio.file.Files.write(tmp, s"v=$batchId".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointerPath(stateDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Run the stream to completion over whatever is in `srcDir`
+    * (AvailableNow), maintaining `stateDir`. Restart-safe via the
+    * checkpoint + idempotent [[applyBatch]].
+    */
+  def run(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      tieCol: String = "event_id", maxFilesPerTrigger: Int = 1): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val schema = graft.Tables.read(spark, srcDir).schema
+    val stream = graft.Tables.normalizeNanos(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, stateDir,
+          compactBatch(batch, keyCol, tsCol, valueCol, tieCol), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -78,6 +78,24 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact)) // verification kills false positives
   }
 
+  test("semantic (SemDeDup) pairs: subset of exact, nlist=1 degenerates " +
+      "to brute force, deterministic, useful recall") {
+    val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(nlist: Int) = Dedup.semanticPairs(
+        embeddings, "vec_id", "embedding", threshold = 0.4, nlist = nlist)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = run(8)
+    assert(sem.subsetOf(exact)) // within-cell pairs are exact-cosine-verified
+    assert(run(8) === sem)      // fixed seed ⇒ fixed clustering ⇒ fixed pairs
+    assert(run(1) === exact)    // one cell = the full brute-force pair set
+    // cluster-split pairs are the only misses; on this corpus recall
+    // stays useful (the operator's documented tradeoff vs LSH banding)
+    assert(sem.size.toDouble / exact.size >= 0.5,
+      s"semantic recall ${sem.size.toDouble / exact.size} < 0.5")
+  }
+
   test("brute-force top-k: exact, deterministic, k rows per query") {
     val queries = embeddings.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding")

@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.functions.{max, unix_micros}
+import org.apache.spark.sql.functions.{lit, max, pmod, unix_micros}
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, UpsertSink}
 
 /** Structured Streaming: the same logical plans produce identical results
   * on the streaming path (file source → memory sink) as on batch.
@@ -205,5 +205,58 @@ class StreamingSpec extends SparkSpec {
     val batch = EventStreams.attributePurchases(batchEvents)
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
+  }
+
+  private def arrivalBatch(i: Int) =
+    batchEvents.filter(pmod($"event_id", lit(3)) === i)
+
+  test("foreachBatch upsert sink: incremental state == batch snapshot; " +
+      "replay and restart are no-ops") {
+    val src = tmpDir("upsert-src")
+    // three arrival files (event_id mod 3 — NOT time-ordered), streamed
+    // one file per micro-batch
+    (0 to 2).foreach { i =>
+      arrivalBatch(i).coalesce(1).write.mode("append").parquet(src)
+    }
+    val state = tmpDir("upsert-state")
+    val ckpt = tmpDir("upsert-ckpt")
+    UpsertSink.run(spark, src, state, ckpt)
+
+    val expect = UpsertSink
+      .compactBatch(batchEvents, "user_id", "ts", "value", "event_id")
+      .collect().map(_.toSeq).toSet
+    def stateNow() = UpsertSink.currentState(spark, state)
+      .collect().map(_.toSeq).toSet
+    assert(stateNow() === expect && expect.nonEmpty)
+
+    // one committed version per micro-batch (one file each)
+    val versions = new java.io.File(state).list().count(_.startsWith("v="))
+    assert(versions === 3)
+    def pointer() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state, "_CURRENT")), "UTF-8").trim
+
+    // re-delivering an old batch converges to the same state (the >= tie
+    // rule + order-insensitive merge): apply arrival batch 0 AGAIN
+    UpsertSink.applyBatch(spark, state, UpsertSink.compactBatch(
+      arrivalBatch(0), "user_id", "ts", "value", "event_id"), 99L)
+    assert(pointer() === "v=99" && stateNow() === expect)
+
+    // restart against the same checkpoint: nothing new → no new commit
+    UpsertSink.run(spark, src, state, ckpt)
+    assert(pointer() === "v=99" && stateNow() === expect)
+  }
+
+  test("mergeUpsertLatest fold is arrival-order insensitive") {
+    val batches = (0 to 2).map(i => UpsertSink.compactBatch(
+      arrivalBatch(i), "user_id", "ts", "value", "event_id"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      UpsertSink.stateSchema)
+    def fold(order: Seq[Int]) = order.map(batches)
+      .foldLeft(empty)((st, b) =>
+        graft.operators.Scd.mergeUpsertLatest(st, b, "k", "last_us", "tie"))
+      .collect().map(_.toSeq).toSet
+    val a = fold(Seq(0, 1, 2))
+    assert(a === fold(Seq(2, 1, 0)) && a === fold(Seq(1, 2, 0)) && a.nonEmpty)
   }
 }

@@ -556,6 +556,20 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
     },
 
+    // LEAKAGE-SAFE split: near-dup clusters (exact PPJoin pairs →
+    // connected components) move into train/val/test WHOLE — no
+    // near-dup pair ever straddles an evaluation boundary
+    // (operators/Sampling.leakageSafeSplit; straddle-freedom also
+    // asserted in LayoutSamplingSpec).
+    "pipeline_leakage_split" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+        .select($"doc_id", $"grp", $"split")
+    },
+
     // Per-group dynamic-threshold filter: keep documents above their
     // language's MEDIAN length — the "top half by quality, per stratum"
     // curation shape (threshold computed per group, broadcast back).
@@ -1189,6 +1203,30 @@ object PipelineQueries {
         |    ELSE 'test' END AS split, n_chars
         |  FROM documents)
         |GROUP BY split""".stripMargin,
+
+    "pipeline_leakage_split" ->
+      (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+          |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))
+          |             AS DOUBLE) >= 0.5),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |          UNION SELECT id_b, id_a FROM pairs),
+          |reach(id, lab) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+          |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+          |g AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+          |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+          |SELECT doc_id, grp, CASE
+          |    WHEN (grp * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+          |    WHEN (grp * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+          |    ELSE 'test' END AS split
+          |FROM g""".stripMargin),
 
     "pipeline_quality_filter" ->
       """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med

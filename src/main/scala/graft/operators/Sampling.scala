@@ -119,4 +119,38 @@ object Sampling {
       }
     df.filter(pm < thresh)
   }
+
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate documents must
+    * land in the SAME split — a near-dup pair straddling train and
+    * test is evaluation leakage ([[hashSplit]] alone cannot see it).
+    * Split membership keys on the document's duplicate-CLUSTER id
+    * (the connected component's min member over the caller-supplied
+    * near-dup pair set; singletons key on their own id), so a whole
+    * cluster moves together, and — because the component label is the
+    * min id, stable under growth until clusters merge — adding new
+    * documents never reassigns an existing cluster across splits.
+    *
+    * Scale: components shuffle (id, label) pairs only
+    * ([[Dedup.connectedComponents]]); the membership join keys on the
+    * doc id; the split itself is the same narrow integer-hash
+    * projection as [[hashSplit]].
+    *
+    * Output: input columns + (grp, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val comps = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__cid")
+    val grouped = df.join(comps, col(idCol) === col("__cid"), "left")
+      .withColumn("grp", coalesce(col("comp"), col(idCol)))
+      .drop("__cid", "comp")
+    val bucket = pmod(idScore(col("grp")), lit(100L))
+    grouped.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Layout, Sampling}
+import graft.operators.{Dedup, Layout, Sampling}
 
 class LayoutSamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -98,5 +98,32 @@ class LayoutSamplingSpec extends SparkSpec {
     val capped = Sampling.capPerGroup(docs, "source", "doc_id",
       $"n_chars", n = 1000000)
     assert(capped.count() == docs.count())
+  }
+
+  test("leakageSafeSplit: no near-dup pair straddles splits; " +
+      "singletons match plain hashSplit") {
+    val docs = Tables(spark, sf001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").cache()
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"split").cache()
+
+    val straddling = pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddling === 0 && pairs.count() > 0)
+
+    // documents untouched by any pair split exactly like hashSplit —
+    // cluster awareness must not perturb the rest of the corpus
+    val members = pairs.select($"id_a".as("doc_id"))
+      .union(pairs.select($"id_b".as("doc_id"))).distinct()
+    val plain = Sampling.hashSplit(docs, "doc_id")
+      .select($"doc_id", $"split".as("plain"))
+    val drifted = split.join(members, Seq("doc_id"), "left_anti")
+      .join(plain, "doc_id").filter($"split" =!= $"plain").count()
+    assert(drifted === 0)
+    pairs.unpersist(); split.unpersist()
   }
 }

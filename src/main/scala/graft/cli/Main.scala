@@ -64,7 +64,8 @@ object Main {
         mapping = mapping,
         compat = compat,
         dryRun = flag("dry_run"),
-        writePartitions = cfg.get("write_partitions").map(_.toInt))
+        writePartitions = cfg.get("write_partitions").map(_.toInt),
+        schemaEvolution = flag("schema_evolution"))
 
       // overwrite confirmation (reference: cli.py:257-260)
       if (spec.mode == WriteMode.Overwrite && !spec.dryRun && !flag("yes")) {

@@ -126,7 +126,16 @@ final case class MigrationSpec(
       * connections for JdbcSink). None = inherit upstream partitioning.
       * The scale analog of the reference's batch_size knob (README.md:90).
       */
-    writePartitions: Option[Int] = None)
+    writePartitions: Option[Int] = None,
+    /** Schema drift handling on an EXISTING destination: when true, new
+      * source columns are added to the destination (nullable, no
+      * default — history rows read NULL) before the load, and a source
+      * column whose type no longer matches the destination fails fast.
+      * When false (the reference's implicit behavior), the destination
+      * schema wins and new source columns are silently dropped by the
+      * projection alignment.
+      */
+    schemaEvolution: Boolean = false)
 
 /** Errors — reference exceptions.py defines a small hierarchy; we keep
   * the two load-bearing ones.

@@ -64,7 +64,27 @@ class Migrator(source: Source, sink: Sink) {
       if (!exists) sink.createTable(spec.destTable, translatedDdl)
       else if (spec.mode == WriteMode.Overwrite) sink.truncateOrDrop(spec.destTable)
     }
-    val destCols = sink.destSchema(spec.destTable).getOrElse(translatedDdl)
+    // Schema drift (evolution opt-in): compare what the source NOW
+    // translates to against the live destination catalog. Added columns
+    // are ALTERed in (nullable, no default — history reads NULL) BEFORE
+    // the load so the aligned projection can carry them; a base-type
+    // change fails fast (loading across a type change silently corrupts
+    // or nulls data); columns the source dropped stay at the
+    // destination and fill via the D2/D3 default/null policy.
+    val destCols0 = sink.destSchema(spec.destTable).getOrElse(translatedDdl)
+    val destCols =
+      if (exists && spec.schemaEvolution && !spec.dryRun) {
+        val drift = graft.schema.SchemaMapper.diff(translatedDdl, destCols0)
+        if (drift.typeChanged.nonEmpty)
+          throw new DataMigrationError("schema drift: type changed for " +
+            drift.typeChanged.map { case (t, d) =>
+              s"${t.name} (${d.typeName} -> ${t.typeName})" }.mkString(", "))
+        if (drift.added.nonEmpty) {
+          val widened = drift.added.map(_.copy(nullable = true, default = None))
+          sink.addColumns(spec.destTable, widened)
+          destCols0 ++ widened
+        } else destCols0
+      } else destCols0
 
     if (spec.dryRun)
       return MigrationReport(spec.sourceTable, spec.destTable, spec.mode,

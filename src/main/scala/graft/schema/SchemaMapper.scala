@@ -150,4 +150,51 @@ object SchemaMapper {
       DestColumn(c.name, t)
     }
   }
+
+  /** Schema drift between what a source NOW translates to (`target`)
+    * and what the destination catalog says exists (`dest`). Matching is
+    * case-insensitive on the name; type comparison is on the
+    * [[normalizeTypeName]] base token, because DDL strings
+    * ("VARCHAR(255)") and catalog metadata ("VARCHAR") render the same
+    * type differently across drivers.
+    *
+    *  - `added`:       in target, not in dest → candidates for ALTER ADD
+    *  - `removed`:     in dest, not in target → dest keeps them; the
+    *                   load fills via default/null policy (D2/D3)
+    *  - `typeChanged`: same name, different base type → unsafe to load
+    */
+  final case class SchemaDrift(added: Seq[DestColumn],
+      removed: Seq[DestColumn], typeChanged: Seq[(DestColumn, DestColumn)]) {
+    def isEmpty: Boolean =
+      added.isEmpty && removed.isEmpty && typeChanged.isEmpty
+  }
+
+  /** Base type token for cross-driver comparison: uppercase, strip
+    * length/precision args, collapse the standard synonyms.
+    */
+  def normalizeTypeName(t: String): String = {
+    val base = t.trim.toUpperCase.takeWhile(_ != '(').trim
+    base match {
+      case "INT"                              => "INTEGER"
+      case "DOUBLE PRECISION"                 => "DOUBLE"
+      case "CHARACTER VARYING" | "TEXT"       => "VARCHAR"
+      case "NUMERIC" | "DEC"                  => "DECIMAL"
+      case "BOOL"                             => "BOOLEAN"
+      case other                              => other
+    }
+  }
+
+  def diff(target: Seq[DestColumn], dest: Seq[DestColumn]): SchemaDrift = {
+    val destByName = dest.map(c => c.name.toLowerCase -> c).toMap
+    val targetNames = target.map(_.name.toLowerCase).toSet
+    val added = target.filterNot(c => destByName.contains(c.name.toLowerCase))
+    val removed = dest.filterNot(c => targetNames.contains(c.name.toLowerCase))
+    val typeChanged = target.flatMap { t =>
+      destByName.get(t.name.toLowerCase).collect {
+        case d if normalizeTypeName(d.typeName) !=
+          normalizeTypeName(t.typeName) => (t, d)
+      }
+    }
+    SchemaDrift(added, removed, typeChanged)
+  }
 }

@@ -145,6 +145,21 @@ class JdbcSink(url: String, props: Properties = new Properties(),
     ()
   }
 
+  /** Schema evolution: one ALTER per column (maximally portable —
+    * multi-ADD syntax varies by dialect). Forced nullable, no default:
+    * existing rows must read NULL, not a fabricated value.
+    */
+  override def addColumns(table: String, columns: Seq[DestColumn]): Unit =
+    withConn { c =>
+      val st = c.createStatement()
+      try columns.foreach { col =>
+        val cmt = col.comment.filter(_.nonEmpty)
+          .map(dialect.commentClause).getOrElse("")
+        st.execute(s"ALTER TABLE ${dialect.quoteQualified(table)} " +
+          s"ADD COLUMN ${dialect.quote(col.name)} ${col.typeName}$cmt")
+      } finally st.close()
+    }
+
   /** Overwrite = TRUNCATE for relational sinks (reference:
     * mysql_writer.py:63-67, migrator.py:212-214) — preserves DDL,
     * indexes, grants.

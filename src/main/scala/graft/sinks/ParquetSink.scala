@@ -66,13 +66,26 @@ class FileSink(spark: SparkSession, baseDir: String,
     * persist StructField metadata (incl. the `comment` key) in the file
     * footer, so descriptions round-trip without a sidecar.
     */
-  override def destSchema(table: String): Option[Seq[DestColumn]] =
+  override def destSchema(table: String): Option[Seq[DestColumn]] = {
+    // mergeSchema: after evolution the newest files are wider than the
+    // oldest — the table schema is the footer UNION, not the first file
+    val readOpts = format match {
+      case "parquet" | "orc" => formatOptions + ("mergeSchema" -> "true")
+      case _                 => formatOptions
+    }
     if (!tableExists(table)) None
-    else Some(spark.read.options(formatOptions).format(format)
+    else Some(spark.read.options(readOpts).format(format)
       .load(path(table)).schema.fields.toIndexedSeq.map { f =>
         DestColumn(f.name, SchemaMapper.toBigQueryType(f.dataType), f.nullable,
           None, comment = f.getComment())
       })
+  }
+
+  /** Files need no DDL for evolution: subsequent writes carry the wider
+    * schema and [[destSchema]] reads the merged union; rows in old
+    * files read NULL for the new columns.
+    */
+  override def addColumns(table: String, columns: Seq[DestColumn]): Unit = ()
 
   override def write(df: DataFrame, table: String, mode: WriteMode): Unit = {
     val saveMode = mode match {

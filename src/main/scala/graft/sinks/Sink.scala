@@ -43,6 +43,13 @@ trait Sink {
     */
   def destSchema(table: String): Option[Seq[DestColumn]]
 
+  /** Schema evolution: append `columns` to an existing table. Columns
+    * are added NULLABLE with no default — history rows must read NULL.
+    * Relational sinks ALTER; file sinks need no DDL (new files carry
+    * the wider schema and [[destSchema]] reads the merged union).
+    */
+  def addColumns(table: String, columns: Seq[DestColumn]): Unit
+
   /** S8/S10: the write itself. One distributed job — the reference's
     * serial batch loop collapses into this (SURVEY.md §3.1).
     */

@@ -310,4 +310,80 @@ class MigratorSpec extends SparkSpec {
       .option("dbtable", "\"freshns\".\"regiontab\"").load().count()
     assert(cnt == 5)
   }
+
+  test("schema evolution: new source column ALTERs into Derby; " +
+      "history rows read NULL; off by default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcDir = tmpDir("drift-src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    val url = s"jdbc:derby:${tmpDir("derby-drift")}/db;create=true"
+    val sink = new JdbcSink(url, dialect = DerbyDialect)
+    val m = new Migrator(new SourceReader(spark, srcDir), sink)
+    val base = MigrationSpec(sourceTable = "t", destTable = "drifttab",
+      fullScanGuardLimit = None)
+    assert(m.migrate(base).rowsWritten == 2)
+
+    // the source grows a column
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    // default (reference behavior): destination schema wins, new column
+    // silently dropped
+    m.migrate(base)
+    assert(!sink.destSchema("drifttab").get
+      .exists(_.name.equalsIgnoreCase("score")))
+    // opt-in evolution: ALTER ADD, nullable, history rows NULL
+    m.migrate(base.copy(schemaEvolution = true))
+    assert(sink.destSchema("drifttab").get
+      .exists(_.name.equalsIgnoreCase("score")))
+    val rows = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"drifttab\"").load()
+    assert(rows.count() == 4) // 2 + 1 (dropped-col run) + 1 (evolved run)
+    assert(rows.filter(col("score").isNotNull).count() == 1)
+    assert(rows.filter(col("score").isNull).count() == 3)
+  }
+
+  test("schema evolution: base-type change fails fast, before any write") {
+    import spark.implicits._
+    val srcDir = tmpDir("drift-type-src")
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    val url = s"jdbc:derby:${tmpDir("derby-drift-type")}/db;create=true"
+    val sink = new JdbcSink(url, dialect = DerbyDialect)
+    val m = new Migrator(new SourceReader(spark, srcDir), sink)
+    val base = MigrationSpec(sourceTable = "t", destTable = "typetab",
+      fullScanGuardLimit = None)
+    m.migrate(base)
+    Seq(("x", "a")).toDF("id", "name") // id: bigint -> string
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    val e = intercept[DataMigrationError] {
+      m.migrate(base.copy(schemaEvolution = true))
+    }
+    assert(e.getMessage.contains("type changed") && e.getMessage.contains("id"))
+    val rows = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"typetab\"").load()
+    assert(rows.count() == 1) // nothing moved after the failed run
+  }
+
+  test("schema evolution: file sink unions footers; old files read NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcDir = tmpDir("drift-file-src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    val out = tmpDir("drift-file-out")
+    val sink = new ParquetSink(spark, out)
+    val m = new Migrator(new SourceReader(spark, srcDir), sink)
+    val base = MigrationSpec(sourceTable = "t", destTable = "t2",
+      fullScanGuardLimit = None)
+    m.migrate(base)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    m.migrate(base.copy(schemaEvolution = true))
+    assert(sink.destSchema("t2").get.exists(_.name.equalsIgnoreCase("score")))
+    val rows = spark.read.option("mergeSchema", "true").parquet(s"$out/t2")
+    assert(rows.count() == 3)
+    assert(rows.filter(col("score").isNotNull).count() == 1)
+  }
 }

@@ -87,4 +87,31 @@ class SchemaMapperSpec extends SparkSpec {
     val ddl = SchemaMapper.toMySqlDdl(cols, Map("AMOUNT" -> "DECIMAL(20,6)"))
     assert(ddl.head.typeName == "DECIMAL(20,6)")
   }
+
+  test("schema drift diff: case-insensitive names, base-type tokens, " +
+      "driver-rendering synonyms") {
+    import graft.model.DestColumn
+    val target = Seq(
+      DestColumn("id", "BIGINT"),
+      DestColumn("Name", "VARCHAR(255)"),
+      DestColumn("score", "DOUBLE"))     // new in source
+    val dest = Seq(
+      DestColumn("ID", "BIGINT"),
+      DestColumn("name", "VARCHAR"),     // catalog strips the length
+      DestColumn("legacy", "INT"))       // dropped from source
+    val d = SchemaMapper.diff(target, dest)
+    assert(d.added.map(_.name) == Seq("score"))
+    assert(d.removed.map(_.name) == Seq("legacy"))
+    assert(d.typeChanged.isEmpty) // VARCHAR(255) vs VARCHAR is no drift
+
+    val d2 = SchemaMapper.diff(
+      Seq(DestColumn("id", "VARCHAR(64)")), Seq(DestColumn("id", "BIGINT")))
+    assert(d2.typeChanged.map(_._1.name) == Seq("id"))
+    // synonyms collapse: INT≡INTEGER, DOUBLE PRECISION≡DOUBLE, BOOL≡BOOLEAN
+    assert(SchemaMapper.diff(
+      Seq(DestColumn("a", "INT"), DestColumn("b", "DOUBLE PRECISION"),
+        DestColumn("c", "BOOL")),
+      Seq(DestColumn("a", "INTEGER"), DestColumn("b", "DOUBLE"),
+        DestColumn("c", "BOOLEAN"))).typeChanged.isEmpty)
+  }
 }

@@ -570,6 +570,20 @@ object PipelineQueries {
         .select($"doc_id", $"grp", $"split")
     },
 
+    // Per-group winsorization + equi-depth deciles: clamp the raw
+    // length signal at exact percentile-disc p10/p90 (integer-rank
+    // bounds, no interpolation floats) and bucket by ntile — the
+    // outlier treatment applied before thresholding any raw quality
+    // signal (operators/Winsorize).
+    "pipeline_winsorize" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Winsorize.winsorize(
+          Tables(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+          "lang", "n_chars", "doc_id")
+        .select($"doc_id", $"lang", $"n_chars", $"lo", $"hi", $"clamped",
+          $"decile".cast("long").as("decile"))
+    },
+
     // Per-group dynamic-threshold filter: keep documents above their
     // language's MEDIAN length — the "top half by quality, per stratum"
     // curation shape (threshold computed per group, broadcast back).
@@ -1227,6 +1241,25 @@ object PipelineQueries {
           |    WHEN (grp * 2654435761) % 1000003 % 100 < 90 THEN 'val'
           |    ELSE 'test' END AS split
           |FROM g""".stripMargin),
+
+    "pipeline_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER w AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS cnt,
+        |    CAST(ntile(10) OVER w AS BIGINT) AS decile
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)),
+        |bounds AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rk = (cnt * 10 + 99) // 100 THEN n_chars END)
+        |      AS lo,
+        |    max(CASE WHEN rk = (cnt * 90 + 99) // 100 THEN n_chars END)
+        |      AS hi
+        |  FROM ranked GROUP BY lang)
+        |SELECT r.doc_id, r.lang, r.n_chars, b.lo, b.hi,
+        |  least(greatest(r.n_chars, b.lo), b.hi) AS clamped, r.decile
+        |FROM ranked r JOIN bounds b USING (lang)""".stripMargin,
 
     "pipeline_quality_filter" ->
       """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med

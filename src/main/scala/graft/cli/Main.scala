@@ -17,6 +17,7 @@ import graft.sources.{JdbcSource, SourceReader}
   *     [--limit N] [--config FILE] [--dry-run] [--yes]
   *     [--null-policy fail|fill|skip] [--null-fill-sentinel S]
   *     [--strip-null-tokens] [--empty-string-as-null]
+  *     [--schema-evolution]
   *
   * Precedence: CLI > config file > env (reference: config_loader.py:171-248).
   */

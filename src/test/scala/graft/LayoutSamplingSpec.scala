@@ -100,6 +100,30 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(capped.count() == docs.count())
   }
 
+  test("winsorize: clamp stays inside [lo, hi], bounds are real group " +
+      "values at the percentile-disc ranks, deciles are balanced") {
+    val docs = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val w = graft.operators.Winsorize.winsorize(
+      docs, "lang", "n_chars", "doc_id").cache()
+    assert(w.count() === docs.count())
+    assert(w.filter($"clamped" < $"lo" || $"clamped" > $"hi").count() === 0)
+    // untouched interior: values already inside the bounds pass through
+    assert(w.filter($"n_chars" >= $"lo" && $"n_chars" <= $"hi" &&
+      $"clamped" =!= $"n_chars").count() === 0)
+    // bounds are actual member values of their group
+    val boundsAreMembers = w.select($"lang", $"lo".as("v"))
+      .union(w.select($"lang", $"hi".as("v"))).distinct()
+      .join(docs.select($"lang", $"n_chars".as("v")).distinct(),
+        Seq("lang", "v"), "left_anti").count()
+    assert(boundsAreMembers === 0)
+    // ntile balance: per group, decile sizes differ by at most 1
+    val sizes = w.groupBy($"lang", $"decile").count()
+      .groupBy($"lang").agg((max($"count") - min($"count")).as("spread"))
+    assert(sizes.filter($"spread" > 1).count() === 0)
+    w.unpersist()
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles splits; " +
       "singletons match plain hashSplit") {
     val docs = Tables(spark, sf001, "documents")

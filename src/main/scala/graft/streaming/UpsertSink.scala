@@ -44,10 +44,18 @@ import graft.operators.Scd
   */
 object UpsertSink {
 
-  /** State row: key, latest value, its event-time micros, tie-break. */
+  /** State row: key, latest value, its event-time micros, tie-break,
+    * tombstone flag. Tombstones STAY in the state as rows — dropping
+    * them at delete time would let a LATE update with an older
+    * event-time resurrect the key (the classic CDC bug); kept as rows,
+    * the same ts-conditional merge rejects the stale update. Read the
+    * live view through [[liveState]]; tombstone retention/GC is the
+    * same retention job any CDC log store runs.
+    */
   val stateSchema: StructType = StructType(Seq(
     StructField("k", LongType), StructField("v", DoubleType),
-    StructField("last_us", LongType), StructField("tie", LongType)))
+    StructField("last_us", LongType), StructField("tie", LongType),
+    StructField("deleted", BooleanType)))
 
   private def pointerPath(stateDir: String) =
     java.nio.file.Paths.get(stateDir, "_CURRENT")
@@ -66,18 +74,28 @@ object UpsertSink {
 
   /** Compact a raw change batch to one row per key: the latest
     * observation by (event time, tie) — ONE max_by of the whole row.
+    * `deletedCol` marks tombstone rows (absent → all upserts); the
+    * latest observation wins whether it is an upsert or a delete.
     */
   def compactBatch(batch: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, tieCol: String): DataFrame =
+      valueCol: String, tieCol: String,
+      deletedCol: Option[String] = None): DataFrame =
     batch.select(col(keyCol).cast("long").as("k"),
         col(valueCol).cast("double").as("v"),
         unix_micros(col(tsCol)).as("last_us"),
-        col(tieCol).cast("long").as("tie"))
+        col(tieCol).cast("long").as("tie"),
+        deletedCol.map(d => coalesce(col(d).cast("boolean"), lit(false)))
+          .getOrElse(lit(false)).as("deleted"))
       .groupBy(col("k"))
-      .agg(max_by(struct(col("v"), col("last_us"), col("tie")),
+      .agg(max_by(struct(col("v"), col("last_us"), col("tie"),
+          col("deleted")),
         struct(col("last_us"), col("tie"))).as("r"))
       .select(col("k"), col("r.v").as("v"), col("r.last_us").as("last_us"),
-        col("r.tie").as("tie"))
+        col("r.tie").as("tie"), col("r.deleted").as("deleted"))
+
+  /** The live view: committed state minus tombstones. */
+  def liveState(spark: SparkSession, stateDir: String): DataFrame =
+    currentState(spark, stateDir).filter(!col("deleted"))
 
   /** Fold one (already compacted) batch into the versioned state. */
   def applyBatch(spark: SparkSession, stateDir: String,
@@ -99,7 +117,8 @@ object UpsertSink {
   def run(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, keyCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value",
-      tieCol: String = "event_id", maxFilesPerTrigger: Int = 1): Unit = {
+      tieCol: String = "event_id", maxFilesPerTrigger: Int = 1,
+      deletedCol: Option[String] = None): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
     val schema = graft.Tables.read(spark, srcDir).schema
     val stream = graft.Tables.normalizeNanos(
@@ -108,7 +127,8 @@ object UpsertSink {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, stateDir,
-          compactBatch(batch, keyCol, tsCol, valueCol, tieCol), batchId)
+          compactBatch(batch, keyCol, tsCol, valueCol, tieCol, deletedCol),
+          batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -246,6 +246,35 @@ class StreamingSpec extends SparkSpec {
     assert(pointer() === "v=99" && stateNow() === expect)
   }
 
+  test("tombstones persist in state: a late older update cannot " +
+      "resurrect a deleted key, in any arrival order") {
+    import org.apache.spark.sql.functions.to_timestamp
+    def batch(rows: Seq[(Long, String, Double, Long, Boolean)]) =
+      UpsertSink.compactBatch(
+        rows.toDF("user_id", "s", "value", "event_id", "del")
+          .withColumn("ts", to_timestamp($"s")).drop("s"),
+        "user_id", "ts", "value", "event_id", deletedCol = Some("del"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      UpsertSink.stateSchema)
+    val insert = batch(Seq((1L, "2024-01-01 00:00:10", 1.0, 1L, false)))
+    val tombstone = batch(Seq((1L, "2024-01-01 00:00:20", 0.0, 2L, true)))
+    val lateUpdate = batch(Seq((1L, "2024-01-01 00:00:15", 5.0, 3L, false)))
+    for (order <- Seq(Seq(insert, tombstone, lateUpdate),
+        Seq(lateUpdate, tombstone, insert),
+        Seq(tombstone, insert, lateUpdate))) {
+      val st = order.foldLeft(empty)((s, b) =>
+        graft.operators.Scd.mergeUpsertLatest(s, b, "k", "last_us", "tie"))
+        .collect()
+      // live view: key 1 is gone; the tombstone row itself is retained
+      // (dropping it at delete time is what would let ts=15 resurrect)
+      assert(st.count(r => !r.getBoolean(4)) === 0)
+      assert(st.length === 1 && st.head.getBoolean(4) &&
+        st.head.getLong(2) === 20000000L +
+          java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L)
+    }
+  }
+
   test("mergeUpsertLatest fold is arrival-order insensitive") {
     val batches = (0 to 2).map(i => UpsertSink.compactBatch(
       arrivalBatch(i), "user_id", "ts", "value", "event_id"))

@@ -93,9 +93,14 @@ object UpsertSink {
       .select(col("k"), col("r.v").as("v"), col("r.last_us").as("last_us"),
         col("r.tie").as("tie"), col("r.deleted").as("deleted"))
 
-  /** The live view: committed state minus tombstones. */
+  /** The live view: committed state minus tombstones. NULL `deleted`
+    * (a state version written before the tombstone column existed —
+    * parquet fills absent columns with NULL) means live, not deleted:
+    * a bare `!deleted` filter would three-valued-logic those rows out.
+    */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
-    currentState(spark, stateDir).filter(!col("deleted"))
+    currentState(spark, stateDir)
+      .filter(!coalesce(col("deleted"), lit(false)))
 
   /** Fold one (already compacted) batch into the versioned state. */
   def applyBatch(spark: SparkSession, stateDir: String,

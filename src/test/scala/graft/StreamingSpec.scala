@@ -275,6 +275,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert with tombstones end-to-end: deleted key absent " +
+      "from live view, tombstone retained in full state") {
+    import org.apache.spark.sql.functions.to_timestamp
+    def stage(dir: String, rows: Seq[(Long, String, Double, Long, Boolean)]) =
+      rows.toDF("user_id", "s", "value", "event_id", "del")
+        .withColumn("ts", to_timestamp($"s")).drop("s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val src = tmpDir("upsert-del-src")
+    stage(src, Seq((1L, "2024-01-01 00:00:10", 1.0, 1L, false),
+      (2L, "2024-01-01 00:00:10", 2.0, 2L, false)))
+    stage(src, Seq((1L, "2024-01-01 00:00:20", 0.0, 3L, true)))
+    val state = tmpDir("upsert-del-state")
+    UpsertSink.run(spark, src, state, tmpDir("upsert-del-ckpt"),
+      deletedCol = Some("del"))
+    assert(UpsertSink.liveState(spark, state)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(UpsertSink.currentState(spark, state).count() === 2)
+  }
+
   test("mergeUpsertLatest fold is arrival-order insensitive") {
     val batches = (0 to 2).map(i => UpsertSink.compactBatch(
       arrivalBatch(i), "user_id", "ts", "value", "event_id"))

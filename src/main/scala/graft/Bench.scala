@@ -72,6 +72,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)},"sf":"$sfDir"}""")
+    // compact totals-only line LAST: the driver's capture keeps the
+    // TAIL of the output, and the full per-query line above (~2.5KB at
+    // 109 queries) has overflowed that buffer head-first two rounds
+    // running (BENCH_r04/r05 "parsed": null — the leading {"metric"...
+    // was cut, making the line unparseable). This line is ~120 bytes,
+    // sits at the very end of the stream, and parses standalone.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

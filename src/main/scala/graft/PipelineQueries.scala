@@ -158,8 +158,12 @@ object PipelineQueries {
     },
 
     "dedup_minhash_pairs" -> { (s, dir) =>
-      // approximate candidates, verified with true jaccard (no oracle:
-      // banding may miss ~1% of pairs; recall asserted in PipelineSpec)
+      // LSH candidates verified with true jaccard. FULLY oracled: the
+      // signature scheme (md5-prefix base + Carter-Wegman mod-prime
+      // coefficients, VectorExprs.minhashSig) is replicable in the gate
+      // engine's SQL, so banding/prefilter/verify are all hash-checked;
+      // recall vs the exact pair set is additionally asserted in
+      // PipelineSpec.
       Dedup.minhashPairs(Tables(s, dir, "documents"),
         "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
         threshold = 0.5)
@@ -885,6 +889,49 @@ object PipelineQueries {
         |  AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
         |      CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5""".stripMargin),
 
+    // Exact replica of the MinHash+LSH pipeline: same signatures
+    // (60-bit md5-prefix base, h_i = (x*a_i + b_i) mod 1000003 with
+    // a_i = ((i+1)*2654435761 + seed) % P, b_i = (i*40503 + seed) % P,
+    // seed = 0x7f4a7c15 = 2135587861 — VectorExprs.minhashCoefs), same
+    // 16 bands × 4 rows, same ±3σ estimate prefilter
+    // (0.5 - 3*sqrt(.25/64) = 0.3125), same exact-jaccard verify.
+    "dedup_minhash_pairs" -> (Shingles +
+      """,
+        |based AS (
+        |  SELECT doc_id, ('0x' || substr(md5(g),1,15))::BIGINT % 1000003 AS x
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh)),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |    MIN((x * (((i+1)*2654435761 + 2135587861) % 1000003)
+        |         + ((i*40503 + 2135587861) % 1000003)) % 1000003) AS m
+        |  FROM based, range(64) t(i)
+        |  GROUP BY doc_id, i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i ASC) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |      AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0
+        |    >= 0.3125)
+        |SELECT e.id_a, e.id_b,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) AS jaccard
+        |FROM est e
+        |JOIN sh a ON a.doc_id = e.id_a
+        |JOIN sh b ON b.doc_id = e.id_b
+        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+        |  >= 0.5""".stripMargin),
+
     "dedup_embed_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
@@ -1066,7 +1113,7 @@ object PipelineQueries {
       """SELECT stratum, id, rank FROM (
         |  SELECT lang AS stratum, doc_id AS id,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003 ASC, doc_id ASC) AS rank
         |  FROM documents) WHERE rank <= 20""".stripMargin,
 
     "pipeline_assembly" ->
@@ -1080,8 +1127,8 @@ object PipelineQueries {
         |q AS (SELECT surv.doc_id, surv.lang, surv.n_chars
         |  FROM surv JOIN m ON surv.lang = m.lang WHERE n_chars > med),
         |s AS (SELECT lang, n_chars, CASE
-        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
-        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'val'
         |    ELSE 'test' END AS split FROM q)
         |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -1132,8 +1179,8 @@ object PipelineQueries {
         |        AS rn
         |    FROM documents d JOIN keepids USING (doc_id)) WHERE rn <= 10)
         |SELECT CASE
-        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
-        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'val'
         |    ELSE 'test' END AS split,
         |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -1212,8 +1259,8 @@ object PipelineQueries {
       """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM (SELECT CASE
-        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 80 THEN 'train'
-        |    WHEN (doc_id * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'val'
         |    ELSE 'test' END AS split, n_chars
         |  FROM documents)
         |GROUP BY split""".stripMargin,
@@ -1237,8 +1284,8 @@ object PipelineQueries {
           |g AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
           |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
           |SELECT doc_id, grp, CASE
-          |    WHEN (grp * 2654435761) % 1000003 % 100 < 80 THEN 'train'
-          |    WHEN (grp * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+          |    WHEN ((grp % 1000003) * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+          |    WHEN ((grp % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'val'
           |    ELSE 'test' END AS split
           |FROM g""".stripMargin),
 
@@ -1273,7 +1320,7 @@ object PipelineQueries {
     "pipeline_mix" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000003 % 1000 < CASE source
+        |WHERE ((doc_id % 1000003) * 2654435761) % 1000003 % 1000 < CASE source
         |  WHEN 'src0' THEN 100 WHEN 'src1' THEN 500
         |  WHEN 'src2' THEN 0 ELSE 1000 END
         |GROUP BY source""".stripMargin,

@@ -17,7 +17,8 @@ import graft.sources.{JdbcSource, SourceReader}
   *     [--limit N] [--config FILE] [--dry-run] [--yes]
   *     [--null-policy fail|fill|skip] [--null-fill-sentinel S]
   *     [--strip-null-tokens] [--empty-string-as-null]
-  *     [--schema-evolution]
+  *     [--schema-evolution] [--table-comment TEXT]
+  *     [--log-level ERROR|WARN|INFO|DEBUG|TRACE] (reference: cli.py:60)
   *
   * Precedence: CLI > config file > env (reference: config_loader.py:171-248).
   */
@@ -44,7 +45,8 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      cfg.getOrElse("log_level", "WARN").toUpperCase)
 
     try {
       val sourceTable = req("source_table")
@@ -66,7 +68,8 @@ object Main {
         compat = compat,
         dryRun = flag("dry_run"),
         writePartitions = cfg.get("write_partitions").map(_.toInt),
-        schemaEvolution = flag("schema_evolution"))
+        schemaEvolution = flag("schema_evolution"),
+        tableComment = cfg.get("table_comment").filter(_.nonEmpty))
 
       // overwrite confirmation (reference: cli.py:257-260)
       if (spec.mode == WriteMode.Overwrite && !spec.dryRun && !flag("yes")) {

@@ -100,11 +100,46 @@ object VecOps {
     Array.fill(numPlanes * dims)(rnd.nextGaussian().toFloat)
   }
 
+  /** MinHash prime modulus — small enough that (P-1)² + P < 2^63, so
+    * the universal-hash arithmetic never overflows a BIGINT in ANY
+    * engine (same reasoning as Sampling.idScore).
+    */
+  val MinhashP = 1000003L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5 prefix of a string's UTF-8 bytes — numerically equal to
+    * parsing the first 15 hex chars of the md5 digest, which any SQL
+    * engine can replicate verbatim (DuckDB:
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`). Non-negative by
+    * construction (60 < 63 bits). This replaces a JVM-private murmur3
+    * base hash so the minhash gate query is cross-engine checkable.
+    */
+  def md5Base60(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** Single-pass k-permutation MinHash: one base hash per shingle, k
-    * universal-hash permutations h_i(x) = a_i*x + b_i (odd a_i, 64-bit
-    * wraparound), running minima kept in a local array. One traversal of
-    * the shingle array instead of k (the transform+array_min formulation
-    * re-walks the array per hash function).
+    * universal-hash permutations h_i(x) = (x·a_i + b_i) mod P over the
+    * prime field (the textbook Carter–Wegman family), running minima
+    * kept in a local array. One traversal of the shingle array instead
+    * of k (the transform+array_min formulation re-walks the array per
+    * hash function).
+    *
+    * Every ingredient is deliberately SQL-replicable — md5-prefix base
+    * ([[md5Base60]]), closed-form coefficients ([[minhashCoefs]]),
+    * mod-first bounded arithmetic — so an external engine can recompute
+    * the exact signatures and the LSH gate query gets a full
+    * rows+schema+hash oracle instead of a recall-only check.
     */
   def minhashSig(shingles: ArrayData, k: Int, seed: Int): ArrayData = {
     val mins = new Array[Long](k)
@@ -114,10 +149,10 @@ object VecOps {
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val h = hash64(shingles.getUTF8String(i), seed)
+        val x = md5Base60(shingles.getUTF8String(i)) % MinhashP
         var j = 0
         while (j < k) {
-          val v = coef(2 * j) * h + coef(2 * j + 1)
+          val v = (x * coef(2 * j) + coef(2 * j + 1)) % MinhashP
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -127,13 +162,29 @@ object VecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Closed-form universal-hash coefficients in [0, P): a_i from the
+    * Knuth multiplier, b_i from a small LCG step, both seed-shifted —
+    * pure integer arithmetic an oracle SQL can mirror literally:
+    * `a_i = ((i+1)*2654435761 + seed) % 1000003` (never 0 for the
+    * default seed and i < 64 — guarded anyway), `b_i = (i*40503 +
+    * seed) % 1000003`. No JVM Random, no 64-bit wraparound.
+    */
   private val coefCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
   def minhashCoefs(k: Int, seed: Int): Array[Long] =
     coefCache.computeIfAbsent((k, seed), { _ =>
-      val rnd = new java.util.Random(seed.toLong << 17 | 0x9e3779b9L)
-      Array.fill(2 * k)(rnd.nextLong()).zipWithIndex
-        .map { case (v, i) => if (i % 2 == 0) v | 1L else v } // odd multipliers
+      val out = new Array[Long](2 * k)
+      var i = 0
+      while (i < k) {
+        var a = (((i + 1).toLong * 2654435761L + seed) % MinhashP
+          + MinhashP) % MinhashP
+        if (a == 0L) a = 1L
+        out(2 * i) = a
+        out(2 * i + 1) = ((i.toLong * 40503L + seed) % MinhashP
+          + MinhashP) % MinhashP
+        i += 1
+      }
+      out
     })
 
   // ---- product quantization (Jégou et al., TPAMI 2011 — public) ----

@@ -135,7 +135,13 @@ final case class MigrationSpec(
       * schema wins and new source columns are silently dropped by the
       * projection alignment.
       */
-    schemaEvolution: Boolean = false)
+    schemaEvolution: Boolean = false,
+    /** Table-level description carried into sink DDL at creation — the
+      * reference set `table.description` on the BigQuery table
+      * (bigquery_client.py:90,104-105). MySQL: `COMMENT='...'` table
+      * option; file sinks: a `_TABLE_COMMENT` sidecar in the table dir.
+      */
+    tableComment: Option[String] = None)
 
 /** Errors — reference exceptions.py defines a small hierarchy; we keep
   * the two load-bearing ones.

@@ -13,9 +13,12 @@ import graft.functions.VectorFunctions
   *               groups by the raw text — the shuffle carries digests,
   *               not documents).
   *  - minhash:   shingle → minhash signature → banded LSH; candidate
-  *               generation is an equi-join on (band, bandHash) so it
-  *               shuffles only (id, band) pairs; verification joins the
-  *               shingle sets back by id. Classic MMDS ch.3 scheme.
+  *               generation is an equi-join on (band, band slice) so it
+  *               shuffles only slim (id, band, 4 longs) rows;
+  *               verification joins the shingle sets back by id. Classic
+  *               MMDS ch.3 scheme; the signature arithmetic is
+  *               SQL-replicable by design (VectorExprs.minhashSig) so
+  *               the whole pipeline is oracle-checkable.
   *  - simhash:   64-bit simhash, pigeonhole banding into 4×16-bit chunks
   *               (any pair within hamming ≤3 shares at least one chunk),
   *               verified with bit_count(xor).
@@ -65,18 +68,20 @@ object Dedup {
     val sigs = shingled.select(col("id"),
       VectorFunctions.minhashSignature(col("shingles"), numHashes).as("sig"))
 
-    // band rows: (id, band, hash(slice of sig)) — small fixed width
+    // band rows: (id, band, slice of sig) — small fixed width. The join
+    // keys on the RAW slice (rows minima), not a hash of it: identical
+    // candidate semantics to any engine replicating the signatures, no
+    // hash-collision caveat, and the shuffle key is still tiny.
     val banded = sigs.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"))
       .select(col("id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows)))
-          .as("band_hash"))
+        slice(col("sig"), col("band") * rows + 1, lit(rows)).as("band_key"))
 
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

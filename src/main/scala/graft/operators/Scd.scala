@@ -104,6 +104,15 @@ object Scd {
     * Same single full-outer join and whole-row CASE as [[mergeUpsert]];
     * `changes` must carry the base schema (including `orderCol` /
     * `tieCol`) and at most one row per key.
+    *
+    * NULL `orderCol`/`tieCol` contract: Spark's struct comparison is a
+    * TOTAL null-first ordering (a NULL field sorts SMALLEST; the
+    * comparison itself never evaluates to NULL), so a NULL order value
+    * behaves as the OLDEST possible timestamp, symmetrically on both
+    * sides: a NULL-ts change row loses to any timestamped base row, a
+    * NULL-ts base row loses to any timestamped change row, NULL-vs-NULL
+    * falls through to the tie column, and an entirely-NULL tie goes to
+    * the change row (the `>=` replay rule). Pinned in PackScdSpec.
     */
   def mergeUpsertLatest(base: DataFrame, changes: DataFrame,
       keyCol: String, orderCol: String, tieCol: String): DataFrame = {
@@ -121,7 +130,9 @@ object Scd {
     val inBatch = col("c.__present").isNotNull
     val inBase = col("b.__bpresent").isNotNull
     // ties (equal order AND tie) go to the change row: >= keeps a
-    // replayed batch idempotent rather than flip-flopping
+    // replayed batch idempotent rather than flip-flopping. NULL fields
+    // never poison this predicate: struct >= is Spark's null-first
+    // TOTAL ordering, so NULL order/tie simply sorts oldest (see doc).
     val changeWins = inBatch && (!inBase ||
       struct(col(s"c.$orderCol"), col(s"c.$tieCol")) >=
         struct(col(s"b.$orderCol"), col(s"b.$tieCol")))

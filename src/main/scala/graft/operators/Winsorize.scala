@@ -25,15 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object Winsorize {
 
-  /** @return input columns + (lo, hi, clamped, decile). */
+  /** @return input columns + (lo, hi, clamped, decile).
+    *
+    * NULL policy: rows with a NULL group or NULL value are DROPPED,
+    * explicitly and up front. A NULL group never equi-matched the
+    * bounds join anyway (silent drop before — now documented), and a
+    * NULL value has no place in a rank-based clamp: Spark default-sorts
+    * NULLS FIRST where DuckDB sorts NULLS LAST, so letting NULLs into
+    * the window would shift every rank/decile cross-engine. The sort is
+    * additionally pinned `asc_nulls_last` so the two engines agree even
+    * if the filter is ever relaxed.
+    */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       tieCol: String, pLow: Int = 10, pHigh: Int = 90): DataFrame = {
     require(0 < pLow && pLow < pHigh && pHigh <= 100,
       s"invalid percentile bounds: $pLow/$pHigh")
     val byVal = Window.partitionBy(col(groupCol))
-      .orderBy(col(valueCol).asc, col(tieCol).asc)
+      .orderBy(col(valueCol).asc_nulls_last, col(tieCol).asc_nulls_last)
     val grp = Window.partitionBy(col(groupCol))
     val ranked = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("__rk", row_number().over(byVal))
       .withColumn("__cnt", count(lit(1)).over(grp))
       .withColumn("decile", ntile(10).over(byVal))

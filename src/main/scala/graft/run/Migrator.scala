@@ -61,7 +61,8 @@ class Migrator(source: Source, sink: Sink) {
     val created = !exists && !spec.dryRun
     val translatedDdl = translateDdl(srcCols, spec)
     if (!spec.dryRun) {
-      if (!exists) sink.createTable(spec.destTable, translatedDdl)
+      if (!exists)
+        sink.createTable(spec.destTable, translatedDdl, spec.tableComment)
       else if (spec.mode == WriteMode.Overwrite) sink.truncateOrDrop(spec.destTable)
     }
     // Schema drift (evolution opt-in): compare what the source NOW

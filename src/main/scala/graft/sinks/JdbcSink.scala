@@ -19,6 +19,10 @@ sealed trait SqlDialect {
   def ddlType(dt: DataType): String
   /** Per-column COMMENT clause, "" when the dialect has none. */
   def commentClause(comment: String): String = ""
+  /** Table-level options suffix after the column list (table COMMENT),
+    * "" when the dialect has none.
+    */
+  def tableOptionsClause(comment: String): String = ""
   /** CREATE SCHEMA/DATABASE statement for [[JdbcSink.ensureNamespace]]. */
   def createNamespaceSql(ns: String): String = s"CREATE SCHEMA ${quote(ns)}"
   /** Quote a possibly schema-qualified `ns.table` name part-by-part. */
@@ -34,6 +38,11 @@ object MySqlDialect extends SqlDialect {
     */
   override def commentClause(comment: String): String =
     s" COMMENT '${comment.replace("\\", "\\\\").replace("'", "''")}'"
+  /** Table COMMENT option — the MySQL analog of the reference's
+    * `table.description` (bigquery_client.py:90,104-105).
+    */
+  override def tableOptionsClause(comment: String): String =
+    s" COMMENT='${comment.replace("\\", "\\\\").replace("'", "''")}'"
   override def createNamespaceSql(ns: String): String =
     s"CREATE DATABASE IF NOT EXISTS ${quote(ns)}"
 }
@@ -128,7 +137,8 @@ class JdbcSink(url: String, props: Properties = new Properties(),
     * already deduped upstream by SchemaMapper.dedupe — the reference
     * deduped in three layers, we do it once, SURVEY.md D4).
     */
-  def createTableDdl(table: String, columns: Seq[DestColumn]): String = {
+  def createTableDdl(table: String, columns: Seq[DestColumn],
+      tableComment: Option[String] = None): String = {
     val cols = columns.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
       val dflt = c.default.map(d => s" DEFAULT $d").getOrElse("")
@@ -136,13 +146,37 @@ class JdbcSink(url: String, props: Properties = new Properties(),
         .map(dialect.commentClause).getOrElse("")
       s"${dialect.quote(c.name)} ${c.typeName}$nn$dflt$cmt"
     }
-    s"CREATE TABLE ${dialect.quoteQualified(table)} (${cols.mkString(", ")})"
+    val opts = tableComment.filter(_.nonEmpty)
+      .map(dialect.tableOptionsClause).getOrElse("")
+    s"CREATE TABLE ${dialect.quoteQualified(table)} (${cols.mkString(", ")})$opts"
   }
 
-  override def createTable(table: String, columns: Seq[DestColumn]): Unit = {
-    val ddl = createTableDdl(table, columns)
+  override def createTable(table: String, columns: Seq[DestColumn],
+      tableComment: Option[String]): Unit = {
+    val ddl = createTableDdl(table, columns, tableComment)
     withConn { c => val st = c.createStatement(); try st.execute(ddl) finally st.close() }
     ()
+  }
+
+  /** Table description read back from the driver's catalog REMARKS
+    * (where the driver surfaces it — MySQL does, Derby has no table
+    * COMMENT at all).
+    */
+  override def tableComment(table: String): Option[String] = {
+    val (ns, name) = splitQualified(table)
+    withConn { c =>
+      val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+      try {
+        var found: Option[String] = None
+        while (rs.next() && found.isEmpty) {
+          if (rs.getString("TABLE_NAME").equalsIgnoreCase(name) &&
+              ns.forall(s => Option(rs.getString("TABLE_SCHEM"))
+                .exists(_.equalsIgnoreCase(s))))
+            found = Option(rs.getString("REMARKS")).filter(_.nonEmpty)
+        }
+        found
+      } finally rs.close()
+    }
   }
 
   /** Schema evolution: one ALTER per column (maximally portable —

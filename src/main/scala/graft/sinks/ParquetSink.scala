@@ -41,15 +41,42 @@ class FileSink(spark: SparkSession, baseDir: String,
   override def ddlType(dt: org.apache.spark.sql.types.DataType): String =
     SchemaMapper.toBigQueryType(dt)
 
-  override def tableExists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  /** A table exists when its directory holds any VISIBLE entry — hidden
+    * files (`_SUCCESS`, the `_TABLE_COMMENT` sidecar, dotfiles) don't
+    * make a table, exactly as Spark's own file listing ignores them.
+    */
+  override def tableExists(table: String): Boolean = {
+    val dir = new java.io.File(path(table))
+    dir.exists() && Option(dir.listFiles()).exists(_.exists(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+  }
 
   /** Files have no standalone DDL — table creation happens at first
     * write; this validates the translated schema instead (every type must
-    * map, mirroring create_table's role).
+    * map, mirroring create_table's role). A table-level description (the
+    * reference's `table.description`, bigquery_client.py:90,104-105) has
+    * no footer slot, so it persists as a `_TABLE_COMMENT` sidecar in the
+    * table directory — underscore-prefixed files are invisible to
+    * Spark/Hadoop file listings, like `_SUCCESS`.
     */
-  override def createTable(table: String, columns: Seq[DestColumn]): Unit =
+  override def createTable(table: String, columns: Seq[DestColumn],
+      tableComment: Option[String]): Unit = {
     require(columns.nonEmpty, s"cannot create $table with no columns")
+    tableComment.filter(_.nonEmpty).foreach { cmt =>
+      val dir = java.nio.file.Paths.get(path(table))
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("_TABLE_COMMENT"),
+        cmt.getBytes("UTF-8"))
+    }
+  }
+
+  override def tableComment(table: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path(table), "_TABLE_COMMENT")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .filter(_.nonEmpty)
+    else None
+  }
 
   override def truncateOrDrop(table: String): Unit = {
     val dir = new java.io.File(path(table))
@@ -74,11 +101,13 @@ class FileSink(spark: SparkSession, baseDir: String,
       case _                 => formatOptions
     }
     if (!tableExists(table)) None
-    else Some(spark.read.options(readOpts).format(format)
+    // Try: a dir holding only hidden files (sidecar/_SUCCESS after an
+    // interrupted first load) has no schema to infer — treat as absent
+    else scala.util.Try(spark.read.options(readOpts).format(format)
       .load(path(table)).schema.fields.toIndexedSeq.map { f =>
         DestColumn(f.name, SchemaMapper.toBigQueryType(f.dataType), f.nullable,
           None, comment = f.getComment())
-      })
+      }).toOption
   }
 
   /** Files need no DDL for evolution: subsequent writes carry the wider

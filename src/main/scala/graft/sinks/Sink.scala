@@ -30,8 +30,18 @@ trait Sink {
   /** S9/S11: does the destination table exist. */
   def tableExists(table: String): Boolean
 
-  /** S9/S11: create the destination table from translated DDL columns. */
-  def createTable(table: String, columns: Seq[DestColumn]): Unit
+  /** S9/S11: create the destination table from translated DDL columns.
+    * `tableComment` is the table-level description (reference:
+    * bigquery_client.py:90,104-105 `table.description`).
+    */
+  def createTable(table: String, columns: Seq[DestColumn],
+      tableComment: Option[String] = None): Unit
+
+  /** Table-level description read back from the destination catalog
+    * (REMARKS for JDBC, sidecar for files); None when absent or the
+    * dialect cannot persist one.
+    */
+  def tableComment(table: String): Option[String] = None
 
   /** O2 overwrite semantics: MySQL truncates, BigQuery drops+recreates,
     * files overwrite in place (reference: migrator.py:210-224).

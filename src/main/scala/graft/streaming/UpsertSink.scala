@@ -28,10 +28,15 @@ import graft.operators.Scd
   *     concurrently being read as the merge's base);
   *   - a pointer file `_CURRENT` flips to the new version LAST, via
   *     write-temp + atomic rename;
-  *   - a replayed batch (failure before/after the flip) rewrites its
-  *     own version dir and re-flips the same pointer — idempotent, and
-  *     the `>=`-tie rule in the merge makes even a DOUBLE-applied batch
-  *     a no-op.
+  *   - a replayed batch that failed BEFORE the flip rewrites its own
+  *     version dir (the base read is the previous version — distinct
+  *     path) and re-flips the pointer — idempotent;
+  *   - a replayed batch that failed AFTER the flip (crash in the
+  *     flip→checkpoint-commit window) is detected by [[applyBatch]]'s
+  *     pointer guard — `_CURRENT` already reads `v=<batchId>`, so the
+  *     state already contains this batch and the apply is a no-op.
+  *     Without the guard the merge would read and overwrite the SAME
+  *     path, failing every restart.
   * On HDFS this maps 1:1 (rename is atomic); on S3-class stores the
   * pointer becomes a manifest commit — the versioned layout is the
   * portable part.
@@ -102,9 +107,20 @@ object UpsertSink {
     currentState(spark, stateDir)
       .filter(!coalesce(col("deleted"), lit(false)))
 
-  /** Fold one (already compacted) batch into the versioned state. */
+  /** Fold one (already compacted) batch into the versioned state.
+    * No-ops when `_CURRENT` already points at `v=<batchId>`: that is a
+    * post-pointer-flip redelivery (checkpoint commit lost), and merging
+    * would read `stateDir/v=<batchId>` as the base while overwriting
+    * the same path — an unconditional failure on every restart.
+    */
   def applyBatch(spark: SparkSession, stateDir: String,
       compacted: DataFrame, batchId: Long): Unit = {
+    val p = pointerPath(stateDir)
+    if (java.nio.file.Files.exists(p) &&
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+          == s"v=$batchId") {
+      return
+    }
     val merged = Scd.mergeUpsertLatest(
       currentState(spark, stateDir), compacted, "k", "last_us", "tie")
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")

@@ -124,6 +124,29 @@ class LayoutSamplingSpec extends SparkSpec {
     w.unpersist()
   }
 
+  test("winsorize NULL policy: NULL-group and NULL-value rows are " +
+      "dropped explicitly; non-null rows unaffected by their presence") {
+    val clean = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 30.0),
+      ("en", 4L, 40.0), ("en", 5L, 50.0),
+      ("de", 6L, 1.0), ("de", 7L, 2.0), ("de", 8L, 3.0),
+      ("de", 9L, 4.0), ("de", 10L, 5.0)
+    ).toDF("grp", "id", "v")
+    val dirty = clean.union(Seq[(String, Long, java.lang.Double)](
+      (null, 11L, java.lang.Double.valueOf(99.0)), // NULL group
+      ("en", 12L, null)                            // NULL value
+    ).toDF("grp", "id", "v"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Winsorize.winsorize(df, "grp", "v", "id")
+        .select($"grp", $"id", $"v", $"lo", $"hi", $"clamped", $"decile")
+        .collect().map(_.toSeq).toSet
+    val got = run(dirty)
+    // the two NULL rows are gone, nothing else moved: ranks, bounds and
+    // deciles of the clean rows are identical with or without them
+    assert(got === run(clean))
+    assert(got.size === 10 && !got.exists(r => r(0) == null || r(2) == null))
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles splits; " +
       "singletons match plain hashSplit") {
     val docs = Tables(spark, sf001, "documents")

@@ -269,6 +269,37 @@ class MigratorSpec extends SparkSpec {
       "CREATE TABLE `t` (`id` BIGINT NOT NULL COMMENT 'it''s the key')")
   }
 
+  test("table-level description round-trips (file sidecar + MySQL DDL option)") {
+    // file sink: the description persists as a _TABLE_COMMENT sidecar
+    // and reads back through Sink.tableComment; data is unaffected
+    val out = tmpDir("tcmt-out")
+    val sink = new ParquetSink(spark, out)
+    val r = new Migrator(new SourceReader(spark, sf001), sink)
+      .migrate(MigrationSpec(sourceTable = "region",
+        destTable = "region_desc", fullScanGuardLimit = None,
+        tableComment = Some("TPC-H region dimension")))
+    assert(r.rowsWritten == 5)
+    assert(sink.tableComment("region_desc")
+      .contains("TPC-H region dimension"))
+    assert(spark.read.parquet(s"$out/region_desc").count() == 5)
+    // the sidecar is hidden: it neither makes a table exist by itself
+    // nor reaches Spark's file listing
+    assert(sink.tableComment("region_missing").isEmpty)
+    // jdbc path: MySQL dialect emits the escaped table COMMENT option
+    // after the column list (reference bigquery_client.py:90,104-105)
+    val my = new JdbcSink("jdbc:mysql://unused/db", dialect = MySqlDialect)
+    val ddl = my.createTableDdl("t",
+      Seq(DestColumn("id", "BIGINT", nullable = false)),
+      tableComment = Some("it's the dim"))
+    assert(ddl ==
+      "CREATE TABLE `t` (`id` BIGINT NOT NULL) COMMENT='it''s the dim'")
+    // Derby has no table COMMENT — dialect contributes nothing
+    assert(new JdbcSink("jdbc:derby:unused", dialect = DerbyDialect)
+      .createTableDdl("t", Seq(DestColumn("id", "BIGINT")),
+        tableComment = Some("x"))
+      == "CREATE TABLE \"t\" (\"id\" BIGINT)")
+  }
+
   test("error_if_exists refuses an existing destination before any data moves") {
     val out = tmpDir("mig-eie")
     val m = migrator(out)

@@ -205,6 +205,39 @@ class PackScdSpec extends SparkSpec {
     assert(got == Set((Some(1L), "a"), (None, "weird")))
   }
 
+  test("mergeUpsertLatest: NULL order/tie sorts OLDEST, symmetric on " +
+      "both sides (struct >= is a total null-first ordering, never NULL)") {
+    def df(rows: Seq[(Long, Double, Option[Long], Option[Long])]) =
+      rows.toDF("k", "v", "last_us", "tie")
+    def merge(base: Seq[(Long, Double, Option[Long], Option[Long])],
+        changes: Seq[(Long, Double, Option[Long], Option[Long])]) =
+      graft.operators.Scd.mergeUpsertLatest(df(base), df(changes),
+          "k", "last_us", "tie")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    // NULL-ts change row loses to a timestamped base row...
+    assert(merge(Seq((1L, 1.0, Some(100L), Some(1L))),
+      Seq((1L, 9.0, None, Some(9L)))) === Set((1L, 1.0)))
+    // ...and, symmetrically, a NULL-ts base row loses to a timestamped
+    // change row (this is the asymmetry the NULL-propagating reading
+    // would have had: base winning both directions)
+    assert(merge(Seq((1L, 1.0, None, Some(1L))),
+      Seq((1L, 9.0, Some(100L), Some(9L)))) === Set((1L, 9.0)))
+    // NULL-vs-NULL order falls through to the tie column
+    assert(merge(Seq((1L, 1.0, None, Some(5L))),
+      Seq((1L, 9.0, None, Some(2L)))) === Set((1L, 1.0)))
+    assert(merge(Seq((1L, 1.0, None, Some(2L))),
+      Seq((1L, 9.0, None, Some(5L)))) === Set((1L, 9.0)))
+    // entirely-NULL on both sides: the >= replay rule → change wins
+    assert(merge(Seq((1L, 1.0, None, None)),
+      Seq((1L, 9.0, None, None))) === Set((1L, 9.0)))
+    // NULL tie alone sorts oldest too (order equal, NULL tie loses)
+    assert(merge(Seq((1L, 1.0, Some(100L), None)),
+      Seq((1L, 9.0, Some(100L), Some(3L)))) === Set((1L, 9.0)))
+    assert(merge(Seq((1L, 1.0, Some(100L), Some(3L))),
+      Seq((1L, 9.0, Some(100L), None))) === Set((1L, 1.0)))
+  }
+
   test("mergeUpsert without tombstone column: pure upsert") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq((2L, "B"), (3L, "C")).toDF("k", "v")

@@ -241,6 +241,15 @@ class StreamingSpec extends SparkSpec {
       arrivalBatch(0), "user_id", "ts", "value", "event_id"), 99L)
     assert(pointer() === "v=99" && stateNow() === expect)
 
+    // post-pointer-flip redelivery: the SAME batchId arrives again
+    // (crash in the _CURRENT-flip → checkpoint-commit window). Without
+    // the pointer guard the merge reads v=99 as its base while
+    // overwriting v=99 — "Cannot overwrite a path that is also being
+    // read from" on every restart. With it: no-throw, state unchanged.
+    UpsertSink.applyBatch(spark, state, UpsertSink.compactBatch(
+      arrivalBatch(1), "user_id", "ts", "value", "event_id"), 99L)
+    assert(pointer() === "v=99" && stateNow() === expect)
+
     // restart against the same checkpoint: nothing new → no new commit
     UpsertSink.run(spark, src, state, ckpt)
     assert(pointer() === "v=99" && stateNow() === expect)

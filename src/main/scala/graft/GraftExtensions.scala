@@ -44,7 +44,7 @@ object GraftFunctions {
       info("graft_dot", "dot product of two float arrays"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     ("graft_simhash",
-      info("graft_simhash", "64-bit simhash of a token array"),
+      info("graft_simhash", "60-bit simhash of a token array"),
       (es: Seq[Expression]) => SimHash64(es(0))),
     ("graft_jaccard",
       info("graft_jaccard", "set jaccard of two string arrays"),

@@ -170,6 +170,9 @@ object PipelineQueries {
     },
 
     "dedup_simhash" -> { (s, dir) =>
+      // fully oracled since the signature moved to the md5-prefix token
+      // hash (VectorExprs.simhash): 60-bit majority vote is replicable
+      // in the gate engine's SQL
       Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
@@ -931,6 +934,31 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
         |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE)
         |  >= 0.5""".stripMargin),
+
+    // Exact replica of the 60-bit simhash: per-token 60-bit md5-prefix
+    // base (VectorExprs.md5Base60), ±1 vote per bit per token
+    // OCCURRENCE (not distinct), bit set when the vote sum is strictly
+    // positive; blank/NULL text → empty token array → 0.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |based AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS x
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM based, range(60) t(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+        |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id""".stripMargin,
 
     "dedup_embed_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -51,17 +51,25 @@ object VecOps {
   }
 
   /** SimHash over a token array: per-bit majority vote of token hashes
-    * (Charikar 2002, public algorithm).
+    * (Charikar 2002, public algorithm). 60 bits, not 64: the per-token
+    * hash is the SQL-replicable [[md5Base60]] (60-bit md5 prefix), so
+    * an external engine can recompute the exact signature — bit j's
+    * vote is `(x >> j) & 1 ? +1 : -1` summed over ALL token
+    * occurrences, bit set when the sum is strictly positive, empty
+    * token array → 0. Pigeonhole banding splits 60 bits into 4×15-bit
+    * chunks (same hamming ≤ 3 guarantee as 4×16).
     */
+  val SimhashBits = 60
+
   def simhash(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimhashBits)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i), 0x5bd1e995)
+        val h = md5Base60(tokens.getUTF8String(i))
         var j = 0
-        while (j < 64) {
+        while (j < SimhashBits) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
@@ -70,7 +78,7 @@ object VecOps {
     }
     var out = 0L
     var j = 0
-    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    while (j < SimhashBits) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 

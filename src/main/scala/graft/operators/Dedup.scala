@@ -19,9 +19,10 @@ import graft.functions.VectorFunctions
   *               MMDS ch.3 scheme; the signature arithmetic is
   *               SQL-replicable by design (VectorExprs.minhashSig) so
   *               the whole pipeline is oracle-checkable.
-  *  - simhash:   64-bit simhash, pigeonhole banding into 4×16-bit chunks
-  *               (any pair within hamming ≤3 shares at least one chunk),
-  *               verified with bit_count(xor).
+  *  - simhash:   60-bit simhash (md5-prefix token hash, SQL-replicable),
+  *               pigeonhole banding into 4×15-bit chunks (any pair
+  *               within hamming ≤3 shares at least one chunk), verified
+  *               with bit_count(xor).
   *  - ngram:     inverted-index jaccard — explode distinct n-grams,
   *               equi-join on the n-gram, count shared per pair.
   *  - embedding: random-hyperplane LSH buckets, verified with native
@@ -117,21 +118,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Per-document 64-bit SimHash (native codegen'd expression). */
+  /** Per-document 60-bit SimHash (native codegen'd expression;
+    * md5-prefix token hash, SQL-replicable — VectorExprs.simhash).
+    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       VectorFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs within hamming distance `maxHamming` (≤ 3
-    * guaranteed found by 4-chunk pigeonhole banding).
+  /** SimHash near-dup pairs within hamming distance `maxHamming` — an
+    * EXACT result by pigeonhole: the 60 signature bits split into
+    * `maxHamming + 1` contiguous chunks, so any pair with ≤ maxHamming
+    * differing bits must share at least one whole chunk and is surfaced
+    * by the chunk equi-join (then verified with bit_count(xor); pairs
+    * beyond maxHamming are filtered, never guessed). The default
+    * maxHamming=3 gives the classic 4-chunk banding; larger thresholds
+    * get proportionally more, narrower chunks — more candidate rows,
+    * same guarantee.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val bits = graft.functions.VecOps.SimhashBits
+    val chunks = math.min(maxHamming + 1, bits)
     val sigs = simhash(df, idCol, textCol)
+    // chunk i covers bits [i*bits/chunks, (i+1)*bits/chunks) — a
+    // disjoint cover, widths differ by at most one bit
     val chunked = sigs.select(col("id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("chunk_val",
-        expr("shiftright(simhash, chunk * 16) & 65535"))
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_val", expr(
+        s"shiftright(simhash, cast((chunk * $bits) div $chunks as int)) & " +
+          s"(shiftleft(1L, cast(((chunk + 1) * $bits) div $chunks as int) " +
+          s"- cast((chunk * $bits) div $chunks as int)) - 1)"))
     val a = chunked.as("a")
     val b = chunked.as("b")
     // (sh_a, sh_b) are functionally determined by (id_a, id_b), so the

@@ -60,6 +60,21 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.count() >= 18, s"simhash found only ${pairs.count()} of 20")
   }
 
+  test("LSH band joins stay hash/merge equi-joins (array keys never " +
+      "degrade to a nested-loop plan)") {
+    // minhash bands key on (band, array<long> slice); simhash on
+    // (chunk, long). Array equality IS a valid hash-join key in Spark —
+    // this pins that the planner agrees, because a silent fallback to
+    // BroadcastNestedLoopJoin would be quadratic at scale.
+    for (df <- Seq(
+        Dedup.minhashPairs(docs, "doc_id", "text"),
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"nested loop in:\n$plan")
+      assert(plan.contains("Join"), "expected at least one join")
+    }
+  }
+
   test("simhash signature is deterministic") {
     val a = Dedup.simhash(docs, "doc_id", "text").orderBy("id").limit(5)
       .collect().map(_.getLong(1)).toSeq

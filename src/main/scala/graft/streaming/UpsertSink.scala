@@ -81,6 +81,10 @@ object UpsertSink {
     * observation by (event time, tie) — ONE max_by of the whole row.
     * `deletedCol` marks tombstone rows (absent → all upserts); the
     * latest observation wins whether it is an upsert or a delete.
+    * NULL event times are well-defined, not poisonous: max_by uses the
+    * same total null-first struct ordering as the merge
+    * ([[graft.operators.Scd.mergeUpsertLatest]] doc), so a NULL-ts
+    * observation sorts OLDEST here and downstream alike.
     */
   def compactBatch(batch: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String,

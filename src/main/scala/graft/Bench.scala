@@ -32,7 +32,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // drop blocks left by previous queries (localCheckpoint RDDs from
       // iterative operators are pinned until explicitly unpersisted —
       // by the timed pass they'd tax storage memory: dedup_components
@@ -46,7 +48,12 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+      } catch {
+        // record, don't hide: a swallowed failure shows up as a
+        // misleading millisecond "timing" (a broken query once looked
+        // like the fastest in the sweep)
+        case _: Throwable => failed += name
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -56,11 +63,11 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val cold = ordered.map { case (_, fn) => once(fn) }.sum
+    val cold = ordered.map { case (name, fn) => once(name, fn) }.sum
     // two timed passes, min per query: host-level noise on this VM swings
     // single measurements ±30%; min-of-2 is the standard damping
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      name -> math.min(once(name, fn), once(name, fn))
     }
 
     // ms precision: the full-Double rendering of 80+ queries pushed the
@@ -71,14 +78,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)},"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)}$failedJson,"sf":"$sfDir"}""")
     // compact totals-only line LAST: the driver's capture keeps the
     // TAIL of the output, and the full per-query line above (~2.5KB at
     // 109 queries) has overflowed that buffer head-first two rounds
     // running (BENCH_r04/r05 "parsed": null — the leading {"metric"...
     // was cut, making the line unparseable). This line is ~120 bytes,
     // sits at the very end of the stream, and parses standalone.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -182,25 +182,36 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("n_sh", size(col("shingles")))
 
+    // every wide stage below keys on the shingle's 64-bit hash, never
+    // the string: the DF aggregate and the prefix self-join (the two
+    // big shuffles) carry 8-byte keys instead of ~30-byte n-grams.
+    // Exactness is preserved: (a) the rarest-first order stays a
+    // CONSISTENT TOTAL order — df(hash) is a fixed function of the
+    // shingle and the tie-break is still the string — and the prefix
+    // theorem holds for any such order; (b) a hash collision can only
+    // merge df counts (an order perturbation) or match extra candidate
+    // pairs (a superset), both erased by the exact-jaccard verify.
     val exploded = shingled
       .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val freq = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("h", xxhash64(col("sh")))
+    val freq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
 
     // rarest-first rank of each shingle within its document. (Measured
     // alternative: collect_list+array_sort+slice per doc — 1.5× SLOWER
     // than the window at sf0.1; struct array allocation costs more than
     // the window's sort saves.)
-    val ranked = exploded.join(freq, "sh")
+    val ranked = exploded.join(freq, "h")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("df").asc, col("sh").asc)))
     val prefix = ranked.filter(
-      col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+        col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("n_sh"), col("h"))
 
     val a = prefix.as("a")
     val b = prefix.as("b")
     val candidates = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           // length filter: |a|·t ≤ |b| (size ratio bound for jaccard ≥ t)
           col("b.n_sh") * threshold <= col("a.n_sh") &&
           col("a.n_sh") * threshold <= col("b.n_sh"))

@@ -78,6 +78,11 @@ class FileSink(spark: SparkSession, baseDir: String,
     else None
   }
 
+  /** Overwrite wipes DATA but keeps table-level metadata (the
+    * `_TABLE_COMMENT` sidecar survives), matching both MySQL TRUNCATE
+    * (table options persist) and BigQuery WRITE_TRUNCATE (description
+    * persists through a data overwrite).
+    */
   override def truncateOrDrop(table: String): Unit = {
     val dir = new java.io.File(path(table))
     if (dir.exists()) {
@@ -85,7 +90,8 @@ class FileSink(spark: SparkSession, baseDir: String,
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(dir)
+      Option(dir.listFiles())
+        .foreach(_.filterNot(_.getName == "_TABLE_COMMENT").foreach(rm))
     }
   }
 

@@ -282,6 +282,15 @@ class MigratorSpec extends SparkSpec {
     assert(sink.tableComment("region_desc")
       .contains("TPC-H region dimension"))
     assert(spark.read.parquet(s"$out/region_desc").count() == 5)
+    // overwrite wipes data, keeps the description (MySQL TRUNCATE /
+    // BigQuery WRITE_TRUNCATE both persist table metadata)
+    new Migrator(new SourceReader(spark, sf001), sink)
+      .migrate(MigrationSpec(sourceTable = "region",
+        destTable = "region_desc", mode = WriteMode.Overwrite,
+        fullScanGuardLimit = None))
+    assert(sink.tableComment("region_desc")
+      .contains("TPC-H region dimension"))
+    assert(spark.read.parquet(s"$out/region_desc").count() == 5)
     // the sidecar is hidden: it neither makes a table exist by itself
     // nor reaches Spark's file listing
     assert(sink.tableComment("region_missing").isEmpty)

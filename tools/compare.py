@@ -107,6 +107,9 @@ def main():
         if not os.path.isdir(d):
             continue
         files = glob.glob(f"{d}/*.parquet")
+        # progress to stderr: the all-pairs / recursive-CTE oracles run
+        # for many minutes at sf0.1 — without this the tool looks hung
+        print(f"[compare] {name}", file=sys.stderr, flush=True)
         if name not in oracle:
             n = con.execute(
                 "SELECT count(*) FROM read_parquet([" +

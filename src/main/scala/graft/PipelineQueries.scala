@@ -211,6 +211,11 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // LSH ANN with a FULL oracle: the Rademacher sign-projection
+    // buckets are exact integer arithmetic (md5-derived ±1 signs ×
+    // round(x*1e7) components), so DuckDB re-derives the identical
+    // candidate set and ranking — approximate-index output checked
+    // row-for-row, not just recall-tested.
     "sim_topk_lsh" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
@@ -364,14 +369,17 @@ object PipelineQueries {
 
     // custom TypedImperativeAggregate: per-label embedding centroids
     // (fixed-size buffers, no element explosion; exactness proven in
-    // EmbeddingsSpec against the posexplode formulation)
+    // EmbeddingsSpec against the posexplode formulation). The gate runs
+    // the FIXED-POINT variant — scaled-long sums are associative, so
+    // every centroid component is bit-deterministic and the oracle
+    // checks the full 640-value centroid matrix, not just a rounded
+    // norm; the float-buffer centroids() stays the throughput path.
     "embed_label_centroids" -> { (s, dir) =>
       import s.implicits._
-      graft.operators.Embeddings.centroids(
+      graft.operators.Embeddings.centroidsFixed(
         Tables(s, dir, "embeddings"), "label", "embedding")
         .select($"label", $"n",
-          round(graft.operators.Embeddings.l2NormD($"centroid"), 4)
-            .as("centroid_norm"))
+          posexplode($"centroid").as(Seq("dim", "centroid_val")))
     },
 
     // ---------------- streaming (batch-equivalent plans) ----------------
@@ -757,6 +765,23 @@ object PipelineQueries {
       |  FROM h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Fixed-point centroids: both engines quantize each float component
+    // to round(x*1e7) longs (ties-away on the binary double value) and
+    // sum in exact integer arithmetic; the emitted mean is two IEEE
+    // divisions of exact integers, so every double is bit-identical.
+    "embed_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |g AS (SELECT label, CAST(dim AS INT) AS dim,
+        |    CAST(SUM(t) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM u GROUP BY label, dim)
+        |SELECT label, n, dim,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 AS centroid_val
+        |FROM g""".stripMargin,
+
     "mm_decode_meta" ->
       (mmMetaCte + "\nSELECT * FROM meta"),
 
@@ -1431,6 +1456,54 @@ object PipelineQueries {
         |SELECT qid, id, rank FROM (
         |  SELECT qid, id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
-        |  FROM s) WHERE rank <= 5""".stripMargin
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // Full re-derivation of the Rademacher-LSH index: ±1 signs from
+    // bit 0 of md5('42:'||plane||':'||dim), components quantized to
+    // round(x*1e7) BIGINTs, per-plane dots summed exactly, bit p set
+    // iff dot > 0; queries probe their bucket plus all hamming<=2
+    // flips of 8 planes (1+8+28 buckets). Candidate set matches the
+    // Spark index bit-for-bit; ranking mirrors the brute oracle.
+    "sim_topk_lsh" ->
+      """WITH signs AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(8) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |flips AS (
+        |  SELECT 0::BIGINT AS f
+        |  UNION ALL SELECT (1::BIGINT << i) FROM range(8) t(i)
+        |  UNION ALL SELECT (1::BIGINT << a.i) | (1::BIGINT << b.i)
+        |    FROM range(8) a(i), range(8) b(i) WHERE b.i > a.i),
+        |cands AS (
+        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS id
+        |  FROM sigs qs, flips f, sigs cs
+        |  WHERE qs.vec_id < 10 AND cs.sig = xor(qs.sig, f.f)
+        |    AND cs.vec_id <> qs.vec_id),
+        |scored AS (
+        |  SELECT c.qid, c.id,
+        |    list_cosine_similarity(ce.embedding, qe.embedding) AS cos
+        |  FROM cands c
+        |  JOIN embeddings ce ON ce.vec_id = c.id
+        |  JOIN embeddings qe ON qe.vec_id = c.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
+        |      AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin
   )
 }

@@ -507,15 +507,18 @@ object CoreQueries {
     },
 
     // Mergeable-HLL distinct rollup (operators/Sketch): per-month
-    // customer sketches unioned to one estimate — the stored-sketch
-    // pattern that answers "distinct users this quarter" from |groups|
-    // rows instead of a 100 TB rescan. No oracle: the DataSketches HLL
-    // binary isn't replicable in the gate engine; merge-equality and
-    // error bounds are asserted in SketchSpec.
+    // customer register tables unioned to one estimate — the
+    // stored-sketch pattern that answers "distinct users this quarter"
+    // from |groups|*4096 rows instead of a 100 TB rescan. Uses the
+    // PORTABLE HLL (md5-prefix hash, bin()-length rho, scaled-integer
+    // harmonic sum) so the whole distributed pipeline is oracle-checked
+    // bit-exactly; the DataSketches binary variant (hllSketches/
+    // hllRollup) remains the drop-in production alternative with
+    // merge-equality and error bounds asserted in SketchSpec.
     "sketch_hll_rollup" -> { (s, dir) =>
       import s.implicits._
-      graft.operators.Sketch.hllRollup(
-        graft.operators.Sketch.hllSketches(
+      graft.operators.Sketch.portableRollup(
+        graft.operators.Sketch.portableRegisters(
           Tables(s, dir, "orders")
             .withColumn("m", month($"o_orderdate")),
           "m", "o_custkey"))
@@ -809,6 +812,34 @@ object CoreQueries {
         |  quantile_disc(o_totalprice, 0.75) AS q75,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Portable-HLL rollup: per-register max is associative, so merging
+    // per-month register tables equals building registers globally —
+    // the oracle computes the global form directly. All pre-estimate
+    // state is exact integers; the one double branch mirrors the Spark
+    // expression tree op-for-op and is emitted rounded to BIGINT.
+    "sketch_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT
+        |    AS h FROM orders),
+        |b AS (SELECT h >> 48 AS reg, h & 281474976710655 AS r FROM h),
+        |reg AS (SELECT reg,
+        |    MAX(CASE WHEN r = 0 THEN 49 ELSE 49 - length(bin(r)) END) AS rho
+        |  FROM b GROUP BY reg),
+        |s AS (SELECT
+        |    CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT)
+        |      + (4096 - COUNT(*)) * 562949953421312 AS hsum,
+        |    4096 - COUNT(*) AS v
+        |  FROM reg)
+        |SELECT CAST(round(CASE
+        |    WHEN 6.810691763087074e21 / CAST(hsum AS DOUBLE) <= 10240.0
+        |         AND v > 0
+        |    THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+        |    ELSE 6.810691763087074e21 / CAST(hsum AS DOUBLE) END) AS BIGINT)
+        |    AS n_distinct_approx,
+        |  CAST(hsum AS BIGINT) AS harmonic_sum_scaled,
+        |  CAST(v AS BIGINT) AS zero_registers
+        |FROM s""".stripMargin,
 
     "q_mincost" ->
       """SELECT DISTINCT l_partkey, l_suppkey, s_name,

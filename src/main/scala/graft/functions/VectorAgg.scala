@@ -92,8 +92,111 @@ case class VectorMean(child: Expression,
     copy(child = newChildren.head)
 }
 
+/** Fixed-point variant of [[VectorMean]]: per-element contributions are
+  * quantized to `round(x * 1e7)` LONGS and summed in exact integer
+  * arithmetic — addition of longs is associative, so the result is
+  * BIT-IDENTICAL regardless of partitioning, task retries, or merge
+  * order. That makes distributed centroids reproducible run-to-run (the
+  * float path's double sums round differently under each partition
+  * order) and lets an external SQL engine verify them exactly: the
+  * quantization is `CAST(round(CAST(x AS DOUBLE)*1e7) AS BIGINT)` in
+  * any engine, and the emitted mean `S/n/1e7` is two IEEE divisions of
+  * exact integers. Quantization error is <= 5e-8 per element — far
+  * below float32 input precision (~6e-8 relative) — for |x|*1e7 well
+  * inside the 2^63 long range.
+  *
+  * The quantization is [[VecOps.roundAwayScaled]] — ties-away-from-zero
+  * on the binary double value, == C++ std::round == SQL round(DOUBLE).
+  */
+final class VectorMeanFixedBuffer(var sums: Array[Long], var count: Long)
+
+case class VectorMeanFixed(child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VectorMeanFixedBuffer]
+  with ImplicitCastInputTypes {
+
+  private val Scale = 1e7
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): VectorMeanFixedBuffer =
+    new VectorMeanFixedBuffer(Array.empty, 0L)
+
+  override def update(b: VectorMeanFixedBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): VectorMeanFixedBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (b.sums.length < n) {
+        val grown = new Array[Long](n)
+        System.arraycopy(b.sums, 0, grown, 0, b.sums.length)
+        b.sums = grown
+      }
+      var i = 0
+      while (i < n) {
+        b.sums(i) += VecOps.roundAwayScaled(arr.getFloat(i))
+        i += 1
+      }
+      b.count += 1
+    }
+    b
+  }
+
+  override def merge(b: VectorMeanFixedBuffer,
+      o: VectorMeanFixedBuffer): VectorMeanFixedBuffer = {
+    if (o.sums.length > b.sums.length) {
+      val grown = new Array[Long](o.sums.length)
+      System.arraycopy(b.sums, 0, grown, 0, b.sums.length)
+      b.sums = grown
+    }
+    var i = 0
+    while (i < o.sums.length) { b.sums(i) += o.sums(i); i += 1 }
+    b.count += o.count
+    b
+  }
+
+  override def eval(b: VectorMeanFixedBuffer): Any =
+    if (b.count == 0) null
+    else new GenericArrayData(
+      b.sums.map(s => s.toDouble / b.count.toDouble / Scale))
+
+  override def serialize(b: VectorMeanFixedBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 8 * b.sums.length)
+    bb.putLong(b.count).putInt(b.sums.length)
+    b.sums.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorMeanFixedBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val count = bb.getLong
+    val n = bb.getInt
+    val sums = Array.fill(n)(bb.getLong)
+    new VectorMeanFixedBuffer(sums, count)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorMeanFixed =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorMeanFixed =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object VectorAgg {
   /** Column API: element-wise mean over an array<float> column. */
   def vectorMean(c: Column): Column =
     toCol(VectorMean(toExpr(c)).toAggregateExpression())
+
+  /** Element-wise mean with exact fixed-point (1e-7) accumulation —
+    * bit-reproducible under any partitioning; see [[VectorMeanFixed]].
+    */
+  def vectorMeanFixed(c: Column): Column =
+    toCol(VectorMeanFixed(toExpr(c)).toAggregateExpression())
 }

@@ -108,6 +108,70 @@ object VecOps {
     Array.fill(numPlanes * dims)(rnd.nextGaussian().toFloat)
   }
 
+  /** `round(x * 1e7)` with ties away from zero on the BINARY double
+    * value — equals C++ std::round and SQL engines' round(DOUBLE), so a
+    * quantization an external engine replicates exactly. Computed
+    * trunc-then-compare: `s - trunc(s)` is exact for |s| < 2^52, which
+    * avoids the `floor(s+0.5)` double-rounding bug at
+    * 0.49999999999999994. (True .5 ties cannot actually occur for float
+    * inputs — x*10^7 = k+1/2 requires a non-dyadic x — the tie branch
+    * exists for the documented std::round equivalence.)
+    */
+  def roundAwayScaled(x: Float): Long = {
+    val s = x.toDouble * 1e7
+    val t = s.toLong
+    val frac = s - t
+    if (frac >= 0.5) t + 1 else if (frac <= -0.5) t - 1 else t
+  }
+
+  /** ±1 sign matrix for Rademacher sign-projection LSH (Achlioptas
+    * 2001's database-friendly random projections + Charikar 2002 sign
+    * hashing — both public), derived per (seed, plane, dim) from bit 0
+    * of the SQL-replicable [[md5Base60]] of "seed:plane:dim".
+    */
+  def rademacherSigns(numPlanes: Int, dims: Int, seed: Long): Array[Int] = {
+    val out = new Array[Int](numPlanes * dims)
+    var p = 0
+    while (p < numPlanes) {
+      var i = 0
+      while (i < dims) {
+        val h = md5Base60(UTF8String.fromString(s"$seed:$p:$i"))
+        out(p * dims + i) = if ((h & 1L) == 1L) 1 else -1
+        i += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  /** Exact-integer sign-projection signature: components quantized by
+    * [[roundAwayScaled]], then a ±1 dot in LONG arithmetic per plane;
+    * bit p set iff the dot is strictly positive. Unlike the float
+    * [[hyperplaneSig]], every step is order-independent integer math,
+    * so an external SQL engine recomputes IDENTICAL buckets — this is
+    * what flips the ANN-LSH gate from recall-only to a full oracle.
+    * |t| <= ~2^31 per component and dims <= ~2^20 keep the dot far from
+    * long overflow.
+    */
+  def rademacherSig(v: ArrayData, signs: Array[Int],
+      numPlanes: Int, dims: Int): Long = {
+    val n = math.min(v.numElements(), dims)
+    val t = new Array[Long](n)
+    var i = 0
+    while (i < n) { t(i) = roundAwayScaled(v.getFloat(i)); i += 1 }
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var s = 0L
+      val off = p * dims
+      var j = 0
+      while (j < n) { s += t(j) * signs(off + j); j += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** MinHash prime modulus — small enough that (P-1)² + P < 2^63, so
     * the universal-hash arithmetic never overflows a BIGINT in ANY
     * engine (same reasoning as Sampling.idScore).
@@ -403,6 +467,28 @@ case class HyperplaneSig(child: Expression, numPlanes: Int, dims: Int, seed: Lon
     copy(child = newChild)
 }
 
+/** Rademacher sign-projection signature(array<float>) → long; the ±1
+  * sign matrix is md5-derived at plan time from (numPlanes, dims, seed)
+  * and the dot is exact long arithmetic — see [[VecOps.rademacherSig]].
+  */
+case class RademacherSig(child: Expression, numPlanes: Int, dims: Int,
+    seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(FloatType))
+  @transient private lazy val signs: Array[Int] =
+    VecOps.rademacherSigns(numPlanes, dims, seed)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.rademacherSig(v.asInstanceOf[ArrayData], signs, numPlanes, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("radSigns", signs, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecOps.rademacherSig($v, $signsRef, $numPlanes, $dims)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_encode(array<float>) → array<int> of m sub-codebook indices. The
   * codebook rides the plan as a broadcast-referenced object (same
   * pattern as [[HyperplaneSig]]'s planes).
@@ -534,6 +620,12 @@ object VectorFunctions {
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def hyperplaneSig(v: Column, numPlanes: Int, dims: Int, seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), numPlanes, dims, seed))
+
+  /** Cross-engine-replicable sign-projection signature (exact integer
+    * arithmetic; see [[RademacherSig]]).
+    */
+  def rademacherSig(v: Column, numPlanes: Int, dims: Int, seed: Long = 42L): Column =
+    toCol(RademacherSig(toExpr(v), numPlanes, dims, seed))
 
   /** MinHash signature as array<long>: k-permutation minima over the
     * shingle set in ONE array traversal (native expression). The earlier

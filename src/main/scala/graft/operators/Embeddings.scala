@@ -17,6 +17,19 @@ object Embeddings {
       .agg(VectorAgg.vectorMean(col(vecCol)).as("centroid"),
         count(lit(1)).as("n"))
 
+  /** Per-group centroids with exact fixed-point accumulation
+    * ([[graft.functions.VectorMeanFixed]]) — same fixed-size-buffer
+    * plan shape as [[centroids]], but bit-reproducible under any
+    * partitioning / retry / merge order, which is what a training-data
+    * pipeline needs when centroids feed downstream dedup decisions that
+    * must replay identically.
+    */
+  def centroidsFixed(df: DataFrame, keyCol: String,
+      vecCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(VectorAgg.vectorMeanFixed(col(vecCol)).as("centroid"),
+        count(lit(1)).as("n"))
+
   /** L2 norm of a float vector (sequential double accumulation). */
   def l2Norm(c: Column): Column = sqrt(VectorFunctions.dotProduct(c, c))
 

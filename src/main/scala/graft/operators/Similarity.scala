@@ -77,13 +77,19 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k with multi-probe. Same output shape as
     * bruteForceTopK; approximate (recall measured in tests).
+    *
+    * Buckets come from the Rademacher sign-projection signature —
+    * exact integer arithmetic end-to-end, so the candidate set is
+    * deterministic under any partitioning AND recomputable by an
+    * external SQL engine: the gate checks the full (qid, id, rank)
+    * output against a DuckDB re-derivation of the same buckets.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
       numPlanes: Int = 12, probeHamming: Int = 1, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid"): DataFrame = {
     val sig = (v: org.apache.spark.sql.Column) =>
-      VectorFunctions.hyperplaneSig(v, numPlanes, dims, seed)
+      VectorFunctions.rademacherSig(v, numPlanes, dims, seed)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"),
       sig(col(vecCol)).as("bucket"))
 

@@ -49,6 +49,88 @@ object Sketch {
       expr("hll_sketch_estimate(hll_union_agg(sketch, false))")
         .cast("long").as("n_distinct_approx"))
 
+  // ---- Portable deterministic HLL ---------------------------------------
+  //
+  // Same register/estimator math as Flajolet et al.'s HyperLogLog, but
+  // every ingredient is deliberately cross-engine replicable (the same
+  // trick that oracles the minhash/simhash gates): the value hash is the
+  // md5-prefix base (`('0x'||substr(md5(v),1,15))::BIGINT` in any SQL
+  // engine), rho comes from `length(bin(r))` (identical minimal binary
+  // strings in Spark and DuckDB), and the harmonic sum is kept in EXACT
+  // scaled-integer arithmetic (sum of 2^(49-rho) as BIGINT — order-
+  // independent, unlike a float sum of 2^-rho whose 61-bit exponent
+  // spread rounds), so the entire distributed pipeline — hash, register
+  // max, cross-group merge — is bit-checkable by the external oracle.
+  // Only the final scalar estimate touches doubles, emitted rounded to
+  // BIGINT so a 1-ulp ln() divergence between libm implementations
+  // cannot surface (it would need to land within ~1e-12 of a .5
+  // boundary).
+
+  /** p=12 -> m=4096 registers; 60-bit hash = 12 index + 48 rho bits. */
+  val PortableM = 4096
+  private val PortableEmptyTerm = 562949953421312L // 2^49 = scaled 2^-0
+  /** alpha_m * m^2 * 2^49 for m=4096 collapsed to ONE double literal so
+    * both engines parse the identical constant (no cross-engine
+    * re-derivation of 0.7213/(1+1.079/m)). */
+  private val PortableC = 6.810691763087074e21
+
+  /** Portable HLL register table `(group, reg, rho)` — the storable
+    * mergeable sketch in long form (vs [[hllSketches]]' opaque
+    * DataSketches binary). At most m=4096 rows per group regardless of
+    * cardinality; merge across groups/days/shards = `max(rho)` per
+    * register, which is associative, so partial register tables roll up
+    * without touching raw data — the same stored-sketch contract as the
+    * binary form, in plain columns any engine can verify.
+    */
+  def portableRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(groupCol),
+        expr(s"cast(conv(substr(md5(cast($valueCol as string)),1,15)," +
+          "16,10) as bigint)").as("_h"))
+      .select(col(groupCol), expr("shiftright(_h, 48)").as("reg"),
+        expr("_h & 281474976710655").as("_r"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(expr(
+        "CASE WHEN _r = 0 THEN 49 ELSE 49 - length(bin(_r)) END"))
+        .as("rho"))
+
+  /** Standard HLL estimator over a register table, all pre-estimate
+    * state exact integers: scaled harmonic sum S = sum(2^(49-rho)) +
+    * V*2^49 (BIGINT, no overflow: <= 4096*2^49 = 2^61), zero-register
+    * count V, raw estimate alpha*m^2*2^49/S (one IEEE division), linear
+    * counting m*ln(m/V) below 2.5m. Emits the estimate plus (S, V) so
+    * the oracle pins the full register pipeline bit-exactly.
+    */
+  private def portableEstimate(regs: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val grouped = regs.groupBy(keys.map(col): _*).agg(
+      (sum(expr("shiftleft(cast(1 as bigint), 49 - rho)")) +
+        (lit(4096L) - count(lit(1))) * lit(PortableEmptyTerm)).as("hsum"),
+      (lit(4096L) - count(lit(1))).as("v"))
+    val raw = lit(PortableC) / col("hsum").cast("double")
+    val est = when(raw <= lit(10240.0) && col("v") > lit(0L),
+      lit(4096.0) * log(lit(4096.0) / col("v").cast("double")))
+      .otherwise(raw)
+    grouped.select(keys.map(col) ++ Seq(
+      round(est).cast("bigint").as("n_distinct_approx"),
+      col("hsum").as("harmonic_sum_scaled"),
+      col("v").as("zero_registers")): _*)
+  }
+
+  /** Per-group approximate distinct via the portable HLL. */
+  def portableDistinct(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    portableEstimate(portableRegisters(df, groupCol, valueCol),
+      Seq(groupCol))
+
+  /** Roll per-group portable register tables up to ONE estimate —
+    * reads <= |groups|*4096 register rows, never the raw data.
+    */
+  def portableRollup(registers: DataFrame): DataFrame =
+    portableEstimate(
+      registers.groupBy(col("reg")).agg(max(col("rho")).as("rho")),
+      Seq.empty)
+
   /** Per-group quantiles via the Greenwald-Khanna summary
     * (`approx_percentile`). `accuracy` bounds the rank error at
     * n/accuracy AND the summary size; for groups with ≤ `accuracy`

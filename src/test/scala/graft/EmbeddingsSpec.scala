@@ -41,6 +41,38 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("VectorMeanFixed: BIT-identical across partitionings; ~float path") {
+    // exact long accumulation => no tolerance needed, unlike the float
+    // path's 1e-9 epsilon above
+    val a = Embeddings.centroidsFixed(embeddings.repartition(16),
+        "label", "embedding")
+      .select($"label", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    val b = Embeddings.centroidsFixed(embeddings.coalesce(1),
+        "label", "embedding")
+      .select($"label", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    assert(a == b, "fixed-point centroid not bit-deterministic")
+
+    // and it agrees with the float path to quantization precision
+    val f = Embeddings.centroids(embeddings, "label", "embedding")
+      .select($"label", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    a.foreach { case (l, v) =>
+      v.zip(f(l)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+
+  test("VectorMeanFixed quantization: negatives round toward nearest") {
+    // -0.35f widens to -0.34999999403…; *1e7 = -3499999.94… must round
+    // AWAY to -3500000 (nearest), not truncate to -3499999. (True .5
+    // ties cannot occur here: x*10^7 = k+1/2 needs a non-dyadic x,
+    // which no float is — the ties-away branch matters only for the
+    // documented std::round equivalence.)
+    val df = Seq(Tuple1(Array(-0.35f, 0.15f))).toDF("v")
+    val got = df.agg(graft.functions.VectorAgg.vectorMeanFixed($"v"))
+      .as[Seq[Double]].head()
+    assert(got == Seq(-3500000.0 / 1.0 / 1e7, 1500000.0 / 1.0 / 1e7),
+      s"got $got")
+  }
+
   test("normalize yields unit vectors; zero vector passes through") {
     val norms = embeddings
       .select(Embeddings.l2Norm(Embeddings.normalize($"embedding")).as("n"))

@@ -39,6 +39,36 @@ class SketchSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("portable HLL: per-month rollup == direct global build; error < 2%") {
+    // merge associativity: rolling up per-month register tables must
+    // produce byte-identical output to registers built with one group
+    val rolled = Sketch.portableRollup(
+      Sketch.portableRegisters(
+        orders.withColumn("m", month($"o_orderdate")), "m", "o_custkey"))
+    val direct = Sketch.portableRollup(
+      Sketch.portableRegisters(
+        orders.withColumn("g", lit(1)), "g", "o_custkey"))
+    assert(rolled.collect().toSeq == direct.collect().toSeq)
+
+    val est = rolled.head().getLong(0)
+    val exact = orders.select(count_distinct($"o_custkey")).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.02,
+      s"portable HLL estimate $est vs exact $exact")
+  }
+
+  test("portable HLL per-group: estimates within 5% of exact") {
+    val got = Sketch.portableDistinct(orders, "o_orderpriority", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy($"o_orderpriority")
+      .agg(count_distinct($"o_custkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    exact.foreach { case (k, t) =>
+      assert(math.abs(got(k) - t).toDouble / t < 0.05,
+        s"group $k: portable HLL ${got(k)} vs exact $t")
+    }
+  }
+
   test("GK quantiles at full accuracy == exact rank-ceil(p*n) selection") {
     val got = Sketch.quantiles(orders, "o_orderpriority", "o_totalprice",
         Seq(0.25, 0.5, 0.75))

@@ -821,13 +821,13 @@ object CoreQueries {
     "sketch_hll_rollup" ->
       """WITH h AS (
         |  SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT
-        |    AS h FROM orders),
+        |    AS h FROM orders WHERE o_custkey IS NOT NULL),
         |b AS (SELECT h >> 48 AS reg, h & 281474976710655 AS r FROM h),
         |reg AS (SELECT reg,
         |    MAX(CASE WHEN r = 0 THEN 49 ELSE 49 - length(bin(r)) END) AS rho
         |  FROM b GROUP BY reg),
         |s AS (SELECT
-        |    CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT)
+        |    COALESCE(CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT), 0)
         |      + (4096 - COUNT(*)) * 562949953421312 AS hsum,
         |    4096 - COUNT(*) AS v
         |  FROM reg)

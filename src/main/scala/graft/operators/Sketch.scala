@@ -84,7 +84,8 @@ object Sketch {
     */
   def portableRegisters(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame =
-    df.select(col(groupCol),
+    df.filter(col(valueCol).isNotNull) // distinct-count semantics: NULLs don't count
+      .select(col(groupCol),
         expr(s"cast(conv(substr(md5(cast($valueCol as string)),1,15)," +
           "16,10) as bigint)").as("_h"))
       .select(col(groupCol), expr("shiftright(_h, 48)").as("reg"),
@@ -103,8 +104,12 @@ object Sketch {
     */
   private def portableEstimate(regs: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // coalesce: an EMPTY register table (no input rows) must yield the
+    // all-empty-registers state (hsum = m*2^49, V = m), which the
+    // linear-counting branch maps to estimate 0 — not NULL
     val grouped = regs.groupBy(keys.map(col): _*).agg(
-      (sum(expr("shiftleft(cast(1 as bigint), 49 - rho)")) +
+      (coalesce(sum(expr("shiftleft(cast(1 as bigint), 49 - rho)")),
+        lit(0L)) +
         (lit(4096L) - count(lit(1))) * lit(PortableEmptyTerm)).as("hsum"),
       (lit(4096L) - count(lit(1))).as("v"))
     val raw = lit(PortableC) / col("hsum").cast("double")

@@ -69,6 +69,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable HLL: NULL values don't count; empty input estimates 0") {
+    val df = Seq((1, Some("a")), (1, Some("b")), (1, None), (1, Some("a")))
+      .toDF("g", "v")
+    val est = Sketch.portableRollup(Sketch.portableRegisters(df, "g", "v"))
+      .head().getLong(0)
+    assert(est == 2L, s"NULL must be excluded: got $est")
+
+    val empty = Sketch.portableRollup(
+      Sketch.portableRegisters(df.filter($"v".isNull), "g", "v"))
+    val row = empty.head()
+    // all-empty-register state: estimate 0 via linear counting, V = m
+    assert(row.getLong(0) == 0L && row.getLong(2) == 4096L, row.toString)
+  }
+
   test("GK quantiles at full accuracy == exact rank-ceil(p*n) selection") {
     val got = Sketch.quantiles(orders, "o_orderpriority", "o_totalprice",
         Seq(0.25, 0.5, 0.75))

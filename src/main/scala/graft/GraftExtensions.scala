@@ -34,7 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "",
+      "built-in")
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",

@@ -769,6 +769,9 @@ object PipelineQueries {
     // to round(x*1e7) longs (ties-away on the binary double value) and
     // sum in exact integer arithmetic; the emitted mean is two IEEE
     // divisions of exact integers, so every double is bit-identical.
+    // (The SQL's per-(label,dim) COUNT(*) equals the aggregate's
+    // per-label vector count only for fixed-dim vectors — true of the
+    // embeddings table; ragged inputs would divide differently.)
     "embed_label_centroids" ->
       """WITH u AS (
         |  SELECT label, unnest(range(len(embedding))) AS dim,

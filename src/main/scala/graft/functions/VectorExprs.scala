@@ -82,32 +82,6 @@ object VecOps {
     out
   }
 
-  /** Random-hyperplane signature (Charikar SimHash for real vectors):
-    * bit p = sign(v · plane_p). Planes are a flat [numPlanes * dims]
-    * array generated deterministically at plan time.
-    */
-  def hyperplaneSig(v: ArrayData, planes: Array[Float], numPlanes: Int): Long = {
-    val dims = if (numPlanes == 0) 0 else planes.length / numPlanes
-    val n = math.min(v.numElements(), dims)
-    var sig = 0L
-    var p = 0
-    while (p < numPlanes) {
-      var s = 0.0
-      val off = p * dims
-      var i = 0
-      while (i < n) { s += v.getFloat(i).toDouble * planes(off + i); i += 1 }
-      if (s > 0) sig |= (1L << p)
-      p += 1
-    }
-    sig
-  }
-
-  /** Deterministic hyperplanes from a fixed seed (gaussian components). */
-  def makePlanes(numPlanes: Int, dims: Int, seed: Long): Array[Float] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(numPlanes * dims)(rnd.nextGaussian().toFloat)
-  }
-
   /** `round(x * 1e7)` with ties away from zero on the BINARY double
     * value — equals C++ std::round and SQL engines' round(DOUBLE), so a
     * quantization an external engine replicates exactly. Computed
@@ -147,7 +121,7 @@ object VecOps {
   /** Exact-integer sign-projection signature: components quantized by
     * [[roundAwayScaled]], then a ±1 dot in LONG arithmetic per plane;
     * bit p set iff the dot is strictly positive. Unlike the float
-    * [[hyperplaneSig]], every step is order-independent integer math,
+    * gaussian-hyperplane formulation, every step is order-independent integer math,
     * so an external SQL engine recomputes IDENTICAL buckets — this is
     * what flips the ANN-LSH gate from recall-only to a full oracle.
     * |t| <= ~2^31 per component and dims <= ~2^20 keep the dot far from
@@ -447,26 +421,6 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** hyperplane LSH signature(array<float>) → long; planes baked in at plan
-  * time from (numPlanes, dims, seed).
-  */
-case class HyperplaneSig(child: Expression, numPlanes: Int, dims: Int, seed: Long)
-    extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] = Seq(ArrayType(FloatType))
-  @transient private lazy val planes: Array[Float] =
-    VecOps.makePlanes(numPlanes, dims, seed)
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(v: Any): Any =
-    VecOps.hyperplaneSig(v.asInstanceOf[ArrayData], planes, numPlanes)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "float[]")
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.VecOps.hyperplaneSig($v, $planesRef, $numPlanes)")
-  }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
 /** Rademacher sign-projection signature(array<float>) → long; the ±1
   * sign matrix is md5-derived at plan time from (numPlanes, dims, seed)
   * and the dot is exact long arithmetic — see [[VecOps.rademacherSig]].
@@ -491,7 +445,7 @@ case class RademacherSig(child: Expression, numPlanes: Int, dims: Int,
 
 /** pq_encode(array<float>) → array<int> of m sub-codebook indices. The
   * codebook rides the plan as a broadcast-referenced object (same
-  * pattern as [[HyperplaneSig]]'s planes).
+  * pattern as [[RademacherSig]]'s sign matrix).
   */
 /** rotate_vec(array<float>) → array<float>: y = R·x for a broadcast
   * row-major rotation matrix (OPQ pre-rotation).
@@ -618,8 +572,6 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
-  def hyperplaneSig(v: Column, numPlanes: Int, dims: Int, seed: Long = 42L): Column =
-    toCol(HyperplaneSig(toExpr(v), numPlanes, dims, seed))
 
   /** Cross-engine-replicable sign-projection signature (exact integer
     * arithmetic; see [[RademacherSig]]).

@@ -25,7 +25,7 @@ import graft.functions.VectorFunctions
   *               with bit_count(xor).
   *  - ngram:     inverted-index jaccard — explode distinct n-grams,
   *               equi-join on the n-gram, count shared per pair.
-  *  - embedding: random-hyperplane LSH buckets, verified with native
+  *  - embedding: Rademacher sign-projection LSH buckets, verified with native
   *               cosine.
   *
   * Every candidate join keys on a<b to emit each unordered pair once.
@@ -385,7 +385,7 @@ object Dedup {
       .union(roots)
   }
 
-  /** Embedding near-duplicate pairs: BANDED hyperplane-LSH (like minhash
+  /** Embedding near-duplicate pairs: BANDED sign-projection LSH (like minhash
     * banding — `bands` independent signatures of `planesPerBand` planes;
     * a pair is a candidate if ANY band matches, so recall is
     * 1-(1-p^r)^b instead of the single-signature p^n) + native cosine
@@ -401,7 +401,7 @@ object Dedup {
     // AFTER the pair distinct, so cosine runs exactly once per candidate
     // pair — the same slim-candidates/verify-join split minhashPairs uses.
     val bandCols = (0 until bands).map { bnd =>
-      VectorFunctions.hyperplaneSig(col("vec"), planesPerBand, dims,
+      VectorFunctions.rademacherSig(col("vec"), planesPerBand, dims,
         seed + bnd * 7919L).as(s"b$bnd")
     }
     val sigs = vecs.select(col("id") +: bandCols: _*)

@@ -17,7 +17,7 @@ import graft.functions.{TopKAgg, VectorFunctions}
   *
   *  - bruteForceTopK: exact. One corpus scan × |Q| cosine evals, all
   *    inside whole-stage codegen via the native CosineSim expression.
-  *  - lshTopK: hyperplane-LSH bucketed. Corpus bucketed once (can be
+  *  - lshTopK: sign-projection-LSH bucketed. Corpus bucketed once (can be
   *    persisted/bucketed-by in storage at scale); each query probes its
   *    own bucket plus all buckets within hamming ≤ `probeHamming` of its
   *    signature (multi-probe trades compute for recall).

@@ -122,7 +122,11 @@ object Sketch {
       col("v").as("zero_registers")): _*)
   }
 
-  /** Per-group approximate distinct via the portable HLL. */
+  /** Per-group approximate distinct via the portable HLL. Note: a
+    * group whose values are ALL NULL contributes no registers and is
+    * absent from the output (its distinct count of non-null values is
+    * 0) — same information, minus an explicit zero row.
+    */
   def portableDistinct(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame =
     portableEstimate(portableRegisters(df, groupCol, valueCol),

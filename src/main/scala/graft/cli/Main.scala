@@ -12,7 +12,8 @@ import graft.sources.{JdbcSource, SourceReader}
   *
   * Usage:
   *   graft.cli.Main --source-dir DIR --source-table T --dest-table T
-  *     [--dest parquet:DIR | orc:DIR | csv:DIR | json:DIR | jdbc:URL]
+  *     --dest parquet:DIR | orc:DIR | csv:DIR | json:DIR | jdbc:URL
+  *       (required unless --dry-run; unknown --options are rejected)
   *     [--source-format parquet|orc|csv|json] [--mode append|overwrite]
   *     [--limit N] [--config FILE] [--dry-run] [--yes]
   *     [--null-policy fail|fill|skip] [--null-fill-sentinel S]
@@ -87,8 +88,13 @@ object Main {
         case _ => new SourceReader(spark, req("source_dir"),
           cfg.getOrElse("source_format", "parquet"))
       }
+      // --dest is REQUIRED for a real run (a dry-run never writes):
+      // defaulting the destination would silently land data in a
+      // location the user never named.
       val FileDest = "^(parquet|orc|csv|json):(.+)$".r
-      val sink: Sink = cfg.getOrElse("dest", s"parquet:/tmp/graft-out") match {
+      val sink: Sink = cfg.get("dest")
+        .orElse(if (spec.dryRun) Some("parquet:/tmp/graft-dry-run") else None)
+        .getOrElse(req("dest")) match {
         case d if d.startsWith("jdbc:") => new JdbcSink(d)
         case FileDest(fmt, dir)         => new graft.sinks.FileSink(spark, dir, fmt)
         case other => sys.error(s"unknown destination: $other")
@@ -111,6 +117,19 @@ object Main {
   }
 
   /** `--key value` / `--flag` → map with snake_case keys. */
+  /** Every option the CLI understands. Unknown `--flags` FAIL instead
+    * of being silently dropped — a typo'd `--dest-dir` must not send
+    * the data to the default destination. (The config file and env
+    * layers stay permissive: env vars legitimately carry unrelated
+    * keys; only the explicit command line is validated.)
+    */
+  private[cli] val KnownOptions: Set[String] = Set(
+    "config", "source", "source_dir", "source_format", "source_table",
+    "dest", "dest_table", "mode", "limit", "write_partitions",
+    "dry_run", "yes", "master", "shuffle_partitions", "log_level",
+    "null_policy", "null_fill_sentinel", "strip_null_tokens",
+    "empty_string_as_null", "schema_evolution", "table_comment")
+
   private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -118,6 +137,9 @@ object Main {
       val a = args(i)
       if (a.startsWith("--")) {
         val k = a.stripPrefix("--").replace('-', '_')
+        if (!KnownOptions.contains(k))
+          sys.error(s"unknown option --${a.stripPrefix("--")} " +
+            s"(known: ${KnownOptions.toSeq.sorted.map("--" + _.replace('_', '-')).mkString(", ")})")
         if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
           out += k -> args(i + 1); i += 2
         } else { out += k -> "true"; i += 1 }

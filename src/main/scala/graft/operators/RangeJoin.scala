@@ -52,7 +52,15 @@ object RangeJoin {
     val nBins = (bin(right, endCol) - bin(right, startCol) + 1).cast("int")
     val contains = col(tCol) >= col(startCol) && col(tCol) <= col(endCol)
 
-    val shortIvals = right.filter(nBins <= maxBinsPerInterval)
+    // nBins >= 1 guards INVERTED intervals (end < start): they can never
+    // contain a point, but a negative span would slip past the <= max
+    // filter and sequence(hi, lo) generates DESCENDING bins — one
+    // garbage row with wildly swapped bounds would explode into
+    // |span|/binWidth rows. NULL-bounded intervals drop from both legs
+    // the same way (NULL comparisons are never true), matching the
+    // naive BETWEEN join's no-match semantics.
+    val shortIvals = right
+      .filter(nBins >= 1 && nBins <= maxBinsPerInterval)
       .withColumn("__bin",
         explode(sequence(bin(right, startCol), bin(right, endCol))))
     val taggedLeft = left.withColumn("__bin", bin(left, tCol))

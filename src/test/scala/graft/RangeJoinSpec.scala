@@ -38,6 +38,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(right.filter(($"e" - $"s") / 10 + 1 > 8).count() > 0)
   }
 
+  test("inverted and NULL-bounded intervals: no matches, no bin explosion") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Some(90L), Some(110L), 1L),   // valid: matches
+      (1L, Some(5000000L), Some(0L), 2L),// inverted: 500k-bin span if naively expanded
+      (1L, None, Some(110L), 3L),        // NULL start
+      (1L, Some(90L), None, 4L)          // NULL end
+    ).toDF("k", "s", "e", "ival_id")
+    val got = RangeJoin.join(left, right, "k", "t", "s", "e",
+      binWidth = 10L, maxBinsPerInterval = 8)
+    // only the valid interval matches — and this returns promptly
+    // because the inverted row never reaches the descending-sequence
+    // explode (the naive BETWEEN join agrees: NULL/inverted never match)
+    assert(got.select("ival_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("timestamp axis: follow-up orders in 7-day windows == naive join") {
     val orders = Tables(spark, sf001, "orders")
     val pts = orders.select($"o_orderkey".as("p_orderkey"),

@@ -50,6 +50,24 @@ class DeterministicOpsSpec extends SparkSpec {
     }
   }
 
+  test("deterministic-mode GATE queries: bit-identical under repartitioning") {
+    // the reproducibility claim at the full-query level: the three
+    // round-6 oracle flips must produce identical rows when the input
+    // arrives in a different partitioning/order
+    val dir = sf001
+    for (name <- Seq("sketch_hll_rollup", "embed_label_centroids",
+        "sim_topk_lsh")) {
+      val q = SparkEntry.queries(name)
+      val base = q(spark, dir).collect().map(_.toString).sorted.toSeq
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val re = q(spark, dir).collect().map(_.toString).sorted.toSeq
+        assert(re == base, s"$name not partition-deterministic")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("Rademacher signs: ±1 only, ~balanced, stable across calls") {
     val a = VecOps.rademacherSigns(8, 64, 42L)
     val b = VecOps.rademacherSigns(8, 64, 42L)

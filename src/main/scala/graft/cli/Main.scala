@@ -16,10 +16,13 @@ import graft.sources.{JdbcSource, SourceReader}
   *       (required unless --dry-run; unknown --options are rejected)
   *     [--source-format parquet|orc|csv|json] [--mode append|overwrite]
   *     [--limit N] [--config FILE] [--dry-run] [--yes]
-  *     [--null-policy fail|fill|skip] [--null-fill-sentinel S]
-  *     [--strip-null-tokens] [--empty-string-as-null]
+  *     [--null-on-non-nullable fail|fill|skip] (alias: --null-policy)
+  *     [--null-fill-sentinel S] [--string-null-tokens "nan,None,..."]
+  *     [--preserve-string-null-tokens BOOL] [--strip-null-tokens]
+  *     [--treat-empty-string-as-null BOOL] [--empty-string-as-null]
   *     [--schema-evolution] [--table-comment TEXT]
-  *     [--log-level ERROR|WARN|INFO|DEBUG|TRACE] (reference: cli.py:60)
+  *     [--log-level ERROR|WARN|INFO|DEBUG|TRACE] (reference: cli.py:60;
+  *       WARNING accepted as an alias for WARN)
   *
   * Precedence: CLI > config file > env (reference: config_loader.py:171-248).
   */
@@ -47,7 +50,10 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(
-      cfg.getOrElse("log_level", "WARN").toUpperCase)
+      cfg.getOrElse("log_level", "WARN").toUpperCase match {
+        case "WARNING" => "WARN" // reference cli.py:62 spells it WARNING
+        case lvl       => lvl
+      })
 
     try {
       val sourceTable = req("source_table")
@@ -127,8 +133,17 @@ object Main {
     "config", "source", "source_dir", "source_format", "source_table",
     "dest", "dest_table", "mode", "limit", "write_partitions",
     "dry_run", "yes", "master", "shuffle_partitions", "log_level",
-    "null_policy", "null_fill_sentinel", "strip_null_tokens",
+    "null_policy", "null_on_non_nullable", "null_fill_sentinel",
+    "string_null_tokens", "preserve_string_null_tokens",
+    "treat_empty_string_as_null", "strip_null_tokens",
     "empty_string_as_null", "schema_evolution", "table_comment")
+
+  /** CLI spellings normalized to the config-layer key compatFrom reads
+    * (reference cli.py:72 names the policy --null-on-non-nullable; the
+    * shorter --null-policy stays as an alias).
+    */
+  private[cli] val Aliases: Map[String, String] =
+    Map("null_policy" -> "null_on_non_nullable")
 
   private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
@@ -136,10 +151,11 @@ object Main {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
-        val k = a.stripPrefix("--").replace('-', '_')
-        if (!KnownOptions.contains(k))
+        val k0 = a.stripPrefix("--").replace('-', '_')
+        if (!KnownOptions.contains(k0))
           sys.error(s"unknown option --${a.stripPrefix("--")} " +
             s"(known: ${KnownOptions.toSeq.sorted.map("--" + _.replace('_', '-')).mkString(", ")})")
+        val k = Aliases.getOrElse(k0, k0)
         if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
           out += k -> args(i + 1); i += 2
         } else { out += k -> "true"; i += 1 }

@@ -25,7 +25,21 @@ class CliArgsSpec extends AnyFunSuite {
   test("every documented option is accepted") {
     Main.KnownOptions.foreach { k =>
       val got = Main.parseArgs(Array("--" + k.replace('_', '-'), "v"))
-      assert(got == Map(k -> "v"), k)
+      val expectKey = Main.Aliases.getOrElse(k, k)
+      assert(got == Map(expectKey -> "v"), k)
     }
+  }
+
+  test("compat options reach CompatConfig through the CLI layer") {
+    // --null-policy normalizes to the key compatFrom actually reads;
+    // --string-null-tokens passes through as the configured list
+    val cli = Main.parseArgs(Array(
+      "--null-policy", "skip",
+      "--string-null-tokens", "NA , miss",
+      "--preserve-string-null-tokens", "false"))
+    val compat = graft.config.ConfigLoader.compatFrom(cli)
+    assert(compat.nullOnNonNullable == graft.model.NullPolicy.Skip)
+    assert(compat.stringNullTokens == Seq("na", "miss"))
+    assert(!compat.preserveStringNullTokens)
   }
 }

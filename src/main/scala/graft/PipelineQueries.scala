@@ -188,16 +188,18 @@ object PipelineQueries {
         .select($"id_a", $"id_b")
     },
 
-    // SemDeDup-style clustered semantic dedup: k-means cells bound the
-    // quadratic term, exact cosine within cells (operators/Dedup
-    // semanticPairs). No oracle: the k-means assignment isn't
-    // replicable in the gate engine; containment in the exact pair
-    // set, nlist=1 ≡ brute force, determinism, and recall are all
-    // asserted in PipelineSpec.
+    // SemDeDup-style clustered semantic dedup: coarse cells bound the
+    // quadratic term, exact cosine within cells. The gate uses the
+    // DETERMINISTIC quantizer (semanticPairsSig — Rademacher sign
+    // buckets, exact-integer arithmetic) so the gate engine re-derives
+    // the identical 8-cell assignment and the full pair output is
+    // oracle-checked; the trained-k-means path (semanticPairs) has the
+    // same plan shape and stays covered by PipelineSpec (containment,
+    // nlist=1 ≡ brute force, determinism, recall).
     "dedup_semantic" -> { (s, dir) =>
       import s.implicits._
-      Dedup.semanticPairs(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4, nlist = 8)
+      Dedup.semanticPairsSig(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 64, threshold = 0.4, numPlanes = 3)
         .select($"id_a", $"id_b")
     },
 
@@ -238,15 +240,19 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
-    // PQ compressed-domain ANN (codebook is trained k-means — rows-only
-    // check; SkewAndIvfSpec proves recall against brute force).
+    // PQ with rerank >= the verify-SF corpus (sim_topk_sq8 pattern):
+    // the exact rerank re-scores every candidate, so the trained
+    // codebook only orders the ADC scan and cannot affect the result —
+    // the brute SQL is a true oracle while the compressed-domain
+    // ADC scan + rerank plan shape stays the one measured.
+    // SkewAndIvfSpec still proves recall at production rerank sizes.
     "sim_topk_pq" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
       val queries = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding")
       Similarity.Pq.topK(e, queries, k = 5, dims = 64,
-          m = 8, ksub = 16, rerank = 100)
+          m = 8, ksub = 16, rerank = 2000)
         .select($"qid", $"id", $"rank")
     },
 
@@ -994,6 +1000,39 @@ object PipelineQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
 
+    // Re-derives the deterministic SemDeDup cells exactly as the Spark
+    // side does (semanticPairsSig): ±1 signs from bit 0 of
+    // md5('42:'||plane||':'||dim), components quantized to
+    // round(x*1e7) BIGINTs, 3 exact-integer plane dots → a 3-bit cell;
+    // then exact cosine pairs WITHIN equal cells only (the whole point
+    // of the operator: pairs the quantizer splits are absent).
+    "dedup_semantic" ->
+      """WITH signs AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(3) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.p),
+        |cells AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS cell
+        |  FROM dots GROUP BY vec_id)
+        |SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+        |FROM cells ca JOIN cells cb
+        |  ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        |JOIN embeddings ea ON ea.vec_id = ca.vec_id
+        |JOIN embeddings eb ON eb.vec_id = cb.vec_id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4""".stripMargin,
+
     "dedup_components" -> ComponentsOracle,
 
     // the log-star variant has the identical output contract
@@ -1124,6 +1163,18 @@ object PipelineQueries {
         |FROM x GROUP BY user_id""".stripMargin,
 
     "sim_topk_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // rerank >= corpus makes the exact rerank provably equal to brute
+    // force (see the queries() comment) — same oracle as sq8/ivf.
+    "sim_topk_pq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid, c.vec_id AS id,
         |        list_cosine_similarity(c.embedding, q.qv) AS cos

@@ -506,6 +506,37 @@ object Dedup {
       model.transform(vecs)
         .select(col("id"), col("vec"), col("prediction").as("cell"))
     }
+    pairsWithinCells(assigned, threshold)
+  }
+
+  /** SemDeDup with a DETERMINISTIC quantizer: cells are the Rademacher
+    * sign-projection buckets ([[VectorFunctions.rademacherSig]] — ±1
+    * signs from md5, exact-integer dots), i.e. the data-blind member of
+    * the same coarse-quantizer family k-means belongs to. Identical
+    * plan shape to [[semanticPairs]] (assign → cell equi-join →
+    * within-cell exact cosine); the assignment is one broadcast-free
+    * codegen'd signature per row and — unlike trained k-means — is
+    * replicable bit-for-bit by an external SQL engine, which is what
+    * lets the gate oracle-check the full pair output. 2^numPlanes
+    * cells; numPlanes grows with the corpus like nlist does.
+    */
+  def semanticPairsSig(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double = 0.95, numPlanes: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        VectorFunctions.rademacherSig(col("vec"), numPlanes, dims, seed)
+          .cast("int"))
+    pairsWithinCells(assigned, threshold)
+  }
+
+  /** Shared SemDeDup core: exact cosine pairs WITHIN each cell of an
+    * (id, vec, cell) assignment. Quadratic only inside a cell — the
+    * cell equi-join co-partitions by cell, so pair generation scales
+    * with Σ|cell|², not N².
+    */
+  private def pairsWithinCells(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),

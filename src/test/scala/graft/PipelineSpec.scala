@@ -111,6 +111,21 @@ class PipelineSpec extends SparkSpec {
       s"semantic recall ${sem.size.toDouble / exact.size} < 0.5")
   }
 
+  test("semantic pairs, deterministic sign quantizer: subset of exact, " +
+      "deterministic, numPlanes=0 degenerates to brute force") {
+    val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(planes: Int) = Dedup.semanticPairsSig(
+        embeddings, "vec_id", "embedding", dims = 64, threshold = 0.4,
+        numPlanes = planes)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = run(3)
+    assert(sem.subsetOf(exact)) // within-cell pairs are exact-cosine-verified
+    assert(run(3) === sem)      // md5-derived signs ⇒ bit-stable assignment
+    assert(run(0) === exact)    // 0 planes = one cell = full brute-force set
+  }
+
   test("brute-force top-k: exact, deterministic, k rows per query") {
     val queries = embeddings.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding")

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must go STRAIGHT to stdout, not through sbt's
+// logger: the logger prefixes every line with "[info] ", which breaks
+// line-anchored JSON extraction of Bench's output by the harness
+// (three rounds of "parsed": null — the tail capture shows
+// "[info] {\"metric\"...}" where a bare JSON line is expected).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

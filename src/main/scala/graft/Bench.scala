@@ -48,13 +48,14 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       } catch {
-        // record, don't hide: a swallowed failure shows up as a
-        // misleading millisecond "timing" (a broken query once looked
-        // like the fastest in the sweep)
-        case _: Throwable => failed += name
+        // record, don't hide: a swallowed failure once showed up as a
+        // misleading millisecond "timing"; NaN (not elapsed-to-throw)
+        // keeps failure time out of every sum and per-query entry —
+        // failures are reported via failed[]/n_failed, not as timings
+        case _: Throwable => failed += name; Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // profiling aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
@@ -63,33 +64,43 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val cold = ordered.map { case (name, fn) => once(name, fn) }.sum
+    // NaN (= failed) excluded from the cold total: failure time is not
+    // a measurement
+    val cold = ordered.map { case (name, fn) => once(name, fn) }
+      .filterNot(_.isNaN).sum
     // two timed passes, min per query: host-level noise on this VM swings
-    // single measurements ±30%; min-of-2 is the standard damping
+    // single measurements ±30%; min-of-2 is the standard damping.
+    // min(x, NaN) = NaN, so a failure in either pass marks the query.
     val results = ordered.map { case (name, fn) =>
       name -> math.min(once(name, fn), once(name, fn))
     }
+    val timed = results.filter { case (n, v) => !v.isNaN && !failed(n) }
 
     // ms precision: the full-Double rendering of 80+ queries pushed the
     // JSON line past the driver's output tail buffer (BENCH_r03 captured
     // the line with its head cut off -> parse failure). ~1.9KB now.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = timed.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)}$failedJson,"sf":"$sfDir"}""")
+    // "detail" vs "summary" disambiguates the two lines for any parser
+    // that scans head-first; totals on both are identical and cover
+    // successfully-timed queries ONLY.
+    println(s"""{"metric":"total","line":"detail","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)}$failedJson,"sf":"$sfDir"}""")
     // compact totals-only line LAST: the driver's capture keeps the
     // TAIL of the output, and the full per-query line above (~2.5KB at
     // 109 queries) has overflowed that buffer head-first two rounds
     // running (BENCH_r04/r05 "parsed": null — the leading {"metric"...
     // was cut, making the line unparseable). This line is ~120 bytes,
-    // sits at the very end of the stream, and parses standalone.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // sits at the very end of the stream (build.sbt routes forked run
+    // output straight to stdout so no "[info] " prefix breaks
+    // line-anchored extraction), and parses standalone.
+    println(s"""{"metric":"total","line":"summary","value":${fmt(total)},"unit":"sec","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${ordered.size},"n_timed":${timed.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

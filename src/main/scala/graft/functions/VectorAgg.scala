@@ -132,13 +132,22 @@ case class VectorMeanFixed(child: Expression,
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (b.sums.length < n) {
-        val grown = new Array[Long](n)
-        System.arraycopy(b.sums, 0, grown, 0, b.sums.length)
-        b.sums = grown
-      }
+      // Dimensionality is pinned by the group's first non-null vector:
+      // the mean divides every dimension by the VECTOR count, which is
+      // only well-defined when every vector contributes every
+      // dimension. Ragged lengths or NULL elements used to quantize
+      // silently (missing dims read as +0) and diverge from any
+      // per-dim-counting oracle — fail loudly instead.
+      if (b.count == 0 && b.sums.length == 0) b.sums = new Array[Long](n)
+      else if (n != b.sums.length)
+        throw new IllegalArgumentException(
+          s"vectorMeanFixed: ragged input — vector of length $n in a " +
+            s"group with pinned dimensionality ${b.sums.length}")
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            "vectorMeanFixed: NULL element at dimension " + i)
         b.sums(i) += VecOps.roundAwayScaled(arr.getFloat(i))
         i += 1
       }
@@ -147,8 +156,17 @@ case class VectorMeanFixed(child: Expression,
     b
   }
 
+  // merge keeps the grow-to-longer behavior ONLY for the empty buffer
+  // (a partition that saw no rows); two populated buffers of different
+  // lengths mean ragged input slipped past update on different
+  // partitions — refuse to blend them.
+
   override def merge(b: VectorMeanFixedBuffer,
       o: VectorMeanFixedBuffer): VectorMeanFixedBuffer = {
+    if (b.count > 0 && o.count > 0 && b.sums.length != o.sums.length)
+      throw new IllegalArgumentException(
+        s"vectorMeanFixed: ragged input — merging groups with " +
+          s"dimensionalities ${b.sums.length} and ${o.sums.length}")
     if (o.sums.length > b.sums.length) {
       val grown = new Array[Long](o.sums.length)
       System.arraycopy(b.sums, 0, grown, 0, b.sums.length)

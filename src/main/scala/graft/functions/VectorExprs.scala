@@ -93,6 +93,15 @@ object VecOps {
     */
   def roundAwayScaled(x: Float): Long = {
     val s = x.toDouble * 1e7
+    // Garbage must FAIL, not quantize: NaN used to map silently to 0
+    // and |x|·1e7 beyond Long range wrapped past Long.MaxValue (toLong
+    // saturates, then the ties-away +1 overflows) — both diverge from
+    // SQL round(x)::BIGINT, which errors, and would silently corrupt
+    // every signature built on the quantization. Embeddings are O(1),
+    // so the guard never fires on real input.
+    if (java.lang.Double.isNaN(s) || s >= 9.2e18 || s <= -9.2e18)
+      throw new ArithmeticException(
+        s"roundAwayScaled: unquantizable value $x (NaN or |x|*1e7 beyond Long range)")
     val t = s.toLong
     val frac = s - t
     if (frac >= 0.5) t + 1 else if (frac <= -0.5) t - 1 else t

@@ -63,7 +63,20 @@ class Migrator(source: Source, sink: Sink) {
     if (!spec.dryRun) {
       if (!exists)
         sink.createTable(spec.destTable, translatedDdl, spec.tableComment)
-      else if (spec.mode == WriteMode.Overwrite) sink.truncateOrDrop(spec.destTable)
+      else if (spec.mode == WriteMode.Overwrite) {
+        sink.truncateOrDrop(spec.destTable)
+        // A new description supplied on Overwrite must not be silently
+        // dropped: update it where the backend can, warn where it
+        // can't (Derby has no table COMMENT). No comment supplied →
+        // the existing description survives the data overwrite,
+        // matching TRUNCATE/WRITE_TRUNCATE semantics.
+        spec.tableComment.filter(_.nonEmpty).foreach { cmt =>
+          if (!sink.setTableComment(spec.destTable, cmt))
+            System.err.println(s"[migrate] WARNING: destination " +
+              s"${spec.destTable} exists and the backend cannot alter " +
+              "table comments; the supplied table_comment was NOT applied")
+        }
+      }
     }
     // Schema drift (evolution opt-in): compare what the source NOW
     // translates to against the live destination catalog. Added columns

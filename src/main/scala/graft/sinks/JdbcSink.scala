@@ -23,6 +23,10 @@ sealed trait SqlDialect {
     * "" when the dialect has none.
     */
   def tableOptionsClause(comment: String): String = ""
+  /** ALTER statement updating an existing table's comment; None when
+    * the dialect cannot alter table comments (Derby has none at all).
+    */
+  def alterTableCommentSql(quotedTable: String, comment: String): Option[String] = None
   /** CREATE SCHEMA/DATABASE statement for [[JdbcSink.ensureNamespace]]. */
   def createNamespaceSql(ns: String): String = s"CREATE SCHEMA ${quote(ns)}"
   /** Quote a possibly schema-qualified `ns.table` name part-by-part. */
@@ -43,6 +47,10 @@ object MySqlDialect extends SqlDialect {
     */
   override def tableOptionsClause(comment: String): String =
     s" COMMENT='${comment.replace("\\", "\\\\").replace("'", "''")}'"
+  override def alterTableCommentSql(quotedTable: String,
+      comment: String): Option[String] =
+    Some(s"ALTER TABLE $quotedTable COMMENT = " +
+      s"'${comment.replace("\\", "\\\\").replace("'", "''")}'")
   override def createNamespaceSql(ns: String): String =
     s"CREATE DATABASE IF NOT EXISTS ${quote(ns)}"
 }
@@ -158,24 +166,43 @@ class JdbcSink(url: String, props: Properties = new Properties(),
     ()
   }
 
+  override def setTableComment(table: String, comment: String): Boolean =
+    dialect.alterTableCommentSql(dialect.quoteQualified(table), comment)
+      .exists { sql =>
+        withConn { c =>
+          val st = c.createStatement()
+          try st.execute(sql) finally st.close()
+        }
+        true
+      }
+
   /** Table description read back from the driver's catalog REMARKS
     * (where the driver surfaces it — MySQL does, Derby has no table
     * COMMENT at all).
     */
   override def tableComment(table: String): Option[String] = {
     val (ns, name) = splitQualified(table)
+    // Push the schema/table-name patterns into getTables instead of
+    // listing the whole catalog and filtering client-side — the old
+    // scan returned a same-named table from ANY schema for an
+    // unqualified name (first match wins), and enumerating every
+    // catalog table per lookup doesn't scale. JDBC metadata patterns
+    // are case-sensitive and unquoted DDL identifiers are stored
+    // case-folded (Derby/most: upper), so probe as-given then folded.
     withConn { c =>
-      val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
-      try {
-        var found: Option[String] = None
-        while (rs.next() && found.isEmpty) {
-          if (rs.getString("TABLE_NAME").equalsIgnoreCase(name) &&
-              ns.forall(s => Option(rs.getString("TABLE_SCHEM"))
-                .exists(_.equalsIgnoreCase(s))))
-            found = Option(rs.getString("REMARKS")).filter(_.nonEmpty)
-        }
-        found
-      } finally rs.close()
+      def probe(sc: String, tn: String): Option[String] = {
+        val rs = c.getMetaData.getTables(null, sc, tn, Array("TABLE"))
+        try {
+          if (rs.next()) Option(rs.getString("REMARKS")).filter(_.nonEmpty)
+          else None
+        } finally rs.close()
+      }
+      val candidates = Seq(
+        (ns.orNull, name),
+        (ns.map(_.toUpperCase).orNull, name.toUpperCase),
+        (ns.map(_.toLowerCase).orNull, name.toLowerCase))
+      candidates.distinct.view.flatMap { case (sc, tn) => probe(sc, tn) }
+        .headOption
     }
   }
 

@@ -78,6 +78,15 @@ class FileSink(spark: SparkSession, baseDir: String,
     else None
   }
 
+  /** Rewrite the `_TABLE_COMMENT` sidecar in place. */
+  override def setTableComment(table: String, comment: String): Boolean = {
+    val dir = java.nio.file.Paths.get(path(table))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("_TABLE_COMMENT"),
+      comment.getBytes("UTF-8"))
+    true
+  }
+
   /** Overwrite wipes DATA but keeps table-level metadata (the
     * `_TABLE_COMMENT` sidecar survives), matching both MySQL TRUNCATE
     * (table options persist) and BigQuery WRITE_TRUNCATE (description

@@ -43,6 +43,13 @@ trait Sink {
     */
   def tableComment(table: String): Option[String] = None
 
+  /** Update the table-level description of an EXISTING table (an
+    * Overwrite run that supplies a new comment must not silently keep
+    * the old one). Returns false when the backend cannot alter table
+    * comments — the caller surfaces the skip.
+    */
+  def setTableComment(table: String, comment: String): Boolean = false
+
   /** O2 overwrite semantics: MySQL truncates, BigQuery drops+recreates,
     * files overwrite in place (reference: migrator.py:210-224).
     */

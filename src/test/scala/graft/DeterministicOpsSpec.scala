@@ -38,6 +38,16 @@ class DeterministicOpsSpec extends SparkSpec {
     }
   }
 
+  test("roundAwayScaled fails loudly on unquantizable input") {
+    // NaN used to map silently to 0 and out-of-range values wrapped
+    // past Long.MaxValue — both must throw like SQL round(x)::BIGINT
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, Float.MaxValue, Float.MinValue))
+      intercept[ArithmeticException](VecOps.roundAwayScaled(bad))
+    // boundary sanity: large-but-quantizable values still round
+    assert(VecOps.roundAwayScaled(1e9f) == 10000000000000000L)
+  }
+
   test("property: portable-HLL register derivation matches a bin()-string model") {
     // rho computed arithmetically in SQL as 49 - length(bin(r)) must
     // equal the leading-zero semantics the estimator assumes

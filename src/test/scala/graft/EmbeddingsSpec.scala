@@ -60,6 +60,25 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("VectorMeanFixed refuses ragged and NULL-element input") {
+    // the mean divides by the VECTOR count — ragged lengths or NULL
+    // elements would quantize missing dims as +0 and silently diverge
+    // from any per-dim-counting oracle
+    val ragged = Seq(Tuple1(Array(1f, 2f)), Tuple1(Array(1f)))
+      .toDF("v").coalesce(1)
+    val ex = intercept[Exception] {
+      ragged.agg(graft.functions.VectorAgg.vectorMeanFixed($"v")).collect()
+    }
+    assert(ex.getMessage.contains("ragged") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ragged")))
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1f, null))).toDF("v")
+    val ex2 = intercept[Exception] {
+      withNull.agg(graft.functions.VectorAgg.vectorMeanFixed($"v")).collect()
+    }
+    assert(ex2.getMessage.contains("NULL element") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("NULL element")))
+  }
+
   test("VectorMeanFixed quantization: negatives round toward nearest") {
     // -0.35f widens to -0.34999999403…; *1e7 = -3499999.94… must round
     // AWAY to -3500000 (nearest), not truncate to -3499999. (True .5

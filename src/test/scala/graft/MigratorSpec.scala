@@ -291,6 +291,18 @@ class MigratorSpec extends SparkSpec {
     assert(sink.tableComment("region_desc")
       .contains("TPC-H region dimension"))
     assert(spark.read.parquet(s"$out/region_desc").count() == 5)
+    // ...but a NEW description supplied on Overwrite replaces the old
+    // one instead of being silently dropped
+    new Migrator(new SourceReader(spark, sf001), sink)
+      .migrate(MigrationSpec(sourceTable = "region",
+        destTable = "region_desc", mode = WriteMode.Overwrite,
+        fullScanGuardLimit = None, tableComment = Some("updated dim")))
+    assert(sink.tableComment("region_desc").contains("updated dim"))
+    // MySQL can ALTER an existing table's comment; Derby cannot (the
+    // Migrator warns and keeps the old description)
+    assert(MySqlDialect.alterTableCommentSql("`t`", "it's new")
+      .contains("ALTER TABLE `t` COMMENT = 'it''s new'"))
+    assert(DerbyDialect.alterTableCommentSql("\"t\"", "x").isEmpty)
     // the sidecar is hidden: it neither makes a table exist by itself
     // nor reaches Spark's file listing
     assert(sink.tableComment("region_missing").isEmpty)

@@ -255,6 +255,45 @@ class StreamingSpec extends SparkSpec {
     assert(pointer() === "v=99" && stateNow() === expect)
   }
 
+  test("upsert sink crash window 2: died AFTER writing v=<batchId> but " +
+      "BEFORE the pointer flip — redelivery rewrites the orphan and flips") {
+    val state = tmpDir("upsert-crash2")
+    // committed base: batch 0 applied normally
+    UpsertSink.applyBatch(spark, state, UpsertSink.compactBatch(
+      arrivalBatch(0), "user_id", "ts", "value", "event_id"), 0L)
+    def pointer() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state, "_CURRENT")), "UTF-8").trim
+    assert(pointer() === "v=0")
+    val committed = UpsertSink.currentState(spark, state)
+      .collect().map(_.toSeq).toSet
+
+    // simulate the crash: batch 1 wrote its version dir (with GARBAGE
+    // relative to the correct fold — here, a copy of an unrelated
+    // batch) and died before _CURRENT flipped. The checkpoint never
+    // committed, so the engine re-delivers batchId=1.
+    UpsertSink.compactBatch(
+        arrivalBatch(2), "user_id", "ts", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$state/v=1")
+    assert(pointer() === "v=0", "pointer must not move pre-flip")
+    assert(UpsertSink.currentState(spark, state)
+      .collect().map(_.toSeq).toSet === committed,
+      "committed state must be unaffected by the orphan version")
+
+    // redelivery: the pointer guard does NOT fire (pointer is v=0, not
+    // v=1), so applyBatch re-merges from the committed base, REWRITES
+    // the orphan v=1 in full, and flips the pointer — the orphan's
+    // garbage content must leave no trace.
+    UpsertSink.applyBatch(spark, state, UpsertSink.compactBatch(
+      arrivalBatch(1), "user_id", "ts", "value", "event_id"), 1L)
+    val expect01 = UpsertSink.compactBatch(
+        batchEvents.filter(pmod($"event_id", lit(3)) =!= 2),
+        "user_id", "ts", "value", "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(pointer() === "v=1")
+    assert(UpsertSink.currentState(spark, state)
+      .collect().map(_.toSeq).toSet === expect01)
+  }
+
   test("tombstones persist in state: a late older update cannot " +
       "resurrect a deleted key, in any arrival order") {
     import org.apache.spark.sql.functions.to_timestamp

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.operators.{Dedup, Similarity}
+
+/** Plan-shape regression guards for the headline join gates.
+  *
+  * BASELINE.md records the ngram prefix self-join flapping between
+  * broadcast and SMJ plans at AQE's broadcast-threshold edge (2.6s vs
+  * 10s run-to-run); these asserts pin the INTENDED physical shapes —
+  * broadcast dims on the TPC-H joins, hash/merge equi-joins (never a
+  * nested loop) on the LSH band joins — so a Spark upgrade, a stats
+  * change, or a threshold default change cannot silently regress a
+  * gate's plan while its output stays correct.
+  *
+  * AQE only finalizes join strategies at execution, so each query is
+  * executed (noop sink) and the FINAL adaptive plan is asserted.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings = Tables(spark, sf001, "embeddings")
+
+  private def finalPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+  }
+
+  test("TPC-H join gates: dims broadcast, no sort-merge or nested-loop " +
+      "fallback at dim scale") {
+    // q3/q5/q7 are the headline multi-join gates: every dimension side
+    // fits the broadcast threshold by construction, so the intended
+    // shape is broadcast joins + ONE shuffle for the fact aggregation.
+    // An SMJ here means a dim stopped broadcasting (threshold/stats
+    // regression); a nested loop means an equi-key stopped being one.
+    for (q <- Seq("q3_join", "q5_join", "q7_volume")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf001))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected broadcast dim joins, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: dim join degraded to sort-merge:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"$q: join degraded to a product plan:\n$plan")
+    }
+  }
+
+  test("ANN LSH gate: bucket probe stays a hash equi-join on the " +
+      "signature, never a nested loop") {
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    val df = Similarity.lshTopK(embeddings, queries, k = 5, dims = 64,
+      numPlanes = 8, probeHamming = 2)
+    val plan = finalPlan(df)
+    assert(plan.contains("Join"), s"expected a candidate join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"LSH bucket probe degraded to a product plan:\n$plan")
+  }
+
+  test("embedding near-dup LSH: band self-join stays a hash/merge " +
+      "equi-join on (band, sig)") {
+    val df = Dedup.embeddingNearDupPairs(embeddings, "vec_id", "embedding",
+      dims = 64, threshold = 0.4, bands = 4, planesPerBand = 8)
+    val plan = finalPlan(df)
+    assert(plan.contains("Join"), s"expected a band self-join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"band self-join degraded to a product plan:\n$plan")
+  }
+
+  test("semantic dedup (sign quantizer): cell self-join stays an " +
+      "equi-join on cell, never a product") {
+    val df = Dedup.semanticPairsSig(embeddings, "vec_id", "embedding",
+      dims = 64, threshold = 0.4, numPlanes = 3)
+    val plan = finalPlan(df)
+    assert(plan.contains("Join"), s"expected a cell self-join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"cell self-join degraded to a product plan:\n$plan")
+  }
+}

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * Scale: one window sort per group (rank + cnt + ntile share it) and
   * one broadcast-sized bounds aggregate joined back on the group key.
   * Exact rank quantiles sort each group once — same contract as the
-  * profiler's exact quantiles; at 100 TB swap the bounds for
-  * `approx_percentile` (t-digest) and keep the clamp/bucket unchanged.
+  * profiler's exact quantiles; at 100 TB use [[winsorizeApprox]],
+  * which swaps the window sort for an approx_percentile sketch
+  * aggregate and keeps the clamp semantics unchanged.
   */
 object Winsorize {
 
@@ -57,5 +58,45 @@ object Winsorize {
       .withColumn("clamped",
         least(greatest(col(valueCol), col("lo")), col("hi")))
       .drop("__rk", "__cnt")
+  }
+
+  /** The 100 TB variant the exact path's doc promises: bounds and
+    * decile cuts come from ONE `approx_percentile` (GK sketch, rank
+    * error <= n/accuracy per group) hash aggregate instead of a
+    * per-group window sort, and the decile is a searchsorted against
+    * the 9 approximate cut points instead of `ntile`. Plan shape:
+    * partial+final aggregate (map-side combinable sketch merge) + a
+    * broadcast of the per-group bounds row back onto the fact — NO
+    * per-group total sort anywhere, so group size no longer bounds a
+    * single task's sort buffer. Same output columns as [[winsorize]];
+    * clamp semantics identical (least/greatest on original values).
+    *
+    * Same NULL policy as the exact path: NULL group/value rows are
+    * dropped up front. Not gate-oracled (the sketch's picked elements
+    * are engine-specific); WinsorizeApproxSpec bounds the rank error
+    * against the exact path.
+    */
+  def winsorizeApprox(df: DataFrame, groupCol: String, valueCol: String,
+      pLow: Int = 10, pHigh: Int = 90, accuracy: Int = 10000): DataFrame = {
+    require(0 < pLow && pLow < pHigh && pHigh <= 100,
+      s"invalid percentile bounds: $pLow/$pHigh")
+    require(accuracy > 0, s"invalid accuracy: $accuracy")
+    val pcts = array(
+      (Seq(pLow / 100.0, pHigh / 100.0) ++ (1 to 9).map(_ / 10.0))
+        .map(lit): _*)
+    val cleaned = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val bounds = cleaned.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), pcts, lit(accuracy)).as("__q"))
+      .select(col(groupCol), col("__q").getItem(0).as("lo"),
+        col("__q").getItem(1).as("hi"),
+        slice(col("__q"), 3, 9).as("__cuts"))
+    cleaned.join(broadcast(bounds), groupCol)
+      .withColumn("clamped",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+      .withColumn("decile",
+        (lit(1) + aggregate(col("__cuts"), lit(0),
+          (acc, c) => acc + when(col(valueCol) > c, lit(1)).otherwise(lit(0))))
+          .cast("int"))
+      .drop("__cuts")
   }
 }

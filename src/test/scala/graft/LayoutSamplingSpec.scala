@@ -147,6 +147,42 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(got.size === 10 && !got.exists(r => r(0) == null || r(2) == null))
   }
 
+  test("winsorizeApprox: sketch bounds within GK rank error of the " +
+      "exact path; clamp/decile structurally sound; no window sort") {
+    val docs = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val w = graft.operators.Winsorize.winsorizeApprox(
+      docs, "lang", "n_chars", accuracy = 10000).cache()
+    assert(w.count() === docs.count())
+    // clamp semantics identical to the exact path
+    assert(w.filter($"clamped" < $"lo" || $"clamped" > $"hi").count() === 0)
+    assert(w.filter($"n_chars" >= $"lo" && $"n_chars" <= $"hi" &&
+      $"clamped" =!= $"n_chars").count() === 0)
+    // decile: 1..10 and monotone in the value within each group
+    assert(w.filter($"decile" < 1 || $"decile" > 10).count() === 0)
+    val inversions = w.as("a").join(w.as("b"),
+        $"a.lang" === $"b.lang" && $"a.n_chars" < $"b.n_chars" &&
+          $"a.decile" > $"b.decile").count()
+    assert(inversions === 0, "decile not monotone in value")
+    // rank error bound: GK guarantees <= n/accuracy; group sizes here
+    // are << accuracy, so the empirical CDF at each bound must sit
+    // within one rank-convention step of the target percentile
+    val err = w.groupBy($"lang").agg(
+        count(lit(1)).as("n"),
+        (sum(when($"n_chars" <= $"lo", 1L).otherwise(0L)) / count(lit(1)))
+          .as("cdf_lo"),
+        (sum(when($"n_chars" <= $"hi", 1L).otherwise(0L)) / count(lit(1)))
+          .as("cdf_hi"))
+      .withColumn("tol", lit(4.0) / $"n" + lit(0.03))
+      .filter(abs($"cdf_lo" - 0.10) > $"tol" || abs($"cdf_hi" - 0.90) > $"tol")
+    assert(err.count() === 0, s"bounds outside rank-error tolerance")
+    // the 100 TB claim: the plan has NO window (rank/ntile) operator —
+    // bounds come from an aggregate + broadcast join
+    val plan = w.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in approx plan:\n$plan")
+    w.unpersist()
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles splits; " +
       "singletons match plain hashSplit") {
     val docs = Tables(spark, sf001, "documents")

@@ -43,7 +43,10 @@ object RangeJoin {
 
     def asLong(df: DataFrame, name: String): Column =
       df.schema(name).dataType match {
-        case TimestampType | TimestampNTZType => unix_timestamp(col(name))
+        // cast first: unix_timestamp (like unix_micros) rejects NTZ
+        // input; the cast is a no-op on an already-instant column
+        case TimestampType | TimestampNTZType =>
+          unix_timestamp(col(name).cast(TimestampType))
         case _                                => col(name).cast("long")
       }
     def bin(df: DataFrame, name: String): Column =

@@ -38,7 +38,7 @@ class SourceReader(spark: SparkSession, baseDir: String,
     // parquet TIMESTAMP(NANOS) columns: read as raw nanos, truncate to
     // micros at ingest (Spark's timestamp precision) — see Tables.read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.Tables.normalizeNanos(
+    graft.Tables.normalize(
       spark.read.options(readOptions).format(format).load(path))
   }
 

@@ -60,10 +60,12 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("prev_us",
+        lag(graft.functions.TimeFunctions.epochMicros(col("ts")), 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          graft.functions.TimeFunctions.epochMicros(col("ts")) -
+            col("prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
@@ -219,7 +221,7 @@ object EventStreams {
   def readStreamEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    graft.Tables.normalizeNanos(
+    graft.Tables.normalize(
       spark.readStream.schema(schema).parquet(path))
   }
 }

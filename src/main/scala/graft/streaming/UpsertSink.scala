@@ -91,7 +91,7 @@ object UpsertSink {
       deletedCol: Option[String] = None): DataFrame =
     batch.select(col(keyCol).cast("long").as("k"),
         col(valueCol).cast("double").as("v"),
-        unix_micros(col(tsCol)).as("last_us"),
+        graft.functions.TimeFunctions.epochMicros(col(tsCol)).as("last_us"),
         col(tieCol).cast("long").as("tie"),
         deletedCol.map(d => coalesce(col(d).cast("boolean"), lit(false)))
           .getOrElse(lit(false)).as("deleted"))
@@ -146,7 +146,7 @@ object UpsertSink {
       deletedCol: Option[String] = None): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
     val schema = graft.Tables.read(spark, srcDir).schema
-    val stream = graft.Tables.normalizeNanos(
+    val stream = graft.Tables.normalize(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir))
     val q = stream.writeStream

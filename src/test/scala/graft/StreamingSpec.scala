@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{lit, max, pmod, unix_micros}
+import org.apache.spark.sql.functions.{expr, lit, max, pmod, timestamp_micros, unix_micros}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{EventStreams, UpsertSink}
@@ -151,11 +151,20 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf001/events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
     val maxUs = batchEvents.select(max(unix_micros($"ts"))).head().getLong(0)
+    // the flush file's ts must carry the SAME physical type as the copied
+    // generator file (raw Long nanos / NTZ micros / instant micros have
+    // all appeared across testdata regenerations) — a FileStreamSource
+    // reads every file with one schema and faults on mismatch
+    val srcTsType = Tables.read(spark, s"$d/events.parquet").schema("ts").dataType
     def writeFlush(name: String, uid: Long, ns: Long): Unit = {
       val tmp = tmpDir(s"flush-$name")
       Seq((9000000L - uid, ns, uid, "click", 0.0, "{}"),
         (9100000L - uid, ns, uid - 1, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", srcTsType match {
+          case org.apache.spark.sql.types.LongType => $"ts"
+          case t => timestamp_micros(expr("ts div 1000")).cast(t)
+        })
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -167,7 +176,7 @@ class StreamingSpec extends SparkSpec {
     writeFlush("z_flush2", -3L, (maxUs + 20 * day) * 1000L)
 
     val schema = Tables.read(spark, s"$d/events.parquet").schema
-    val stream = Tables.normalizeNanos(
+    val stream = Tables.normalize(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(d))
     val joined = EventStreams.attributePurchasesLeft(stream)

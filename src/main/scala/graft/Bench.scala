@@ -102,5 +102,9 @@ object Bench {
     // line-anchored extraction), and parses standalone.
     println(s"""{"metric":"total","line":"summary","value":${fmt(total)},"unit":"sec","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${ordered.size},"n_timed":${timed.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
+    // a bench with crashed queries is not a clean baseline: totals cover
+    // only the surviving queries, so cross-round comparison on them is
+    // skewed — exit nonzero so the round's rc records the failure
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

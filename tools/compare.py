@@ -110,6 +110,14 @@ def main():
         # progress to stderr: the all-pairs / recursive-CTE oracles run
         # for many minutes at sf0.1 — without this the tool looks hung
         print(f"[compare] {name}", file=sys.stderr, flush=True)
+        # Verify writes a one-column marker frame when the query itself
+        # crashed — report it as an explicit run failure, never a pass
+        cols = pq.read_schema(files[0]).names if files else []
+        if cols == ["__run_failed"]:
+            msg = pandas_rows(files)[0][0][0]
+            results[name] = {"status": "run_failed", "err": "run_failed",
+                             "error": str(msg)[:300], "ok": False}
+            continue
         if name not in oracle:
             n = con.execute(
                 "SELECT count(*) FROM read_parquet([" +

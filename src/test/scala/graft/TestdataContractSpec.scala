@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Guards against GENERATOR DRIFT: the driver regenerates the testdata
+  * parquet between rounds and has already changed physical types twice
+  * (events.ts: TIMESTAMP(NANOS) → TIMESTAMP_NTZ micros). Every other
+  * spec builds its frames in-memory with the types it expects, so a
+  * drifted file schema sails through the suite and only explodes in the
+  * driver's correctness gate — round 7 lost five queries that way.
+  *
+  * Three layers, cheapest first:
+  *   1. the normalized-table contract (Tables() output types);
+  *   2. ANALYSIS of every registered query against the real files —
+  *      resolution/datatype errors (the entire round-7 failure class)
+  *      surface here without executing anything;
+  *   3. full execution of the five queries round 7 actually lost.
+  */
+class TestdataContractSpec extends SparkSpec {
+
+  test("Tables() normalizes events.ts to instant TimestampType") {
+    val schema = Tables(spark, sf001, "events").schema
+    assert(schema("ts").dataType == TimestampType,
+      s"events.ts must normalize to TimestampType, got ${schema("ts").dataType}")
+    assert(schema("event_id").dataType == LongType)
+    assert(schema("user_id").dataType == LongType)
+    assert(schema("event_type").dataType == StringType)
+    assert(schema("value").dataType == DoubleType)
+  }
+
+  test("Tables() leaves no TIMESTAMP_NTZ or raw-nanos column in any table") {
+    Tables.names.foreach { t =>
+      val schema = Tables(spark, sf001, t).schema
+      val ntz = schema.fields.filter(_.dataType == TimestampNTZType)
+      assert(ntz.isEmpty,
+        s"$t still carries NTZ columns after normalize: ${ntz.map(_.name).mkString(",")}")
+      assert(!(t == "events" && schema("ts").dataType == LongType),
+        "events.ts left as raw nanos Long")
+    }
+  }
+
+  test("documents/embeddings carry the pipeline-operator contract columns") {
+    val d = Tables(spark, sf001, "documents").schema
+    Seq("doc_id", "text", "lang", "source").foreach(c => assert(
+      d.fieldNames.contains(c), s"documents missing $c"))
+    val e = Tables(spark, sf001, "embeddings").schema
+    assert(e.fieldNames.contains("embedding"))
+    assert(e("embedding").dataType.isInstanceOf[ArrayType],
+      s"embedding must be an array column, got ${e("embedding").dataType}")
+  }
+
+  test("every registered query ANALYZES against the real testdata schema") {
+    // .schema forces analysis (resolution + type checking) without
+    // running a job — exactly where unguarded unix_micros-on-NTZ died
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf001).schema; None }
+      catch { case e: Throwable =>
+        Some(name -> String.valueOf(e.getMessage).linesIterator.next()) }
+    }
+    assert(bad.isEmpty, s"queries failing analysis on real testdata:\n  " +
+      bad.map { case (n, m) => s"$n: $m" }.mkString("\n  "))
+  }
+
+  test("the round-7 casualties execute end-to-end on the real files") {
+    Seq("mig_compact", "mig_scd2", "q_gapfill", "stream_sessions",
+        "stream_upsert").foreach { name =>
+      val n = SparkEntry.queries(name)(spark, sf001).count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+}

@@ -448,10 +448,15 @@ object CoreQueries {
 
     // TPC-H Q22 shape: global scalar subquery (avg balance of positive
     // accounts) broadcast into a filter, then an anti-join against
-    // orders — "rich customers who never bought". The scalar is a 1-row
-    // aggregate kept IN the plan (broadcast nested loop), never a
-    // driver-side collect; avg = decimal-exact sum / count in ONE
-    // double division, bit-exact cross-engine.
+    // orders — "rich customers with no big-ticket order". The scalar is
+    // a 1-row aggregate kept IN the plan (broadcast nested loop), never
+    // a driver-side collect; avg = decimal-exact sum / count in ONE
+    // double division, bit-exact cross-engine. The anti-join side is
+    // pre-filtered (o_totalprice > 400k) BELOW the join: the original
+    // "never bought at all" predicate is empty at every gate SF on this
+    // generator (every customer orders), which made the gate trivially
+    // true — 400k keeps the result non-empty from sf0.001 up while
+    // shrinking the anti build side ~10×.
     "q22_idle_rich" -> { (s, dir) =>
       import s.implicits._
       val c = Tables(s, dir, "customer")
@@ -459,7 +464,7 @@ object CoreQueries {
         .agg((decSum($"c_acctbal") / count(lit(1))).as("avg_bal"))
       c.crossJoin(broadcast(avgBal))
         .filter($"c_acctbal" > $"avg_bal")
-        .join(Tables(s, dir, "orders"),
+        .join(Tables(s, dir, "orders").filter($"o_totalprice" > 400000),
           $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"), decSum($"c_acctbal").as("sum_bal"))
@@ -869,7 +874,8 @@ object CoreQueries {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer, a
         |WHERE c_acctbal > a.avg_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_median" ->

@@ -120,10 +120,15 @@ object CoreQueries {
     },
 
     // Semi/anti join: customers with no orders.
+    // anti-join against orders above a price floor: "never bought at
+    // all" is EMPTY at every SF on this generator (each customer has
+    // orders), which made the gate trivially true; 420k yields a
+    // non-empty, scale-stable complement (32/291/3040 rows at
+    // sf0.001/0.01/0.1) and the filter pushes below the join.
     "q_anti_join" -> { (s, dir) =>
       import s.implicits._
       val cust = Tables(s, dir, "customer")
-      val ord = Tables(s, dir, "orders")
+      val ord = Tables(s, dir, "orders").filter($"o_totalprice" > 420000)
       cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
     },
@@ -658,7 +663,8 @@ object CoreQueries {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 420000)""".stripMargin,
 
     "q5_join" ->
       """SELECT n_name,

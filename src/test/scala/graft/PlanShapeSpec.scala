@@ -80,4 +80,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"cell self-join degraded to a product plan:\n$plan")
   }
+
+  test("change-log compaction family: ONE exchange end to end " +
+      "(the single-shuffle contract the operator docs promise)") {
+    // latestSnapshot / compactBatch are map-side-combinable hash aggs:
+    // exactly one key exchange may appear. A second exchange means the
+    // partial agg stopped combining (e.g. a non-deterministic column
+    // crept into the grouping, or a window replaced the max_by).
+    for (q <- Seq("mig_compact")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf001))
+      val exchanges = "Exchange (hash|range)partitioning".r
+        .findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$q: expected exactly 1 shuffle, found $exchanges:\n$plan")
+      assert(plan.contains("partial_max_by") || plan.contains("partial"),
+        s"$q: map-side partial aggregation missing:\n$plan")
+    }
+    // scd2 adds the key-partitioned history windows on TOP of the
+    // candidate agg, but they all reuse the one key partitioning: no
+    // extra exchange beyond the first.
+    val scd2 = finalPlan(SparkEntry.queries("mig_scd2")(spark, sf001))
+    val scd2Ex = "Exchange (hash|range)partitioning".r
+      .findAllIn(scd2).size
+    assert(scd2Ex <= 2,
+      s"mig_scd2: expected <=2 shuffles (agg + window sort), found $scd2Ex:\n$scd2")
+  }
 }

@@ -64,10 +64,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // NaN (= failed) excluded from the cold total: failure time is not
-    // a measurement
-    val cold = ordered.map { case (name, fn) => once(name, fn) }
-      .filterNot(_.isNaN).sum
+    val coldByQuery = ordered.map { case (name, fn) => name -> once(name, fn) }
     // two timed passes, min per query: host-level noise on this VM swings
     // single measurements ±30%; min-of-2 is the standard damping.
     // min(x, NaN) = NaN, so a failure in either pass marks the query.
@@ -75,6 +72,12 @@ object Bench {
       name -> math.min(once(name, fn), once(name, fn))
     }
     val timed = results.filter { case (n, v) => !v.isNaN && !failed(n) }
+    // cold total over the SAME query set as the warm total: a query that
+    // failed any pass is excluded from BOTH (computed after the warm
+    // passes so late failures drop their cold time too) — asymmetric
+    // sets would skew every cold-vs-warm and cross-round comparison
+    val cold = coldByQuery
+      .filter { case (n, v) => !v.isNaN && !failed(n) }.map(_._2).sum
 
     // ms precision: the full-Double rendering of 80+ queries pushed the
     // JSON line past the driver's output tail buffer (BENCH_r03 captured

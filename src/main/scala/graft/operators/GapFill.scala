@@ -49,7 +49,7 @@ object GapFill {
     require(stepSeconds > 0, "stepSeconds must be positive")
     val stepUs = stepSeconds * 1000000L
 
-    val us = graft.functions.TimeFunctions.epochMicros(col(tsCol))
+    val us = graft.functions.TimeFunctions.epochMicros(obs, tsCol)
     val slotted = obs.select(col(keyCol).as("k"),
       (us - pmod(us, lit(stepUs))).as("slot_us"),
       col(tsCol).as("__ts"), col(valueCol).as("__v"), col(tieCol).as("__tie"))

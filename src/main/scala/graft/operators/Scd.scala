@@ -41,7 +41,7 @@ object Scd {
   def latestSnapshot(log: DataFrame, keyCol: String, tsCol: String,
       attrCol: String, tieCol: String): DataFrame =
     log.select(col(keyCol).as("k"),
-        graft.functions.TimeFunctions.epochMicros(col(tsCol)).as("vf"),
+        graft.functions.TimeFunctions.epochMicros(log, tsCol).as("vf"),
         col(attrCol).as("attr"), col(tieCol).as("tie"))
       .groupBy(col("k"))
       .agg(max_by(col("attr"), struct(col("vf"), col("tie"))).as("attr"),
@@ -145,7 +145,7 @@ object Scd {
   def scd2FromChangeLog(log: DataFrame, keyCol: String, tsCol: String,
       attrCol: String, tieCol: String): DataFrame = {
     val base = log.select(col(keyCol).as("k"),
-      graft.functions.TimeFunctions.epochMicros(col(tsCol)).as("vf"),
+      graft.functions.TimeFunctions.epochMicros(log, tsCol).as("vf"),
       col(attrCol).as("attr"), col(tieCol).as("tie"))
     // one candidate per (key, ts): latest writer wins. max_by instead
     // of a row_number window — it partial-aggregates map-side and, as

@@ -70,8 +70,20 @@ class Migrator(source: Source, sink: Sink) {
         // can't (Derby has no table COMMENT). No comment supplied →
         // the existing description survives the data overwrite,
         // matching TRUNCATE/WRITE_TRUNCATE semantics.
+        // best-effort BY DESIGN: the destination was just truncated, and
+        // a thrown ALTER failure here (missing ALTER privilege, metadata
+        // lock) would abort the run BETWEEN truncate and load, leaving
+        // the table empty — a cosmetic update must never do that
         spec.tableComment.filter(_.nonEmpty).foreach { cmt =>
-          if (!sink.setTableComment(spec.destTable, cmt))
+          val applied =
+            try sink.setTableComment(spec.destTable, cmt)
+            catch { case e: Exception =>
+              System.err.println(s"[migrate] WARNING: updating the " +
+                s"table comment on ${spec.destTable} failed " +
+                s"(${e.getMessage}); continuing with the data load")
+              true // failure already reported; skip the can't-alter warning
+            }
+          if (!applied)
             System.err.println(s"[migrate] WARNING: destination " +
               s"${spec.destTable} exists and the backend cannot alter " +
               "table comments; the supplied table_comment was NOT applied")

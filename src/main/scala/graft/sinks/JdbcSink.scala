@@ -190,11 +190,34 @@ class JdbcSink(url: String, props: Properties = new Properties(),
     // are case-sensitive and unquoted DDL identifiers are stored
     // case-folded (Derby/most: upper), so probe as-given then folded.
     withConn { c =>
-      def probe(sc: String, tn: String): Option[String] = {
-        val rs = c.getMetaData.getTables(null, sc, tn, Array("TABLE"))
+      val md = c.getMetaData
+      // getTables arguments are LIKE patterns: '_'/'%' in a real table
+      // name (nearly every name here has '_') must be escaped or
+      // "my_table" also matches "myatable" — and JDBC row order could
+      // put the impostor first
+      val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+        .getOrElse("\\")
+      def asLiteral(p: String): String = p.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      // Some(remarksOpt) = a table with EXACTLY this casing exists
+      // (remarksOpt None when it has no/empty comment); None = absent.
+      // The distinction stops the case-folded fallthrough from running
+      // when the as-given table exists but is merely uncommented —
+      // on a case-sensitive backend the folded probe could hit a
+      // DIFFERENT table. Rows are scanned for an exact name match as a
+      // second guard for drivers that ignore the escape clause.
+      def probe(sc: String, tn: String): Option[Option[String]] = {
+        val rs = md.getTables(null,
+          Option(sc).map(asLiteral).orNull, asLiteral(tn), Array("TABLE"))
         try {
-          if (rs.next()) Option(rs.getString("REMARKS")).filter(_.nonEmpty)
-          else None
+          var hit: Option[Option[String]] = None
+          while (rs.next() && hit.isEmpty) {
+            val schemaOk = sc == null ||
+              Option(rs.getString("TABLE_SCHEM")).contains(sc)
+            if (rs.getString("TABLE_NAME") == tn && schemaOk)
+              hit = Some(Option(rs.getString("REMARKS")).filter(_.nonEmpty))
+          }
+          hit
         } finally rs.close()
       }
       val candidates = Seq(
@@ -202,7 +225,7 @@ class JdbcSink(url: String, props: Properties = new Properties(),
         (ns.map(_.toUpperCase).orNull, name.toUpperCase),
         (ns.map(_.toLowerCase).orNull, name.toLowerCase))
       candidates.distinct.view.flatMap { case (sc, tn) => probe(sc, tn) }
-        .headOption
+        .headOption.flatten
     }
   }
 

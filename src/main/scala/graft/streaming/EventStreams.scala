@@ -61,10 +61,10 @@ object EventStreams {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
       .withColumn("prev_us",
-        lag(graft.functions.TimeFunctions.epochMicros(col("ts")), 1).over(w))
+        lag(graft.functions.TimeFunctions.epochMicros(events, "ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
-          graft.functions.TimeFunctions.epochMicros(col("ts")) -
+          graft.functions.TimeFunctions.epochMicros(events, "ts") -
             col("prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .groupBy("user_id")

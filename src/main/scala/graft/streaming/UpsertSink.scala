@@ -91,7 +91,7 @@ object UpsertSink {
       deletedCol: Option[String] = None): DataFrame =
     batch.select(col(keyCol).cast("long").as("k"),
         col(valueCol).cast("double").as("v"),
-        graft.functions.TimeFunctions.epochMicros(col(tsCol)).as("last_us"),
+        graft.functions.TimeFunctions.epochMicros(batch, tsCol).as("last_us"),
         col(tieCol).cast("long").as("tie"),
         deletedCol.map(d => coalesce(col(d).cast("boolean"), lit(false)))
           .getOrElse(lit(false)).as("deleted"))

@@ -24,11 +24,20 @@ class PlanShapeSpec extends SparkSpec {
   private lazy val embeddings = Tables(spark, sf001, "embeddings")
 
   private def finalPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    (df.queryExecution.executedPlan match {
+    // collect() executes THIS Dataset's own QueryExecution — a noop
+    // write would plan and run a SEPARATE QueryExecution, leaving
+    // df.queryExecution's AdaptiveSparkPlanExec at its never-executed
+    // INITIAL plan and the asserts blind to AQE's runtime rewrites
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p                        => p
-    }).toString
+    }
+    assert(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.isFinalPlan
+      case _                        => true
+    }, "adaptive plan did not finalize — asserts would read the initial plan")
+    plan.toString
   }
 
   test("TPC-H join gates: dims broadcast, no sort-merge or nested-loop " +

@@ -61,6 +61,24 @@ class TestdataContractSpec extends SparkSpec {
       bad.map { case (n, m) => s"$n: $m" }.mkString("\n  "))
   }
 
+  test("sim_topk_pq oracle premise: rerank (2000) still covers the corpus") {
+    // the PQ gate is a true oracle ONLY because its exact rerank
+    // re-scores every candidate (rerank >= corpus ⇒ trained codebook
+    // cannot affect the output). The generator has already drifted row
+    // counts between rounds; if embeddings ever exceeds the gate's
+    // rerank=2000 at a gate SF, the premise silently dies and oracle
+    // mismatches would be misread as a code regression.
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val n = Tables(spark, dir, "embeddings").count()
+        assert(n <= 2000L,
+          s"$sf embeddings has $n rows > sim_topk_pq rerank=2000 — " +
+            "raise the gate's rerank to keep the exact-rerank oracle premise")
+      }
+    }
+  }
+
   test("the round-7 casualties execute end-to-end on the real files") {
     Seq("mig_compact", "mig_scd2", "q_gapfill", "stream_sessions",
         "stream_upsert").foreach { name =>

@@ -177,14 +177,19 @@ object PipelineQueries {
     },
 
     "dedup_embed_pairs" -> { (s, dir) =>
-      // exact cosine near-dup pairs (brute force, ids only — scores are
-      // engine-float-sensitive; membership at 0.4 is not)
+      // PRODUCTION banded Rademacher sign-LSH near-dup pairs (ids only —
+      // scores are engine-float-sensitive; membership at 0.4 is not).
+      // The banding is exact-integer arithmetic (VectorExprs.rademacherSig:
+      // round(x*1e7) quantization, md5-bit ±1 signs, band seed =
+      // 42 + band*7919), so the DuckDB oracle re-derives the IDENTICAL
+      // candidate set — the approximate index output is fully
+      // hash-checked, not just recall-bounded. The brute-force
+      // definition (Dedup.exactCosinePairs) stays spec-side as the
+      // recall baseline (PipelineSpec).
       import s.implicits._
-      val e = Tables(s, dir, "embeddings")
-      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
-      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
-      a.crossJoin(b).filter($"id_a" < $"id_b")
-        .filter(graft.functions.VectorFunctions.cosineSim($"va", $"vb") >= 0.4)
+      Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 64, threshold = 0.4,
+          bands = 16, planesPerBand = 6, seed = 42L)
         .select($"id_a", $"id_b")
     },
 
@@ -994,11 +999,43 @@ object PipelineQueries {
         |  CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
         |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id""".stripMargin,
 
+    // Re-derives the banded Rademacher LSH exactly as the Spark side
+    // does (Dedup.embeddingNearDupPairs): 16 bands × 6 planes, band
+    // seed 42+band*7919, ±1 signs from bit 0 of
+    // md5(seed||':'||plane||':'||dim), components quantized to
+    // round(x*1e7) BIGINTs, 6 exact-integer plane dots → a 6-bit band
+    // signature; candidates = any-band signature equality; then exact
+    // cosine ≥ 0.4 over candidates ONLY (pairs every band splits are
+    // absent — the point of gating the index, not the brute force).
     "dedup_embed_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+      """WITH signs AS (
+        |  SELECT b.i AS band, p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5((42 + b.i*7919)||':'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(16) b(i), range(6) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.band, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.band, s.p),
+        |sigs AS (
+        |  SELECT vec_id, band,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.id_a
+        |JOIN embeddings eb ON eb.vec_id = c.id_b
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4""".stripMargin,
 
     // Re-derives the deterministic SemDeDup cells exactly as the Spark
     // side does (semanticPairsSig): ±1 signs from bit 0 of

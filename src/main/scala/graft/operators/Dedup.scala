@@ -385,6 +385,24 @@ object Dedup {
       .union(roots)
   }
 
+  /** EXACT cosine near-dup pairs by brute force — the all-pairs
+    * definition the LSH/clustered operators approximate. A cartesian
+    * product: O(n²) cosines, usable only for small corpora, spec
+    * baselines (recall assertions against [[embeddingNearDupPairs]] /
+    * [[semanticPairs]]), and oracle construction. At scale use
+    * [[embeddingNearDupPairs]] (banded LSH, equi-join candidates).
+    * Returns (id_a, id_b, cosine), id_a < id_b, cosine ≥ threshold.
+    */
+  def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSim(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: BANDED sign-projection LSH (like minhash
     * banding — `bands` independent signatures of `planesPerBand` planes;
     * a pair is a candidate if ANY band matches, so recall is

@@ -83,20 +83,40 @@ class PipelineSpec extends SparkSpec {
     assert(a == b && a.distinct.size > 1)
   }
 
+  // the brute-force all-pairs definition every approximate operator is
+  // judged against (the gate itself runs the banded LSH operator since
+  // round 9 — the spec keeps the exact baseline alive here)
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.exactCosinePairs(embeddings, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("embedding near-dup pairs: LSH subset of exact, cosine verified") {
-    val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDupPairs(embeddings, "vec_id", "embedding",
       dims = 64, threshold = 0.4, bands = 4, planesPerBand = 6)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact)) // verification kills false positives
+    assert(lsh.subsetOf(exactPairs)) // verification kills false positives
+  }
+
+  test("embedding near-dup GATE config (16 bands × 6 planes): subset of " +
+      "exact, deterministic, useful recall at the gate threshold") {
+    def run() = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = run()
+    assert(gate.subsetOf(exactPairs)) // cosine verify kills false positives
+    assert(run() === gate)            // md5-derived banding ⇒ bit-stable
+    // this corpus's pairs sit at cosine 0.40-0.51 (no high-sim dups), the
+    // hardest regime for sign-LSH; 16 bands still recover the majority.
+    // A recall collapse here means the banding construction drifted.
+    assert(gate.size.toDouble / exactPairs.size >= 0.5,
+      s"banded recall ${gate.size.toDouble / exactPairs.size} < 0.5 " +
+        s"(${gate.size}/${exactPairs.size})")
   }
 
   test("semantic (SemDeDup) pairs: subset of exact, nlist=1 degenerates " +
       "to brute force, deterministic, useful recall") {
-    val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs
     def run(nlist: Int) = Dedup.semanticPairs(
         embeddings, "vec_id", "embedding", threshold = 0.4, nlist = nlist)
       .select("id_a", "id_b").collect()
@@ -113,8 +133,7 @@ class PipelineSpec extends SparkSpec {
 
   test("semantic pairs, deterministic sign quantizer: subset of exact, " +
       "deterministic, numPlanes=0 degenerates to brute force") {
-    val exact = PipelineQueries.all("dedup_embed_pairs")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs
     def run(planes: Int) = Dedup.semanticPairsSig(
         embeddings, "vec_id", "embedding", dims = 64, threshold = 0.4,
         numPlanes = planes)

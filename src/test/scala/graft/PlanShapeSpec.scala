@@ -80,6 +80,19 @@ class PlanShapeSpec extends SparkSpec {
       s"band self-join degraded to a product plan:\n$plan")
   }
 
+  test("embed-dedup GATE (dedup_embed_pairs): the measured plan is a " +
+      "band equi-join — no cartesian product anywhere in the suite") {
+    // round-8 verdict: the gate used to run the brute-force crossJoin
+    // (the suite's ONLY cartesian product). It now runs the banded LSH
+    // operator; this pins that — a fallback to the product plan would
+    // pass correctness (the oracle replicates whatever banding computes)
+    // while silently reverting the 100TB path.
+    val plan = finalPlan(SparkEntry.queries("dedup_embed_pairs")(spark, sf001))
+    assert(plan.contains("Join"), s"expected a band self-join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"gate degraded to a product plan:\n$plan")
+  }
+
   test("semantic dedup (sign quantizer): cell self-join stays an " +
       "equi-join on cell, never a product") {
     val df = Dedup.semanticPairsSig(embeddings, "vec_id", "embedding",

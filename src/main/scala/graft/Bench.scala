@@ -23,6 +23,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // 64m: the ~15MB ngram prefix self-join sits at the default 10MB
       // AQE broadcast edge and flaps between broadcast and SMJ plans
@@ -95,6 +96,24 @@ object Bench {
     // that scans head-first; totals on both are identical and cover
     // successfully-timed queries ONLY.
     println(s"""{"metric":"total","line":"detail","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total_sec":${fmt(cold)}$failedJson,"sf":"$sfDir"}""")
+    // per-query timings as a FILE artifact: the driver's stdout capture
+    // keeps only the output tail, and at 109 queries the detail line
+    // above overflows it head-first — round 8 lost 30 of 109 per-query
+    // numbers that way. A file survives intact regardless of stdout
+    // buffering; tools/bench_diff.py compares two of these across rounds.
+    val coldMap = coldByQuery.toMap
+    val perQuery = ordered.map { case (name, _) =>
+      val warm = results.toMap.getOrElse(name, Double.NaN)
+      val c = coldMap.getOrElse(name, Double.NaN)
+      def jv(v: Double) = if (v.isNaN) "null" else fmt(v)
+      s""""$name":{"warm":${jv(warm)},"cold":${jv(c)}}"""
+    }.mkString("{", ",", "}")
+    val artifact =
+      s"""{"sf":"$sfDir","warm_total_sec":${fmt(total)},"cold_total_sec":${fmt(cold)},"n_queries":${ordered.size},"n_timed":${timed.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$perQuery}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), artifact)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     // compact totals-only line LAST: the driver's capture keeps the
     // TAIL of the output, and the full per-query line above (~2.5KB at
     // 109 queries) has overflowed that buffer head-first two rounds

@@ -19,13 +19,18 @@ object Tables {
     normalize(read(spark, s"$sfDir/$name.parquet"))
 
   /** events.ts was once parquet TIMESTAMP(NANOS), which Spark 4 cannot
-    * read as a timestamp. Read it as raw nanos (legacy conf); normalize()
-    * truncates to micros.
+    * read as a timestamp. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` AT BUILD TIME (all
+    * entry points — Verify/Bench/ExplainAudit/cli.Main/SparkSpec — do);
+    * the raw-nanos Long that read produces is truncated to micros by
+    * normalize(). The conf is deliberately NOT set here: a reader
+    * mutating session conf is a global side effect hiding in a helper,
+    * and if a future generator re-emits NANOS into a session without
+    * the conf, Spark's own "Illegal Parquet type" error is loud and
+    * TestdataContractSpec fails the suite.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-  }
 
   /** Two generator drifts handled:
     *   - `ts` as raw Long nanos (legacy nanosAsLong read) → truncate to

@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // 64m: the ~15MB ngram prefix self-join sits at the default 10MB
       // AQE broadcast edge and flaps between broadcast and SMJ plans
       // (measured 2.6s vs 10s run-to-run); plenty of driver room here
@@ -30,8 +31,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failures += name -> String.valueOf(e.getMessage)
+        // e.toString, not getMessage: NPEs and task-wrapped analysis
+        // errors often carry a null/empty message — the class name is
+        // the diagnostic signal then ("RUN_FAILED: null" tells nothing)
+        val desc = e.toString.take(300)
+        System.err.println(s"[verify] $name failed: $desc")
+        failures += name -> desc
         // a query that fails to RUN must still fail the gate VISIBLY:
         // round 7 lost 5 queries to a schema drift and the correctness
         // report silently read all-green because absent output dirs
@@ -39,10 +44,16 @@ object Verify {
         // of the result — it can never match any oracle, so the compare
         // reports an explicit mismatch instead of dropping the query.
         import spark.implicits._
-        try Seq(("RUN_FAILED: " + String.valueOf(e.getMessage).take(300)))
+        try Seq(("RUN_FAILED: " + desc))
           .toDF("__run_failed").coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case _: Throwable => () }
+        catch { case e2: Throwable =>
+          // don't swallow the secondary failure: if even the marker
+          // write dies, run_errors.json is the only remaining trace —
+          // say so loudly in the log
+          System.err.println(
+            s"[verify] $name: marker frame write ALSO failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -220,7 +220,20 @@ class JdbcSink(url: String, props: Properties = new Properties(),
           hit
         } finally rs.close()
       }
-      val candidates = Seq(
+      // Unqualified names resolve against the CONNECTION'S current
+      // schema first (Connection.getSchema; drivers may not support it
+      // — treat a throw as unknown), falling back to any-schema only if
+      // the default schema has no match. Without this, schemaOk is
+      // vacuously true for ns=None and a same-named table in ANY schema
+      // can win by JDBC driver row order.
+      val defSchema: Option[String] =
+        if (ns.isDefined) None
+        else try Option(c.getSchema).filter(_.nonEmpty)
+        catch { case _: Throwable => None }
+      val preferred = defSchema.toSeq.flatMap(ds => Seq(
+        (ds, name), (ds.toUpperCase, name.toUpperCase),
+        (ds.toLowerCase, name.toLowerCase)))
+      val candidates = preferred ++ Seq(
         (ns.orNull, name),
         (ns.map(_.toUpperCase).orNull, name.toUpperCase),
         (ns.map(_.toLowerCase).orNull, name.toLowerCase))

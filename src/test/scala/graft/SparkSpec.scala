@@ -10,6 +10,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata contract: events.ts has drifted to TIMESTAMP(NANOS) in
+    // past rounds; set at build time so Tables.read never mutates conf
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -29,11 +29,23 @@ class TestdataContractSpec extends SparkSpec {
   }
 
   test("Tables() leaves no TIMESTAMP_NTZ or raw-nanos column in any table") {
+    // recursive: normalize() casts only TOP-LEVEL NTZ fields; if the
+    // generator ever nests a timestamp inside a struct/array/map, the
+    // unguarded unix_micros failure class the seam closes would re-open
+    // silently — fail the suite loudly here instead
+    def containsNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType    => true
+      case s: StructType       => s.fields.exists(f => containsNtz(f.dataType))
+      case a: ArrayType        => containsNtz(a.elementType)
+      case m: MapType          => containsNtz(m.keyType) || containsNtz(m.valueType)
+      case _                   => false
+    }
     Tables.names.foreach { t =>
       val schema = Tables(spark, sf001, t).schema
-      val ntz = schema.fields.filter(_.dataType == TimestampNTZType)
+      val ntz = schema.fields.filter(f => containsNtz(f.dataType))
       assert(ntz.isEmpty,
-        s"$t still carries NTZ columns after normalize: ${ntz.map(_.name).mkString(",")}")
+        s"$t carries NTZ (possibly nested) after normalize: " +
+          ntz.map(_.name).mkString(","))
       assert(!(t == "events" && schema("ts").dataType == LongType),
         "events.ts left as raw nanos Long")
     }

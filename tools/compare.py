@@ -102,6 +102,23 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    # run_errors.json is Verify's machine-readable failure sidecar: if a
+    # query died so early that not even its marker-frame directory exists
+    # (session-level failure), it would be absent from os.listdir and
+    # silently vanish from this report — the round-7 failure mode. Seed
+    # an explicit run_failed entry for every listed query up front; a
+    # successful marker/output dir below overwrites it with the real row.
+    run_errors = {}
+    re_path = os.path.join(out_dir, "run_errors.json")
+    if os.path.exists(re_path):
+        try:
+            run_errors = json.load(open(re_path))
+        except Exception as e:
+            print(f"[compare] unreadable run_errors.json: {e}",
+                  file=sys.stderr, flush=True)
+    for q, err in run_errors.items():
+        results[q] = {"status": "run_failed", "err": "run_failed",
+                      "error": str(err)[:300], "ok": False}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -110,9 +127,18 @@ def main():
         # progress to stderr: the all-pairs / recursive-CTE oracles run
         # for many minutes at sf0.1 — without this the tool looks hung
         print(f"[compare] {name}", file=sys.stderr, flush=True)
+        # an output dir with NO parquet at all means the query failed AND
+        # the marker write failed too — report it, don't fall through to
+        # the oracle paths (read_parquet([]) would abort the whole run)
+        if not files:
+            results[name] = {"status": "run_failed", "err": "run_failed",
+                             "error": "output dir exists but contains no "
+                                      "parquet (marker write also failed)",
+                             "ok": False}
+            continue
         # Verify writes a one-column marker frame when the query itself
         # crashed — report it as an explicit run failure, never a pass
-        cols = pq.read_schema(files[0]).names if files else []
+        cols = pq.read_schema(files[0]).names
         if cols == ["__run_failed"]:
             msg = pandas_rows(files)[0][0][0]
             results[name] = {"status": "run_failed", "err": "run_failed",
@@ -163,6 +189,13 @@ def main():
             if lm != lo and schema_ok and rows_ok:
                 diffs = [(a, b) for a, b in zip(lm, lo) if a != b][:3]
                 results[name][f"first_diffs_{tag}"] = diffs
+    # any oracle-registered query with neither an output dir nor a
+    # run_errors entry is MISSING — absent is never a pass
+    for q in oracle:
+        if q not in results:
+            results[q] = {"status": "missing_output", "err": "missing",
+                          "error": "oracle-registered query has no output "
+                                   "dir and no run_errors entry", "ok": False}
     ok = all(r.get("hash") or r.get("ok") for r in results.values())
     print(json.dumps(results, indent=1, default=str))
     bad = [k for k, r in results.items()

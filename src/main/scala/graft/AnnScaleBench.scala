@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scaling-decade measurement for the similarity/ANN family
+  * (BASELINE.md §ANN decade). Runs each operator against the
+  * `embeddings` table in the given dir — the driver's sf0.1 or a
+  * ReplicaGen N× replica — one cold pass then min-of-2 warm, noop sink
+  * (Bench methodology), one JSON line per config.
+  *
+  * Two configs per index family where they differ:
+  *  - `fixed`: the gate-SF parameters, unchanged across decades — shows
+  *    what happens when an index tuned for 2k vectors meets 100×.
+  *  - `scaled`: selectivity knobs grown with log2(n) / sqrt(n) so
+  *    per-bucket / per-cell occupancy stays constant — the production
+  *    tuning rule, and the configuration whose wall-clock the decade
+  *    table's sublinearity claim is about. For sign-LSH the knob is
+  *    planes-per-band (expected bucket occupancy n/2^planes); for IVF
+  *    it is nlist (per-cell occupancy n/nlist, probed fraction
+  *    nprobe/nlist).
+  *
+  * The banded near-dup FIXED config is skipped above 50k vectors: with
+  * 6 planes per band the expected candidate mass is 16 bands x
+  * n^2/2^7 pairs — ~5e9 at 200k, a deliberate demonstration that the
+  * planes knob is what keeps the operator anti-quadratic, not a path
+  * anyone would ship.
+  *
+  * Usage: AnnScaleBench <dir> [label]
+  */
+object AnnScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else dir
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        String.valueOf(64L * 1024 * 1024))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val e = Tables(spark, dir, "embeddings")
+    val n = e.count()
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    // occupancy-preserving plane count: expected bucket size n / 2^p
+    // held at ~30 vectors (the gate-SF occupancy that motivated 6/8)
+    def scaledPlanes(target: Double): Int =
+      math.max(6, math.ceil(math.log(n / target) / math.log(2)).toInt)
+    val lshPlanes = scaledPlanes(8.0)     // gate: 8 planes at n=2000
+    val bandPlanes = scaledPlanes(30.0)   // gate: 6 planes at n=2000
+    val nlistScaled = math.min(256, math.max(8, math.sqrt(n.toDouble).toInt))
+
+    def run(name: String, thunk: () => DataFrame): Unit = {
+      def once(): (Double, Long) = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        val t0 = System.nanoTime()
+        val df = thunk()
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        (secs, -1L)
+      }
+      val (cold, _) = once()
+      val (w1, _) = once()
+      val (w2, _) = once()
+      val rows = thunk().count()
+      println(f"""{"label":"$label","n":$n,"config":"$name","warm_sec":${math.min(w1, w2)}%.3f,"cold_sec":$cold%.3f,"rows":$rows}""")
+    }
+
+    run("brute_k5", () =>
+      Similarity.bruteForceTopK(e, queries, k = 5))
+    run("lsh_fixed_p8h2", () =>
+      Similarity.lshTopK(e, queries, k = 5, dims = 64,
+        numPlanes = 8, probeHamming = 2))
+    if (lshPlanes != 8) run(s"lsh_scaled_p${lshPlanes}h2", () =>
+      Similarity.lshTopK(e, queries, k = 5, dims = 64,
+        numPlanes = lshPlanes, probeHamming = 2))
+    run("ivf_fixed_l8p8", () =>
+      Similarity.ivfTopK(e, queries, k = 5, nlist = 8, nprobe = 8))
+    run(s"ivf_scaled_l${nlistScaled}p8", () =>
+      Similarity.ivfTopK(e, queries, k = 5,
+        nlist = nlistScaled, nprobe = 8))
+    run("pq_m8k16_rr2000", () =>
+      Similarity.Pq.topK(e, queries, k = 5, dims = 64,
+        m = 8, ksub = 16, rerank = 2000))
+    run("sq8_rr2000", () =>
+      Similarity.Sq8.topK(e, queries, k = 5, dims = 64, rerank = 2000))
+    if (n <= 50000)
+      run("embed_pairs_fixed_b16p6", () =>
+        Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", dims = 64,
+          threshold = 0.4, bands = 16, planesPerBand = 6, seed = 42L)
+          .select($"id_a", $"id_b"))
+    else
+      println(s"""{"label":"$label","n":$n,"config":"embed_pairs_fixed_b16p6","skipped":"candidate mass ~16*n^2/128 pairs at fixed 6 planes"}""")
+    run(s"embed_pairs_scaled_b16p$bandPlanes", () =>
+      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", dims = 64,
+        threshold = 0.4, bands = 16, planesPerBand = bandPlanes, seed = 42L)
+        .select($"id_a", $"id_b"))
+
+    spark.stop()
+  }
+}

@@ -95,6 +95,15 @@ object AnnScaleBench {
         m = 8, ksub = 16, rerank = 2000))
     run("sq8_rr2000", () =>
       Similarity.Sq8.topK(e, queries, k = 5, dims = 64, rerank = 2000))
+    run("ivfpq_fixed_l8p8_rr2000", () =>
+      Similarity.Pq.ivfTopK(e, queries, k = 5, dims = 64,
+        nlist = 8, nprobe = 8, m = 8, ksub = 16, rerank = 2000))
+    run(s"ivfpq_scaled_l${nlistScaled}p8_rr200", () =>
+      Similarity.Pq.ivfTopK(e, queries, k = 5, dims = 64,
+        nlist = nlistScaled, nprobe = 8, m = 8, ksub = 16, rerank = 200))
+    run("opq_rr2000", () =>
+      Similarity.Pq.opqTopK(e, queries, k = 5, dims = 64,
+        m = 8, ksub = 16, rerank = 2000))
     if (n <= 50000)
       run("embed_pairs_fixed_b16p6", () =>
         Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", dims = 64,

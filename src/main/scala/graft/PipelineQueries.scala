@@ -274,6 +274,39 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // IVF+PQ (the billion-vector layout) with FULL probe (nprobe ==
+    // nlist) and rerank >= the verify-SF corpus: every cell is probed
+    // and the exact rerank re-scores every candidate, so neither the
+    // coarse quantizer nor the residual codebook can affect the output
+    // — the brute SQL is a true oracle while the measured plan keeps
+    // the production shape (cell-partitioned residual-ADC scan,
+    // qdotc + ADC scoring, bounded-heap rerank). Production
+    // nprobe<nlist recall is covered by SkewAndIvfSpec.
+    "sim_topk_ivfpq" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.Pq.ivfTopK(e, queries, k = 5, dims = 64,
+          nlist = 8, nprobe = 8, m = 8, ksub = 16, rerank = 2000)
+        .select($"qid", $"id", $"rank")
+    },
+
+    // OPQ (learned-rotation PQ) with rerank >= the verify-SF corpus:
+    // the trained rotation + codebook only order the ADC scan; the
+    // exact rerank re-scores every candidate on ORIGINAL vectors, so
+    // the brute SQL is a true oracle while the rotate → encode → ADC →
+    // rerank plan stays the one measured (sim_topk_pq pattern).
+    "sim_topk_opq" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      Similarity.Pq.opqTopK(e, queries, k = 5, dims = 64,
+          m = 8, ksub = 16, rerank = 2000)
+        .select($"qid", $"id", $"rank")
+    },
+
     // Range (interval) join via binning: for each order, how many other
     // orders the same customer placed within the following 7 days. The
     // naive BETWEEN join is a per-key cross product; see
@@ -1222,6 +1255,28 @@ object PipelineQueries {
         |  FROM s) WHERE rank <= 5""".stripMargin,
 
     "sim_topk_sq8" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // full probe + rerank >= corpus makes both trained stages
+    // output-invariant (see the queries() comments) — brute oracle.
+    "sim_topk_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "sim_topk_opq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid, c.vec_id AS id,
         |        list_cosine_similarity(c.embedding, q.qv) AS cos

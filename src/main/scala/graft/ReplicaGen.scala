@@ -53,29 +53,61 @@ object ReplicaGen {
     spark.sparkContext.setLogLevel("WARN")
     tablesS.split(",").map(_.trim).filter(_.nonEmpty).foreach { t =>
       val base = Tables(spark, src, t)
-      val reps = (0 until factor).map(r => replica(t, base, r))
-      val all = reps.reduce(_ unionAll _)
-      all.repartition(math.max(factor, 8))
+      val all = replicateAll(spark, t, base, factor)
+      all.repartition(math.min(1024, math.max(factor, 8)))
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[replica] $t x$factor -> $out/$t.parquet")
     }
     spark.stop()
   }
 
-  /** One replica of `t` with index `r` (r=0 is the original verbatim). */
+  /** All `factor` replicas of `t` in one frame. Key-offset and
+    * vocab-suffix tables replicate VECTORIZED (one crossJoin with
+    * range(factor) — a 1000-way union would be a 1000-leg plan);
+    * embeddings keep the per-replica union because each replica's
+    * orthogonal transform needs its own literal permutation/sign
+    * arrays (factors there stay ≤ a few hundred).
+    */
+  def replicateAll(spark: SparkSession, t: String, base: DataFrame,
+      factor: Int): DataFrame = {
+    val r = spark.range(factor).select(col("id").as("__r"))
+    val off = col("__r") * lit(Offset)
+    t match {
+      case "documents" =>
+        base.crossJoin(r)
+          .withColumn("doc_id", col("doc_id") + off)
+          .withColumn("text", when(col("__r") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1zz"), col("__r").cast("string")))))
+          .withColumn("n_chars", length(col("text")))
+          .drop("__r")
+      case "events" =>
+        base.crossJoin(r)
+          .withColumn("event_id", col("event_id") + off)
+          .withColumn("user_id", col("user_id") + off)
+          .drop("__r")
+      case "orders" =>
+        base.crossJoin(r)
+          .withColumn("o_orderkey", col("o_orderkey") + off)
+          .withColumn("o_custkey", col("o_custkey") + off)
+          .drop("__r")
+      case "lineitem" =>
+        base.crossJoin(r)
+          .withColumn("l_orderkey", col("l_orderkey") + off)
+          .withColumn("l_partkey", col("l_partkey") + off)
+          .withColumn("l_suppkey", col("l_suppkey") + off)
+          .drop("__r")
+      case _ =>
+        (0 until factor).map(i => replica(t, base, i)).reduce(_ unionAll _)
+    }
+  }
+
+  /** One replica of `t` with index `r` (r=0 is the original verbatim).
+    * Only the embeddings construction lives here — everything else is
+    * vectorized in [[replicateAll]]. */
   def replica(t: String, base: DataFrame, r: Int): DataFrame = {
     val off = Offset * r
     t match {
-      case "documents" =>
-        if (r == 0) base
-        else base
-          .withColumn("doc_id", col("doc_id") + lit(off))
-          // suffix every whitespace-token: regex keeps the exact
-          // whitespace layout so intra-replica shingle structure is the
-          // byte-level image of the original under vocab renaming
-          .withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", s"$$1zz$r"))
-          .withColumn("n_chars", length(col("text")))
       case "embeddings" =>
         if (r == 0) base
         else {
@@ -93,17 +125,7 @@ object ReplicaGen {
               zip_with(permA, signA, (p, s) =>
                 element_at(col("embedding"), p + 1) * s))
         }
-      case "events" =>
-        base.withColumn("event_id", col("event_id") + lit(off))
-          .withColumn("user_id", col("user_id") + lit(off))
-      case "orders" =>
-        base.withColumn("o_orderkey", col("o_orderkey") + lit(off))
-          .withColumn("o_custkey", col("o_custkey") + lit(off))
-      case "lineitem" =>
-        base.withColumn("l_orderkey", col("l_orderkey") + lit(off))
-          .withColumn("l_partkey", col("l_partkey") + lit(off))
-          .withColumn("l_suppkey", col("l_suppkey") + lit(off))
-      case other =>
+      case _ =>
         // dims replicate verbatim (FK targets must not fork)
         if (r == 0) base else base.limit(0)
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,15 +95,7 @@ object Similarity {
 
     // multi-probe: each query expands to its signature + all signatures
     // within hamming <= probeHamming (numPlanes choose <=h buckets)
-    val flips: Seq[Long] = {
-      val singles = (0 until numPlanes).map(1L << _)
-      val base = Seq(0L)
-      if (probeHamming <= 0) base
-      else if (probeHamming == 1) base ++ singles
-      else base ++ singles ++ (for {
-        i <- 0 until numPlanes; j <- (i + 1) until numPlanes
-      } yield (1L << i) | (1L << j))
-    }
+    val flips: Seq[Long] = hammingFlips(numPlanes, probeHamming)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
         sig(col(vecCol)).as("qsig"))
       .withColumn("flip", explode(lit(flips.toArray)))
@@ -115,6 +107,70 @@ object Similarity {
         VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
       .filter(col("qid") =!= col("id"))
       .groupBy("qid", "id").agg(max("cosine").as("cosine")) // dedupe probes
+    topKRank(scored, k, "cosine")
+  }
+
+  /** XOR masks enumerating all signatures within hamming distance
+    * `probeHamming` of a base signature (identity mask included). */
+  private[graft] def hammingFlips(numPlanes: Int,
+      probeHamming: Int): Seq[Long] = {
+    val singles = (0 until numPlanes).map(1L << _)
+    val base = Seq(0L)
+    if (probeHamming <= 0) base
+    else if (probeHamming == 1) base ++ singles
+    else base ++ singles ++ (for {
+      i <- 0 until numPlanes; j <- (i + 1) until numPlanes
+    } yield (1L << i) | (1L << j))
+  }
+
+  /** Persist the corpus as an on-disk ANN index PARTITIONED BY sign
+    * bucket — the storage half of the 100-TB LSH shape: at scale the
+    * bucketed corpus is written once and every probe afterwards prunes
+    * whole directories at scan time instead of scanning the corpus.
+    * Bucket = the same exact-integer Rademacher signature
+    * [[lshTopK]] buckets by, so [[probeSignIndex]] over this layout is
+    * result-identical to the in-memory join.
+    */
+  def writeSignIndex(corpus: DataFrame, path: String, dims: Int,
+      numPlanes: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
+          .as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Multi-probe ANN top-k over a [[writeSignIndex]] layout. The probe
+    * bucket set (|queries| × (1 + p + p(p−1)/2) longs, queries are
+    * small by the ANN contract) is collected to a LITERAL IN-filter so
+    * Catalyst prunes index directories at scan time — the scan reads
+    * nprobe/2^p of the corpus, which is the property that survives a
+    * 1000-executor scale-up. Scoring/dedup/rank semantics are exactly
+    * [[lshTopK]]'s.
+    */
+  def probeSignIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, dims: Int, numPlanes: Int = 8,
+      probeHamming: Int = 1, seed: Long = 42L,
+      qidCol: String = "qid", vecCol: String = "embedding"): DataFrame = {
+    val flips = hammingFlips(numPlanes, probeHamming)
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
+        VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
+          .as("qsig"))
+      .withColumn("flip", explode(lit(flips.toArray)))
+      .select(col("qid"), col("qvec"),
+        col("qsig").bitwiseXOR(col("flip")).as("bucket"))
+    // bounded collect: distinct probe buckets only (≤ |queries|·|flips|)
+    val buckets = q.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      // partition-dir values type-infer as INT when they fit; normalize
+      // so the bucket join below needs no implicit cast
+      .withColumn("bucket", col("bucket").cast("long"))
+    val scored = index.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("vec"), col("qvec")).as("cosine"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy("qid", "id").agg(max("cosine").as("cosine"))
     topKRank(scored, k, "cosine")
   }
 

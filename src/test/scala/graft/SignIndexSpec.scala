@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** The on-disk half of the LSH ANN shape: corpus written once
+  * partitioned by sign bucket, probes prune directories at scan time.
+  */
+class SignIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("disk sign-index probe == in-memory lshTopK, and the scan " +
+      "reads only probed partitions") {
+    val e = Tables(spark, sf001, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("signidx").toString
+
+    Similarity.writeSignIndex(e, dir, dims = 64, numPlanes = 12)
+    val disk = Similarity.probeSignIndex(spark, dir, queries, k = 5,
+      dims = 64, numPlanes = 12, probeHamming = 2)
+    val mem = Similarity.lshTopK(e, queries, k = 5, dims = 64,
+      numPlanes = 12, probeHamming = 2)
+
+    val a = disk.select("qid", "id", "rank").orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    val b = mem.select("qid", "id", "rank").orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b,
+      "disk probe must be result-identical to the in-memory bucket join")
+
+    // pruning evidence: the probed scan READS strictly fewer files than
+    // the index holds — directory-level pruning, not a post-scan filter.
+    // inputFiles is a relation property (ignores filters), so read the
+    // executed FileSourceScan's numFiles metric instead. Buckets are
+    // re-derived with the operator's own pieces.
+    val flips = Similarity.hammingFlips(12, 2)
+    val sigs = queries
+      .select(VectorFunctions.rademacherSig($"embedding", 12, 64, 42L).as("s"))
+      .collect().map(_.getLong(0))
+    val buckets = (for { s <- sigs; f <- flips } yield s ^ f).distinct
+    val probed = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      "the bucket IN filter must be classified as a partition filter")
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"probe must prune index partitions (read $readFiles of $allFiles)")
+  }
+}

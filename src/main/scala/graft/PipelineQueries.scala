@@ -233,6 +233,30 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // The STORAGE half of the LSH shape: the corpus is written to disk
+    // partitioned by its exact-integer sign bucket, and the probe prunes
+    // index directories at scan time (PartitionFilters — pinned by
+    // SignIndexSpec). The gate measures the full cycle (build + probe)
+    // and its oracle replays the 6-plane index bit-for-bit — 64
+    // partition directories keep the dynamic-partition commit protocol
+    // (a per-directory filesystem cost, not a data cost) proportionate
+    // to the gate SF while proving the same pruned-scan plan shape.
+    // Index path is per-SF under java.io.tmpdir; overwrite mode makes
+    // the write idempotent across runs.
+    "sim_topk_disk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_sign_index_" + Integer.toHexString(dir.hashCode)
+      Similarity.writeSignIndex(e, path, dims = 64, numPlanes = 6,
+        seed = 42L)
+      Similarity.probeSignIndex(s, path, queries, k = 5, dims = 64,
+          numPlanes = 6, probeHamming = 2, seed = 42L)
+        .select($"qid", $"id", $"rank")
+    },
+
     // IVF with FULL probe (nprobe == nlist): every cell is scanned, so
     // the k-means assignment cannot affect the result and the exact
     // brute-force SQL is a true oracle for the IVF plan shape.
@@ -807,6 +831,54 @@ object PipelineQueries {
       |      ELSE 0 END AS BIGINT) AS duration_ms,
       |    CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate
       |  FROM h)""".stripMargin
+
+  /** Full re-derivation of the Rademacher-LSH index, parameterized on
+    * plane count and shared by the in-memory (`sim_topk_lsh`, 8 planes)
+    * and on-disk (`sim_topk_disk`, 6 planes — 64 partition directories:
+    * the pruned-probe plan shape at a commit-protocol cost that fits the
+    * gate SF) gates; each replays its own bucket/probe/rank bit-for-bit.
+    */
+  private def lshTopKOracle(planes: Int): String =
+      s"""WITH signs AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range($planes) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |flips AS (
+        |  SELECT 0::BIGINT AS f
+        |  UNION ALL SELECT (1::BIGINT << i) FROM range($planes) t(i)
+        |  UNION ALL SELECT (1::BIGINT << a.i) | (1::BIGINT << b.i)
+        |    FROM range($planes) a(i), range($planes) b(i) WHERE b.i > a.i),
+        |cands AS (
+        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS id
+        |  FROM sigs qs, flips f, sigs cs
+        |  WHERE qs.vec_id < 10 AND cs.sig = xor(qs.sig, f.f)
+        |    AND cs.vec_id <> qs.vec_id),
+        |scored AS (
+        |  SELECT c.qid, c.id,
+        |    list_cosine_similarity(ce.embedding, qe.embedding) AS cos
+        |  FROM cands c
+        |  JOIN embeddings ce ON ce.vec_id = c.id
+        |  JOIN embeddings qe ON qe.vec_id = c.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
+        |      AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Fixed-point centroids: both engines quantize each float component
@@ -1610,46 +1682,11 @@ object PipelineQueries {
     // iff dot > 0; queries probe their bucket plus all hamming<=2
     // flips of 8 planes (1+8+28 buckets). Candidate set matches the
     // Spark index bit-for-bit; ranking mirrors the brute oracle.
-    "sim_topk_lsh" ->
-      """WITH signs AS (
-        |  SELECT p.i AS p, d.i AS dim,
-        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
-        |               & 1) = 1 THEN 1 ELSE -1 END AS s
-        |  FROM range(8) p(i), range(64) d(i)),
-        |quant AS (
-        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
-        |      AS BIGINT) AS t
-        |  FROM embeddings),
-        |dots AS (
-        |  SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
-        |  FROM quant q JOIN signs s ON q.dim = s.dim
-        |  GROUP BY q.vec_id, s.p),
-        |sigs AS (
-        |  SELECT vec_id,
-        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
-        |      AS BIGINT) AS sig
-        |  FROM dots GROUP BY vec_id),
-        |flips AS (
-        |  SELECT 0::BIGINT AS f
-        |  UNION ALL SELECT (1::BIGINT << i) FROM range(8) t(i)
-        |  UNION ALL SELECT (1::BIGINT << a.i) | (1::BIGINT << b.i)
-        |    FROM range(8) a(i), range(8) b(i) WHERE b.i > a.i),
-        |cands AS (
-        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS id
-        |  FROM sigs qs, flips f, sigs cs
-        |  WHERE qs.vec_id < 10 AND cs.sig = xor(qs.sig, f.f)
-        |    AND cs.vec_id <> qs.vec_id),
-        |scored AS (
-        |  SELECT c.qid, c.id,
-        |    list_cosine_similarity(ce.embedding, qe.embedding) AS cos
-        |  FROM cands c
-        |  JOIN embeddings ce ON ce.vec_id = c.id
-        |  JOIN embeddings qe ON qe.vec_id = c.qid)
-        |SELECT qid, id, rank FROM (
-        |  SELECT qid, id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
-        |      AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin
+    "sim_topk_lsh" -> lshTopKOracle(8),
+
+    // the on-disk partition-pruned probe replays its 6-plane index
+    "sim_topk_disk" -> lshTopKOracle(6)
   )
+
+
 }

@@ -130,6 +130,14 @@ object Similarity {
     * Bucket = the same exact-integer Rademacher signature
     * [[lshTopK]] buckets by, so [[probeSignIndex]] over this layout is
     * result-identical to the in-memory join.
+    *
+    * The corpus is hash-repartitioned ON the bucket before the
+    * partitioned write: without it every input task writes a sliver of
+    * every bucket directory (tasks × 2^planes tiny files — measured 5×
+    * the write cost at 256 buckets), with it each bucket's rows land in
+    * exactly one task so the file count is O(buckets). Same shuffle a
+    * 1000-executor write wants: one exchange, then directory-local
+    * sequential writes.
     */
   def writeSignIndex(corpus: DataFrame, path: String, dims: Int,
       numPlanes: Int = 8, seed: Long = 42L,
@@ -137,6 +145,7 @@ object Similarity {
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
           .as("bucket"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
   /** Multi-probe ANN top-k over a [[writeSignIndex]] layout. The probe

@@ -21,7 +21,22 @@ House rule that falls out: queries may emit only BIGINT/INT, DOUBLE
 (bit-identical in both engines), STRING, BOOLEAN, and naive timestamps.
 Never decimal128, never a bare DuckDB SUM(int) (cast to BIGINT).
 
-Usage:  python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage:  python3 tools/compare.py <sfDir> <verifyOutDir> [--memo-pairs]
+
+--memo-pairs (OPT-IN, local evidence runs only — never the gate
+emulation): six oracles embed the identical all-pairs shingle-Jaccard
+CTE, a 12.5M-comparison cartesian with per-pair list_intersect at
+sf0.1 that dominates the ~4h compare wall (BASELINE.md round-8 note).
+With the flag, the shingle table and the unfiltered >= 0.5 pair table
+are materialized ONCE and the known fragment texts are rewritten to
+read them; a fragment that no longer matches byte-for-byte is simply
+left alone (the slow, faithful path), so oracle drift can never be
+masked by a stale rewrite.  pipeline_hygiene's clean-filtered pair set
+rewrites to the unfiltered pairs restricted to clean ids — equivalent
+because its Jaccard predicate is conjunctive with the id filters.
+Independent of the flag, byte-identical whole-oracle texts (the
+components pair, the range join/TVF pair) are materialized once and
+reused — same SQL, same engine, same result by definition.
 """
 import sys, json, glob, os, hashlib, math, decimal, datetime
 import duckdb
@@ -29,6 +44,49 @@ import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# --memo-pairs fragment texts, byte-for-byte as PipelineQueries.scala
+# emits them into oracle_sql.json (two wrap variants of the pair CTE).
+SH_BODY = (
+    "  SELECT doc_id,\n"
+    "    list_distinct([lst[i]||' '||lst[i+1]||' '||lst[i+2]\n"
+    "                   FOR i IN range(1, len(lst)-1)]) AS sh\n"
+    "  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS lst\n"
+    "        FROM documents)")
+PAIRS_V1 = (
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+    "  FROM sh a, sh b WHERE a.doc_id < b.doc_id\n"
+    "    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /\n"
+    "        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))"
+    " AS DOUBLE) >= 0.5")
+PAIRS_V2 = (
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+    "  FROM sh a, sh b WHERE a.doc_id < b.doc_id\n"
+    "    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /\n"
+    "        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))\n"
+    "             AS DOUBLE) >= 0.5")
+PAIRS_HYG = (
+    "  SELECT a.doc_id AS id_a, b2.doc_id AS id_b\n"
+    "  FROM sh a, sh b2 WHERE a.doc_id < b2.doc_id\n"
+    "    AND a.doc_id IN (SELECT doc_id FROM clean)\n"
+    "    AND b2.doc_id IN (SELECT doc_id FROM clean)\n"
+    "    AND CAST(len(list_intersect(a.sh,b2.sh)) AS DOUBLE) /\n"
+    "        CAST(len(a.sh)+len(b2.sh)-len(list_intersect(a.sh,b2.sh))"
+    " AS DOUBLE) >= 0.5")
+
+
+def memo_rewrite(sql):
+    """Rewrite the known expensive fragments to read the materialized
+    __memo_sh / __memo_pairs tables.  Only exact byte matches rewrite."""
+    sql = sql.replace(SH_BODY, "  SELECT * FROM __memo_sh")
+    for frag in (PAIRS_V1, PAIRS_V2):
+        sql = sql.replace(frag, "  SELECT * FROM __memo_pairs")
+    sql = sql.replace(
+        PAIRS_HYG,
+        "  SELECT id_a, id_b FROM __memo_pairs\n"
+        "  WHERE id_a IN (SELECT doc_id FROM clean)\n"
+        "    AND id_b IN (SELECT doc_id FROM clean)")
+    return sql
 
 
 def canon_str(v):
@@ -95,12 +153,25 @@ def df_rows(rel_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    memo_pairs = "--memo-pairs" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if memo_pairs:
+        print("[compare] --memo-pairs: materializing shingle + pair tables",
+              file=sys.stderr, flush=True)
+        con.execute("CREATE TEMP TABLE __memo_sh AS\n" + SH_BODY)
+        con.execute("CREATE TEMP TABLE __memo_pairs AS\n" +
+                    PAIRS_V1.replace(" sh a, sh b", " __memo_sh a, __memo_sh b"))
+        n_sh, n_p = (con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+                     for t in ("__memo_sh", "__memo_pairs"))
+        print(f"[compare] memo: {n_sh} shingle rows, {n_p} pairs",
+              file=sys.stderr, flush=True)
+    # byte-identical oracle texts share one materialization (always safe)
+    memo_tables = {}
     results = {}
     # run_errors.json is Verify's machine-readable failure sidecar: if a
     # query died so early that not even its marker-frame directory exists
@@ -151,8 +222,18 @@ def main():
             results[name] = {"status": "rows_only", "rows": n, "ok": n > 0}
             continue
         try:
-            # materialize ONCE — the heavy oracle SQL must not run per path
-            con.execute("CREATE OR REPLACE TEMP TABLE __o AS " + oracle[name])
+            # materialize ONCE — the heavy oracle SQL must not run per path;
+            # byte-identical texts across queries reuse one materialization
+            sql = memo_rewrite(oracle[name]) if memo_pairs else oracle[name]
+            if sql in memo_tables:
+                con.execute("CREATE OR REPLACE TEMP TABLE __o AS "
+                            f"SELECT * FROM {memo_tables[sql]}")
+            else:
+                tname = f"__memo_o_{len(memo_tables)}"
+                con.execute(f"CREATE TEMP TABLE {tname} AS " + sql)
+                memo_tables[sql] = tname
+                con.execute("CREATE OR REPLACE TEMP TABLE __o AS "
+                            f"SELECT * FROM {tname}")
         except Exception as e:
             results[name] = {"status": "oracle_error", "error": str(e)[:300]}
             continue

@@ -73,6 +73,17 @@ PAIRS_HYG = (
     "    AND CAST(len(list_intersect(a.sh,b2.sh)) AS DOUBLE) /\n"
     "        CAST(len(a.sh)+len(b2.sh)-len(list_intersect(a.sh,b2.sh))"
     " AS DOUBLE) >= 0.5")
+# dedup_ngram_pairs carries the jaccard VALUE, so the memo pair table
+# stores it; the whole-statement tail after the Shingles CTE rewrites.
+NGRAM_SELECT = (
+    "\nSELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /\n"
+    "  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE)"
+    " AS jaccard\n"
+    "FROM sh a, sh b WHERE a.doc_id < b.doc_id\n"
+    "  AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /\n"
+    "      CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))"
+    " AS DOUBLE) >= 0.5")
 
 
 def memo_rewrite(sql):
@@ -80,12 +91,15 @@ def memo_rewrite(sql):
     __memo_sh / __memo_pairs tables.  Only exact byte matches rewrite."""
     sql = sql.replace(SH_BODY, "  SELECT * FROM __memo_sh")
     for frag in (PAIRS_V1, PAIRS_V2):
-        sql = sql.replace(frag, "  SELECT * FROM __memo_pairs")
+        sql = sql.replace(frag, "  SELECT id_a, id_b FROM __memo_pairs")
     sql = sql.replace(
         PAIRS_HYG,
         "  SELECT id_a, id_b FROM __memo_pairs\n"
         "  WHERE id_a IN (SELECT doc_id FROM clean)\n"
         "    AND id_b IN (SELECT doc_id FROM clean)")
+    sql = sql.replace(
+        NGRAM_SELECT,
+        "\nSELECT id_a, id_b, jaccard FROM __memo_pairs")
     return sql
 
 
@@ -164,8 +178,8 @@ def main():
         print("[compare] --memo-pairs: materializing shingle + pair tables",
               file=sys.stderr, flush=True)
         con.execute("CREATE TEMP TABLE __memo_sh AS\n" + SH_BODY)
-        con.execute("CREATE TEMP TABLE __memo_pairs AS\n" +
-                    PAIRS_V1.replace(" sh a, sh b", " __memo_sh a, __memo_sh b"))
+        con.execute("CREATE TEMP TABLE __memo_pairs AS" +
+                    NGRAM_SELECT.replace(" sh a, sh b", " __memo_sh a, __memo_sh b"))
         n_sh, n_p = (con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
                      for t in ("__memo_sh", "__memo_pairs"))
         print(f"[compare] memo: {n_sh} shingle rows, {n_p} pairs",

@@ -442,6 +442,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Planes-per-band for [[embeddingNearDupPairsAuto]]: the smallest
+    * plane count that holds expected bucket occupancy at or below
+    * `targetOccupancy` — `ceil(log2(n / target))`, clamped. Random sign
+    * buckets split a corpus of n into ~2^planes cells, so candidate
+    * mass per band is ~n²/2^planes: a FIXED plane count tuned at one
+    * scale goes quadratic a decade later (measured: 6 planes is 0.8 s
+    * at 2k vectors, 16.8 s at 20k, infeasible at 200k — BASELINE.md
+    * round-9 ANN decades), while occupancy-held banding stays at
+    * 0.6/1.4/11.6 s across the same two decades. This is that policy
+    * as code instead of a tuning note.
+    */
+  def scaledPlanes(n: Long, targetOccupancy: Int = 30, minPlanes: Int = 4,
+      maxPlanes: Int = 48): Int = {
+    require(targetOccupancy >= 1, s"targetOccupancy: $targetOccupancy")
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0))
+      .toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
+  /** [[embeddingNearDupPairs]] with the planes-per-band knob driven by
+    * corpus size (one count job, then [[scaledPlanes]]) instead of a
+    * hand-tuned constant. The count is the only extra cost — a metadata
+    * scan of one column — and it is what makes the operator safe to
+    * point at a corpus whose size the caller doesn't know within a
+    * decade. Same output contract as the fixed-plane operator at the
+    * chosen plane count.
+    */
+  def embeddingNearDupPairsAuto(df: DataFrame, idCol: String,
+      vecCol: String, dims: Int, threshold: Double = 0.95, bands: Int = 4,
+      targetOccupancy: Int = 30, seed: Long = 42L): DataFrame = {
+    val planes = scaledPlanes(df.select(col(idCol)).count(), targetOccupancy)
+    embeddingNearDupPairs(df, idCol, vecCol, dims, threshold, bands,
+      planes, seed)
+  }
+
   /** EXACT edit-distance self-join: all pairs with
     * levenshtein(a, b) ≤ maxDist — fuzzy key matching for curation
     * (near-identical titles/names/urls that exact dedup misses).

@@ -114,6 +114,31 @@ class PipelineSpec extends SparkSpec {
         s"(${gate.size}/${exactPairs.size})")
   }
 
+  test("occupancy-scaled banding: plane policy matches the measured " +
+      "decades; auto operator == fixed operator at the chosen planes") {
+    // the AnnScaleBench occupancy-held configuration (BASELINE.md round-9
+    // decades: 2k/20k/200k vectors → 7/10/13 planes) is this policy
+    assert(Dedup.scaledPlanes(2000) === 7)
+    assert(Dedup.scaledPlanes(20000) === 10)
+    assert(Dedup.scaledPlanes(200000) === 13)
+    // clamps: tiny corpora floor at minPlanes, huge ones cap at maxPlanes
+    assert(Dedup.scaledPlanes(10) === 4)
+    assert(Dedup.scaledPlanes(Long.MaxValue) === 48)
+    val n = embeddings.count()
+    val planes = Dedup.scaledPlanes(n)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(Dedup.embeddingNearDupPairsAuto(
+      embeddings, "vec_id", "embedding", dims = 64, threshold = 0.4,
+      bands = 4))
+    val fixed = pairs(Dedup.embeddingNearDupPairs(
+      embeddings, "vec_id", "embedding", dims = 64, threshold = 0.4,
+      bands = 4, planesPerBand = planes))
+    assert(auto === fixed)
+    assert(auto.subsetOf(exactPairs)) // cosine verify still exact
+  }
+
   test("semantic (SemDeDup) pairs: subset of exact, nlist=1 degenerates " +
       "to brute force, deterministic, useful recall") {
     val exact = exactPairs

@@ -24,9 +24,18 @@ object DocScaleBench {
     val name = args(1)
     val passes = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At 5M docs the PPJoin shuffle is ~68 GB; over cpus=32 partitions
+    // that is >2 GB per partition with 32 concurrent sort buffers — the
+    // measured failure mode is a silently hung job (task thread dies,
+    // scheduler waits forever). Scale-point runs size this so a shuffle
+    // partition fits comfortably in memory (the same rule a 100 TB
+    // deployment applies); AQE coalesces the excess at small points so
+    // decade ratios stay comparable.
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -183,17 +183,29 @@ object Dedup {
       .withColumn("n_sh", size(col("shingles")))
 
     // every wide stage below keys on the shingle's 64-bit hash, never
-    // the string: the DF aggregate and the prefix self-join (the two
-    // big shuffles) carry 8-byte keys instead of ~30-byte n-grams.
-    // Exactness is preserved: (a) the rarest-first order stays a
-    // CONSISTENT TOTAL order — df(hash) is a fixed function of the
-    // shingle and the tie-break is still the string — and the prefix
-    // theorem holds for any such order; (b) a hash collision can only
-    // merge df counts (an order perturbation) or match extra candidate
-    // pairs (a superset), both erased by the exact-jaccard verify.
+    // the string — and since round 9 the string does not RIDE any wide
+    // stage either: at 5M docs the freq join + rank window shuffle
+    // ~750M shingle rows, and a ~30-byte n-gram on each row is ~2.5×
+    // the bytes of the (id, n_sh, h, df) it decorates (measured: the
+    // string-carrying plan exceeded this sandbox's 79 GB spill budget;
+    // the hash-only plan fits). Exactness is preserved:
+    //  (a) df(hash) merging under a collision only perturbs the
+    //      rarest-first order — any consistent order satisfies the
+    //      prefix theorem;
+    //  (b) the rank is `rank()` over (df, h) WITH ties kept, so when
+    //      two distinct shingles collide in both df and h, every
+    //      document keeps ALL boundary ties in its prefix. Each prefix
+    //      is then a SUPERSET of the prefix under any total order
+    //      extending (df, h) — e.g. (df, h, shingle) — and the prefix
+    //      theorem guarantees intersecting prefixes under that total
+    //      order, so the candidate set is a superset of the exact one;
+    //  (c) supersets are erased by the exact-jaccard verify below.
+    // Collision-free (the overwhelming case), rank() over (df, h) is
+    // row_number() over (df, h, shingle) exactly: shingles are distinct
+    // within a document, so ties require a true 64-bit collision.
     val exploded = shingled
       .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("h"))
     val freq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
 
     // rarest-first rank of each shingle within its document. (Measured
@@ -201,9 +213,9 @@ object Dedup {
     // than the window at sf0.1; struct array allocation costs more than
     // the window's sort saves.)
     val ranked = exploded.join(freq, "h")
-      .withColumn("rk", row_number().over(
+      .withColumn("rk", rank().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy(col("df").asc, col("sh").asc)))
+          .orderBy(col("df").asc, col("h").asc)))
     val prefix = ranked.filter(
         col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
       .select(col("id"), col("n_sh"), col("h"))

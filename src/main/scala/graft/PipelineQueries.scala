@@ -193,6 +193,21 @@ object PipelineQueries {
         .select($"id_a", $"id_b")
     },
 
+    // The AUTO operator end-to-end: planes-per-band derived from the
+    // corpus count (scaledPlanes — integer-exact: smallest p with
+    // 2^p·occupancy ≥ n), so THE SAME registered query holds its
+    // anti-quadratic shape at every SF the driver runs. The oracle
+    // re-derives the plane count with the identical integer rule and
+    // replays the banding bit-for-bit (gate SFs: 500 vecs → 5 planes,
+    // 2000 → 7).
+    "dedup_embed_auto" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.embeddingNearDupPairsAuto(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 64, threshold = 0.4,
+          bands = 16, targetOccupancy = 30, seed = 42L)
+        .select($"id_a", $"id_b")
+    },
+
     // SemDeDup-style clustered semantic dedup: coarse cells bound the
     // quadratic term, exact cosine within cells. The gate uses the
     // DETERMINISTIC quantizer (semanticPairsSig — Rademacher sign
@@ -1118,6 +1133,45 @@ object PipelineQueries {
         |    CASE WHEN (('0x'||substr(md5((42 + b.i*7919)||':'||p.i||':'||d.i),1,15))::BIGINT
         |               & 1) = 1 THEN 1 ELSE -1 END AS s
         |  FROM range(16) b(i), range(6) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.band, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.band, s.p),
+        |sigs AS (
+        |  SELECT vec_id, band,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.id_a
+        |JOIN embeddings eb ON eb.vec_id = c.id_b
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4""".stripMargin,
+
+    // The auto-banded gate: identical construction to dedup_embed_pairs
+    // but the plane count comes from the corpus size via the same
+    // integer rule the operator uses (smallest p in [4,48] with
+    // 2^p * 30 >= n) — the oracle stays bit-exact at EVERY SF because
+    // both engines derive planes from the data with integer arithmetic.
+    "dedup_embed_auto" ->
+      """WITH pl AS (
+        |  SELECT COALESCE(MIN(p.i), 48) AS planes FROM range(4, 49) p(i)
+        |  WHERE (1::BIGINT << p.i) * 30 >= (SELECT count(*) FROM embeddings)),
+        |signs AS (
+        |  SELECT b.i AS band, p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5((42 + b.i*7919)||':'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(16) b(i), range(48) p(i), range(64) d(i)
+        |  WHERE p.i < (SELECT planes FROM pl)),
         |quant AS (
         |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)

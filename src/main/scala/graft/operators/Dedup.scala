@@ -468,10 +468,13 @@ object Dedup {
   def scaledPlanes(n: Long, targetOccupancy: Int = 30, minPlanes: Int = 4,
       maxPlanes: Int = 48): Int = {
     require(targetOccupancy >= 1, s"targetOccupancy: $targetOccupancy")
-    val needed = math.ceil(
-      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0))
-      .toInt
-    math.min(maxPlanes, math.max(minPlanes, needed))
+    // integer form of ceil(log2(n/occ)): smallest p with 2^p * occ >= n.
+    // Exact in any engine's integer arithmetic (the float-log form can
+    // flip ceil() by one ulp near exact powers of two, which would
+    // silently desynchronize an oracle re-deriving the plane count).
+    var p = minPlanes
+    while (p < maxPlanes && (1L << p) * targetOccupancy < n) p += 1
+    p
   }
 
   /** [[embeddingNearDupPairs]] with the planes-per-band knob driven by

@@ -30,9 +30,20 @@ object DocScaleBench {
     // scheduler waits forever). Scale-point runs size this so a shuffle
     // partition fits comfortably in memory (the same rule a 100 TB
     // deployment applies); AQE coalesces the excess at small points so
-    // decade ratios stay comparable.
-    val shuffleParts =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // decade ratios stay comparable. Since round 10 the default is
+    // DERIVED from the input bytes (graft.operators.Tune — the lesson
+    // as engine policy); the env knob remains as an explicit override.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      val docBytes = graft.operators.Tune.parquetBytes(s"$dir/documents.parquet")
+      val inBytes = if (docBytes > 0) docBytes
+                    else graft.operators.Tune.parquetBytes(dir)
+      val derived = graft.operators.Tune.shufflePartitions(
+        inBytes, graft.operators.Tune.PpjoinShuffleExpansion,
+        floor = cpus.toInt)
+      System.err.println(s"[docscale] derived shuffle partitions: $derived" +
+        s" (input $inBytes B x ${graft.operators.Tune.PpjoinShuffleExpansion})")
+      derived.toString
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)

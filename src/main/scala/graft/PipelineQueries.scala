@@ -25,6 +25,32 @@ object PipelineQueries {
     */
   private val PunctClass = "[.,;:!?()-]"
 
+  /** Scratch path for the sim_topk_disk index: keyed by an md5 digest of
+    * the ABSOLUTE corpus dir (String.hashCode collides across dirs) plus
+    * this JVM's pid, so two concurrent drivers on the same SF can never
+    * overwrite each other's index mid-probe, and a pre-created
+    * world-writable /tmp entry of the same name can't be claimed in
+    * advance. Per-pid dirs would otherwise accumulate across runs — a
+    * shutdown hook (registered once per path) removes them.
+    */
+  private val tmpIndexRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tmpIndexPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_sign_index_${digest}_pid${ProcessHandle.current().pid()}"
+    if (tmpIndexRegistered.add(path)) sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    path
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- text analysis ----------------
@@ -256,15 +282,15 @@ object PipelineQueries {
     // partition directories keep the dynamic-partition commit protocol
     // (a per-directory filesystem cost, not a data cost) proportionate
     // to the gate SF while proving the same pruned-scan plan shape.
-    // Index path is per-SF under java.io.tmpdir; overwrite mode makes
-    // the write idempotent across runs.
+    // Index path is per-SF AND per-process under java.io.tmpdir
+    // (tmpIndexPath — md5 of the dir + pid, shutdown-hook cleaned);
+    // overwrite mode makes the write idempotent across runs in one JVM.
     "sim_topk_disk" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
       val queries = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding")
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_sign_index_" + Integer.toHexString(dir.hashCode)
+      val path = tmpIndexPath(dir)
       Similarity.writeSignIndex(e, path, dims = 64, numPlanes = 6,
         seed = 42L)
       Similarity.probeSignIndex(s, path, queries, k = 5, dims = 64,

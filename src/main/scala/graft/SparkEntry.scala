@@ -618,6 +618,36 @@ object CoreQueries {
         round(slope * 1e6).cast("long").as("slope_e6"),
         round((($"sy" - slope * $"sx") / nd) * 1e6).cast("long")
           .as("intercept_e6"))
+    },
+
+    // Bucketed co-located join AS A GATE: both sides persist
+    // bucketed+sorted by the join key, the merge-hinted join runs over
+    // the bucketed scans, and the aggregate groups BY the bucket key so
+    // it reuses the same partitioning — the whole measured plan has
+    // ZERO shuffle exchanges, and that plan-shape property is asserted
+    // INSIDE the query (a require that fails the gate, not just a
+    // spec). This is the 100 TB trade the operator exists for: one
+    // layout write converts every subsequent join + agg on the key into
+    // a shuffle-free scan.
+    "q_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Bucketed.writeBucketed(
+        Tables(s, dir, "orders").select($"o_custkey", $"o_totalprice"),
+        "g_orders_bkt", "o_custkey", buckets = 8)
+      graft.operators.Bucketed.writeBucketed(
+        Tables(s, dir, "customer")
+          .select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+        "g_cust_bkt", "o_custkey", buckets = 8)
+      val out = graft.operators.Bucketed
+        .colocatedJoin(s, "g_orders_bkt", "g_cust_bkt", "o_custkey")
+        .groupBy($"o_custkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+      val ex = graft.operators.Bucketed.countExchanges(out)
+      require(ex == 0,
+        s"bucketed join+agg must be shuffle-free; plan has $ex Exchange(s)")
+      out
     }
   )
 
@@ -945,6 +975,17 @@ object CoreQueries {
         |  CAST(round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
         |         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
         |    / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS intercept_e6
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q_bucketed_join: the bucketed LAYOUT cannot change the rows — the
+    // oracle is the plain join+agg; the zero-shuffle plan shape is
+    // require()d inside the registered query itself.
+    "q_bucketed_join" ->
+      """SELECT o_custkey, c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_mktsegment""".stripMargin
   )
 }

@@ -15,33 +15,58 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   /** Persist a table bucketed (and sorted) by `key` into the session
-    * warehouse/metastore.
+    * warehouse/metastore. Idempotent across SESSIONS, not just runs:
+    * with an in-memory catalog, a fresh session doesn't know the table
+    * but its managed-table directory survives in the warehouse path,
+    * and saveAsTable then fails with LOCATION_ALREADY_EXISTS — so the
+    * stale location is removed explicitly before the write.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
-  /** Join two bucketed tables on their bucket key. The plan is asserted
-    * shuffle-free in BucketedSpec.
+  /** Join two bucketed tables on their bucket key. A `merge` hint pins
+    * the sort-merge-over-bucketed-scans plan by default — broadcast
+    * would also avoid the shuffle but wastes the layout and stops
+    * working the day the "small" side grows past the threshold; the
+    * bucketed SMJ is shuffle-free at ANY size. Asserted shuffle-free in
+    * BucketedSpec and inside the `q_bucketed_join` gate query.
     */
   def colocatedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+      rightTable: String, key: String, merge: Boolean = true): DataFrame = {
+    val l = spark.table(leftTable)
+    (if (merge) l.hint("merge") else l).join(spark.table(rightTable), key)
+  }
 
-  /** Count the Exchange operators in a frame's executed plan — the
-    * "did this shuffle?" probe used by tests and plan audits.
+  /** Count the shuffle Exchange operators in a frame's executed plan —
+    * the "did this shuffle?" probe used by tests, plan audits, and the
+    * q_bucketed_join gate. Looks THROUGH AdaptiveSparkPlanExec (a leaf
+    * node wrapping its real subtree): under AQE a naive traversal sees
+    * zero operators and every shuffle assert passes vacuously.
     */
   def countExchanges(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan
-    var n = 0
-    plan.foreach {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => n += 1
-      case _ => ()
+    def walk(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+      var n = 0
+      plan.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          n += walk(a.executedPlan)
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => n += 1
+        case _ => ()
+      }
+      n
     }
-    n
+    walk(df.queryExecution.executedPlan)
   }
 }

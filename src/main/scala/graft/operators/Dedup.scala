@@ -420,10 +420,20 @@ object Dedup {
     * a pair is a candidate if ANY band matches, so recall is
     * 1-(1-p^r)^b instead of the single-signature p^n) + native cosine
     * verification. Returns (id_a, id_b, cosine) with cosine ≥ threshold.
+    *
+    * `planesPerBand` DEFAULTS TO AUTO (≤ 0): the plane count is derived
+    * from the corpus size via [[scaledPlanes]] (one count job). A fixed
+    * plane count tuned at one scale goes quadratic a decade later
+    * (candidate mass ∝ n²/2^planes — measured in [[scaledPlanes]]'s
+    * doc), so a hand-picked constant is opt-in, for callers that need a
+    * replicable signature (the gate's 16×6 config), never the default.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, threshold: Double = 0.95, bands: Int = 4,
-      planesPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+      planesPerBand: Int = 0, seed: Long = 42L): DataFrame = {
+    val planes =
+      if (planesPerBand > 0) planesPerBand
+      else scaledPlanes(df.select(col(idCol)).count())
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // Candidate generation moves ONLY (id, band, sig) — the vectors must
     // not ride the band explode or the self-join shuffle (at scale that
@@ -431,7 +441,7 @@ object Dedup {
     // AFTER the pair distinct, so cosine runs exactly once per candidate
     // pair — the same slim-candidates/verify-join split minhashPairs uses.
     val bandCols = (0 until bands).map { bnd =>
-      VectorFunctions.rademacherSig(col("vec"), planesPerBand, dims,
+      VectorFunctions.rademacherSig(col("vec"), planes, dims,
         seed + bnd * 7919L).as(s"b$bnd")
     }
     val sigs = vecs.select(col("id") +: bandCols: _*)
@@ -468,12 +478,17 @@ object Dedup {
   def scaledPlanes(n: Long, targetOccupancy: Int = 30, minPlanes: Int = 4,
       maxPlanes: Int = 48): Int = {
     require(targetOccupancy >= 1, s"targetOccupancy: $targetOccupancy")
-    // integer form of ceil(log2(n/occ)): smallest p with 2^p * occ >= n.
-    // Exact in any engine's integer arithmetic (the float-log form can
-    // flip ceil() by one ulp near exact powers of two, which would
-    // silently desynchronize an oracle re-deriving the plane count).
+    // integer form of ceil(log2(n/occ)): smallest p with 2^p >=
+    // ceil(n/occ). Exact in any engine's integer arithmetic (the
+    // float-log form can flip ceil() by one ulp near exact powers of
+    // two, which would silently desynchronize an oracle re-deriving the
+    // plane count). Division form, not `2^p * occ < n`: the product
+    // overflows Long for large occ × planes and would drive p to
+    // maxPlanes via a negative product — this rule must stay exactly
+    // reproducible for ANY parameterization an external oracle replays.
+    val cells = n / targetOccupancy + (if (n % targetOccupancy == 0) 0 else 1)
     var p = minPlanes
-    while (p < maxPlanes && (1L << p) * targetOccupancy < n) p += 1
+    while (p < maxPlanes && p < 62 && (1L << p) < cells) p += 1
     p
   }
 

@@ -1,0 +1,68 @@
+package graft.operators
+
+/** Input-bytes-derived shuffle parallelism — the 5M-doc postmortem's
+  * lesson as engine policy instead of a manual env knob.
+  *
+  * The measured failure mode (BASELINE.md round-9): a 68 GB PPJoin
+  * shuffle over 32 partitions puts >2 GB plus 32 concurrent sort
+  * buffers on each task — the silent hung-job regime, observed twice.
+  * The rule a 100 TB deployment applies is "size the partition count so
+  * ONE shuffle partition fits comfortably in task memory"; this object
+  * derives that count from the bytes actually entering the plan, so the
+  * same job specification works at 5k and at 5M documents without
+  * anyone re-tuning.
+  *
+  * AQE makes over-provisioning free at small scale: it coalesces
+  * post-shuffle partitions down to its advisory size, so the derived
+  * count is a CEILING for big inputs, not a tax on small ones. What AQE
+  * alone cannot do is raise `spark.sql.shuffle.partitions` above the
+  * configured value mid-query — the initial map-side split is decided
+  * before any runtime statistics exist, which is exactly why an
+  * input-derived initial value matters.
+  */
+object Tune {
+
+  /** ~256 MB of (compressed) shuffle bytes per partition: large enough
+    * to amortize task overhead, small enough that sort/join state for
+    * one partition sits in a fraction of an executor-core's memory.
+    */
+  val DefaultTargetPartitionBytes: Long = 256L << 20
+
+  /** Compressed-shuffle bytes produced per parquet input byte on the
+    * PPJoin family's widest stage (shingle-exploded df join / prefix
+    * rank window). Calibrated from the measured 5M-doc point: a ~68 GB
+    * single-shuffle peak from a 0.93 GB documents.parquet (zstd both
+    * sides) ≈ 73×; rounded up. Text parquet is dictionary+zstd packed
+    * while the exploded shuffle carries one row per shingle — hence a
+    * factor this large is expected, not pathological.
+    */
+  val PpjoinShuffleExpansion: Double = 75.0
+
+  /** Partition count for an estimated `inputBytes * expansion` shuffle,
+    * floored at `floor` (use the core count — fewer partitions than
+    * cores idles the cluster) and targeting `targetPartitionBytes` per
+    * partition. Overflow-safe for any input size (double math, capped).
+    */
+  def shufflePartitions(inputBytes: Long, expansion: Double, floor: Int,
+      targetPartitionBytes: Long = DefaultTargetPartitionBytes): Int = {
+    require(inputBytes >= 0 && expansion > 0 && floor >= 1 &&
+      targetPartitionBytes >= 1, "invalid Tune.shufflePartitions args")
+    val est = inputBytes.toDouble * expansion
+    val parts = math.ceil(est / targetPartitionBytes.toDouble)
+    // 1M partitions ≈ 256 TB of shuffle at the default target — cap
+    // keeps the Int math safe and the scheduler sane
+    math.max(floor, math.min(parts, 1000000.0).toInt)
+  }
+
+  /** On-disk bytes of a parquet table path (a single file or a
+    * directory of part files) — plain java.io so it can run BEFORE the
+    * SparkSession exists, which is when shuffle.partitions must be set.
+    */
+  def parquetBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else f.length()
+    walk(new java.io.File(path))
+  }
+}

@@ -124,6 +124,12 @@ class PipelineSpec extends SparkSpec {
     // clamps: tiny corpora floor at minPlanes, huge ones cap at maxPlanes
     assert(Dedup.scaledPlanes(10) === 4)
     assert(Dedup.scaledPlanes(Long.MaxValue) === 48)
+    // overflow regime: occ × 2^p exceeds Long — the division form must
+    // stay exact (Long.MaxValue = (2^32+1)·(2^31-1) exactly, so the
+    // rule wants the smallest p with 2^p ≥ 2^32+1 = 33); the old
+    // product form went negative here and clamped to maxPlanes
+    assert(Dedup.scaledPlanes(Long.MaxValue, targetOccupancy = Int.MaxValue)
+      === 33)
     val n = embeddings.count()
     val planes = Dedup.scaledPlanes(n)
     def pairs(df: org.apache.spark.sql.DataFrame) = df
@@ -137,6 +143,13 @@ class PipelineSpec extends SparkSpec {
       bands = 4, planesPerBand = planes))
     assert(auto === fixed)
     assert(auto.subsetOf(exactPairs)) // cosine verify still exact
+    // the DEFAULT of the fixed-knob operator is the occupancy rule too
+    // (round-10: a hand-tuned constant default was the measured-
+    // quadratic footgun — planesPerBand ≤ 0 now means "derive")
+    val default = pairs(Dedup.embeddingNearDupPairs(
+      embeddings, "vec_id", "embedding", dims = 64, threshold = 0.4,
+      bands = 4))
+    assert(default === auto)
   }
 
   test("semantic (SemDeDup) pairs: subset of exact, nlist=1 degenerates " +

@@ -39,6 +39,7 @@ components pair, the range join/TVF pair) are materialized once and
 reused — same SQL, same engine, same result by definition.
 """
 import sys, json, glob, os, hashlib, math, decimal, datetime
+from collections import Counter
 import duckdb
 import pyarrow.parquet as pq
 
@@ -152,6 +153,17 @@ def lines_of(rows, cols, canon):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def drop_o(con):
+    """Drop __o whatever it currently is.  DuckDB 1.0 raises (not
+    IF-EXISTS-skips) when DROP VIEW hits a table of the same name and
+    vice versa, so each drop is tried independently."""
+    for stmt in ("DROP VIEW IF EXISTS __o", "DROP TABLE IF EXISTS __o"):
+        try:
+            con.execute(stmt)
+        except Exception:
+            pass
+
+
 def pandas_rows(files):
     df = pq.ParquetDataset(files).read().to_pandas()
     cols = list(df.columns)
@@ -184,7 +196,33 @@ def main():
                      for t in ("__memo_sh", "__memo_pairs"))
         print(f"[compare] memo: {n_sh} shingle rows, {n_p} pairs",
               file=sys.stderr, flush=True)
-    # byte-identical oracle texts share one materialization (always safe)
+    # effective oracle text per query (post-rewrite under the flag)
+    eff_sql = {q: (memo_rewrite(t) if memo_pairs else t)
+               for q, t in oracle.items()}
+    if memo_pairs:
+        # the flag's whole point is skipping the ~4h cartesian path for
+        # the seven shingle-pair oracles — a fragment that silently
+        # stopped matching (Scala-side reformat) would fall back to the
+        # slow path with no signal. Fail loudly instead.
+        PAIR_QUERIES = ("dedup_ngram_pairs", "dedup_components",
+                        "dedup_components_star", "dedup_degree",
+                        "dedup_representatives", "pipeline_hygiene",
+                        "pipeline_leakage_split")
+        stale = [q for q in PAIR_QUERIES
+                 if q in oracle and "__memo_pairs" not in eff_sql[q]]
+        if stale:
+            print(f"[compare] --memo-pairs: pair fragment did NOT rewrite"
+                  f" for {stale} — the Scala oracle text drifted from the"
+                  f" fragment constants in tools/compare.py; refusing to"
+                  f" run the cartesian path silently under the flag.",
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
+    # byte-identical oracle texts share one materialization — but ONLY
+    # texts that actually repeat get a run-long memo table (the old
+    # unconditional memo kept every oracle's full result alive for the
+    # whole run, ~doubling peak DuckDB memory on the sf0.1 pair tables);
+    # repeated-text memos are dropped once their last user has run
+    uses_left = Counter(eff_sql.values())
     memo_tables = {}
     results = {}
     # run_errors.json is Verify's machine-readable failure sidecar: if a
@@ -235,19 +273,22 @@ def main():
                 ",".join(f"'{f}'" for f in files) + "])").fetchone()[0]
             results[name] = {"status": "rows_only", "rows": n, "ok": n > 0}
             continue
+        sql = eff_sql[name]
         try:
-            # materialize ONCE — the heavy oracle SQL must not run per path;
-            # byte-identical texts across queries reuse one materialization
-            sql = memo_rewrite(oracle[name]) if memo_pairs else oracle[name]
-            if sql in memo_tables:
-                con.execute("CREATE OR REPLACE TEMP TABLE __o AS "
+            # materialize ONCE — the heavy oracle SQL must not run per
+            # path (path A and path B both read __o). Repeated texts get
+            # a shared memo table with __o as a VIEW over it (no second
+            # copy); single-use texts materialize straight into __o.
+            drop_o(con)
+            if uses_left[sql] > 1 or sql in memo_tables:
+                if sql not in memo_tables:
+                    tname = f"__memo_o_{len(memo_tables)}"
+                    con.execute(f"CREATE TEMP TABLE {tname} AS " + sql)
+                    memo_tables[sql] = tname
+                con.execute("CREATE TEMP VIEW __o AS "
                             f"SELECT * FROM {memo_tables[sql]}")
             else:
-                tname = f"__memo_o_{len(memo_tables)}"
-                con.execute(f"CREATE TEMP TABLE {tname} AS " + sql)
-                memo_tables[sql] = tname
-                con.execute("CREATE OR REPLACE TEMP TABLE __o AS "
-                            f"SELECT * FROM {tname}")
+                con.execute("CREATE TEMP TABLE __o AS " + sql)
         except Exception as e:
             results[name] = {"status": "oracle_error", "error": str(e)[:300]}
             continue
@@ -284,6 +325,13 @@ def main():
             if lm != lo and schema_ok and rows_ok:
                 diffs = [(a, b) for a, b in zip(lm, lo) if a != b][:3]
                 results[name][f"first_diffs_{tag}"] = diffs
+        # this query is done with __o — free a repeated-text memo as
+        # soon as its last user has run (bounds peak memory to the
+        # concurrently-live memos, not the whole run's oracle set)
+        uses_left[sql] -= 1
+        if uses_left[sql] <= 0 and sql in memo_tables:
+            drop_o(con)
+            con.execute(f"DROP TABLE IF EXISTS {memo_tables.pop(sql)}")
     # any oracle-registered query with neither an output dir nor a
     # run_errors entry is MISSING — absent is never a pass
     for q in oracle:

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** TRUE-streaming scale measurement for the events family (BASELINE.md
+  * streaming decade). The driver gates (`stream_upsert` etc.) check the
+  * batch-equivalent fold — correct but not the production path; this
+  * main pushes the SAME operators through the actual Structured
+  * Streaming engine (file source, micro-batches, state store,
+  * checkpointing) at replica scale, closing the "gate ≠ production
+  * path" asymmetry with measured numbers.
+  *
+  * Three phases, each an AvailableNow run timed wall-clock:
+  *  1. `upsert` — foreachBatch versioned-parquet latest-per-key state
+  *     ([[graft.streaming.UpsertSink.run]]). Order-insensitive by
+  *     design, so it reads the replica dir as-is. Cross-checked against
+  *     the direct batch latest-per-key snapshot (count + exact-decimal
+  *     value checksum must match).
+  *  2. `sessionize_backfill` — stateful sessionization
+  *     (flatMapGroupsWithState) with a RETAIN-ALL watermark: the
+  *     correct setting for replaying history (eviction mid-backfill
+  *     would both drop late files as the replica's part files arrive in
+  *     arbitrary time order, and reset returning users' counts). State
+  *     store holds every user; the final per-user emission is checked
+  *     ROW-FOR-ROW equal to the batch gaps-and-islands sessionization.
+  *  3. `sessionize_watermark` — the production shape: the same operator
+  *     with its 2 h watermark over a CHRONOLOGICAL copy of the replica
+  *     (time-bucketed files written in ascending order — the shape a
+  *     log shipper delivers). Demonstrates bounded state: the store
+  *     carries only watermark-live users, not history. No equality
+  *     claim — eviction deliberately resets long-idle users
+  *     (the documented bounded-state tradeoff).
+  *
+  * Usage: StreamScaleBench <sfStyleDir> [maxFilesPerTrigger]
+  * `<sfStyleDir>` must contain `events.parquet/` as a DIRECTORY of part
+  * files (the ReplicaGen layout) — a single-file table cannot feed the
+  * file streaming source.
+  */
+object StreamScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val srcDir = s"$sfDir/events.parquet"
+    val maxFiles = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stream_scale").toString
+    val nEvents = Tables.read(spark, srcDir).count()
+
+    // ---- phase 1: foreachBatch upsert through the streaming engine
+    val t0 = System.nanoTime()
+    graft.streaming.UpsertSink.run(spark, srcDir,
+      s"$scratch/state", s"$scratch/ckpt_upsert",
+      maxFilesPerTrigger = maxFiles)
+    val upsertWall = (System.nanoTime() - t0) / 1e9
+
+    val live = graft.streaming.UpsertSink.liveState(spark, s"$scratch/state")
+    val streamChk = live.agg(count(lit(1)).as("n"),
+      sum($"v".cast("decimal(28,6)")).as("s")).collect()(0)
+    val ev = Tables(spark, sfDir, "events")
+    val batchChk = ev.groupBy($"user_id")
+      .agg(max_by($"value", struct(
+        graft.functions.TimeFunctions.epochMicros(ev, "ts"), $"event_id"))
+        .as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(28,6)")).as("s")).collect()(0)
+    val upsertOk = streamChk == batchChk
+    val stateBytes = graft.operators.Tune.parquetBytes(s"$scratch/state")
+    println(f"""{"phase":"upsert_foreachbatch","src":"$srcDir","n_events":$nEvents,"wall_sec":$upsertWall%.1f,"live_keys":${streamChk.getLong(0)},"matches_batch_snapshot":$upsertOk,"state_table_bytes":$stateBytes}""")
+
+    def sessionStream(dir: String, watermark: String, outDir: String,
+        ckpt: String, filesPerTrigger: Int): (Double, Long, Long, Long) = {
+      // maxFilesPerTrigger is a SOURCE option: set on readStream (on
+      // the sink it is silently ignored and the whole corpus becomes
+      // one micro-batch — defeating the point of the measurement)
+      val schema = spark.read.parquet(dir).schema
+      val events = graft.Tables.normalize(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[graft.streaming.EventStreams.Event]
+      val sessions = graft.streaming.EventStreams
+        .sessionizeStateful(events, gapSeconds = 1800, watermark = watermark)
+      val t = System.nanoTime()
+      val q = sessions.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          // persist every update stamped with its batch — the latest
+          // batch's row per user is the final state, recoverable in one
+          // batch job afterwards (a driver-side map would not scale)
+          b.withColumn("__b", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t) / 1e9
+      val st = q.recentProgress.reverse
+        .find(p => p.stateOperators.nonEmpty &&
+          p.stateOperators(0).numRowsTotal > 0)
+        .map(_.stateOperators(0))
+      (wall, q.recentProgress.count(_.numInputRows > 0).toLong,
+        st.map(_.numRowsTotal).getOrElse(-1L),
+        st.map(_.memoryUsedBytes).getOrElse(-1L))
+    }
+
+    // Both sessionization phases stream a CHRONOLOGICAL copy of the
+    // replica: time-bucketed files written oldest-first, so the
+    // FileStreamSource (which picks files up in modification-time
+    // order) delivers micro-batches in event-time order — the
+    // log-shipper delivery shape. This matters for CORRECTNESS, not
+    // just watermarks: flatMapGroupsWithState is the raw state API and
+    // carries the standard in-order-per-key delivery contract across
+    // batches (within a batch the operator sorts); the raw replica's
+    // part files interleave the full time range, which scrambles
+    // session order batch-to-batch. (The upsert phase above reads the
+    // RAW dir deliberately — order-insensitivity is its design claim.)
+    val chronoDir = s"$scratch/chrono"
+    val bounds = ev.select(
+        graft.functions.TimeFunctions.epochMicros(ev, "ts").cast("double")
+          .as("us"))
+      .agg(min($"us").as("lo"), max($"us").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val nBuckets = 50
+    val evB = ev.withColumn("__bkt", least(lit(nBuckets - 1),
+      floor((graft.functions.TimeFunctions.epochMicros(ev, "ts")
+        .cast("double") - lo) / ((hi - lo) / nBuckets + 1e-9)).cast("int")))
+    (0 until nBuckets).foreach { k =>
+      evB.filter($"__bkt" === k).drop("__bkt")
+        .coalesce(1).write.mode("append").parquet(chronoDir)
+    }
+    // ~10 micro-batches at any scale: per-batch state-store commits and
+    // planning are a fixed cost (~1-2 s each at local[32]) that would
+    // otherwise swamp the 1x point
+    val chronoFiles = Option(new java.io.File(chronoDir).listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    val chronoMax = math.max(1, chronoFiles / 10)
+
+    // ---- phase 2: backfill sessionization, retain-all, equality-checked
+    val sessOut = s"$scratch/sessions"
+    val (sWall, sBatches, sRows, sMem) =
+      sessionStream(chronoDir, "3650 days", sessOut, s"$scratch/ckpt_sess",
+        chronoMax)
+    val finalPerUser = spark.read.parquet(sessOut)
+      .groupBy($"user_id")
+      .agg(max_by(struct($"n_events", $"n_sessions"), $"__b").as("r"))
+      .select($"user_id", $"r.n_events", $"r.n_sessions")
+    val batchSess = graft.streaming.EventStreams
+      .sessionizeBatch(ev, gapSeconds = 1800)
+      .select($"user_id", $"n_events", $"n_sessions")
+    val diff = finalPerUser.exceptAll(batchSess).count() +
+      batchSess.exceptAll(finalPerUser).count()
+    println(f"""{"phase":"sessionize_backfill","src":"$srcDir","n_events":$nEvents,"wall_sec":$sWall%.1f,"batches":$sBatches,"state_rows":$sRows,"state_mem_bytes":$sMem,"mismatch_rows_vs_batch":$diff}""")
+
+    // ---- phase 3: the production 2 h watermark — bounded state via
+    // event-time eviction (state carries watermark-live users only; no
+    // equality claim: eviction deliberately resets long-idle users,
+    // the documented bounded-state tradeoff)
+    val (wWall, wBatches, wRows, wMem) =
+      sessionStream(chronoDir, "2 hours", s"$scratch/sessions_wm",
+        s"$scratch/ckpt_sess_wm", chronoMax)
+    println(f"""{"phase":"sessionize_watermark","src":"$srcDir","n_events":$nEvents,"wall_sec":$wWall%.1f,"batches":$wBatches,"state_rows":$wRows,"state_mem_bytes":$wMem}""")
+
+    spark.stop()
+  }
+}

@@ -537,6 +537,24 @@ object PipelineQueries {
         "doc_id", "text")
     },
 
+    // Incremental NEAR-dup ingest: which arriving documents have no
+    // near-duplicate already in the corpus — the asymmetric
+    // (probe-vs-index) PPJoin. The exact-fingerprint variant above
+    // misses a re-crawl with one changed token; this one runs the
+    // prefix-filter join between the batch and the corpus ONLY (never
+    // corpus×corpus — the continuous-ingest cost shape), both sides
+    // ranked under the frozen (corpus-df, hash) total order so the
+    // corpus side is computable once per corpus version. Split:
+    // doc_id % 10 == 0 arrives, the rest is the standing corpus.
+    "dedup_incremental_near" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      Dedup.incrementalNewNearDup(
+        d.filter(pmod($"doc_id", lit(10)) =!= 0),
+        d.filter(pmod($"doc_id", lit(10)) === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    },
+
     // Z-order (Morton) values over two key columns — the clustering key
     // behind multi-column file pruning; pure bitwise Column arithmetic,
     // oracle-replicated with the same magic-number spreads in DuckDB.
@@ -1259,6 +1277,21 @@ object PipelineQueries {
 
     // the log-star variant has the identical output contract
     "dedup_components_star" -> ComponentsOracle,
+
+    // reuses the byte-identical sh + pairs fragments (the cross-split
+    // near-dup set is the global pair set restricted to mixed-parity
+    // pairs), so --memo-pairs covers this oracle at sf0.1 too
+    "dedup_incremental_near" -> (Shingles +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (
+        |  SELECT id_a FROM pairs WHERE id_a % 10 = 0 AND id_b % 10 <> 0
+        |  UNION SELECT id_b FROM pairs WHERE id_b % 10 = 0 AND id_a % 10 <> 0)""".stripMargin),
 
     "dedup_degree" -> (Shingles +
       """,

@@ -239,6 +239,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric (probe-vs-index) exact n-gram Jaccard: near-dup pairs
+    * BETWEEN an incoming batch and a standing corpus, never within
+    * either side — the continuous-ingest shape. [[ngramJaccardPairs]]
+    * over the union would pay the corpus×corpus work on every arrival;
+    * this computes corpus-side structures once per corpus version and
+    * joins only batch-prefix × corpus-prefix.
+    *
+    * Correctness under a FROZEN corpus ordering: the AllPairs prefix
+    * theorem needs both prefixes taken under ONE total order of the
+    * shingle universe — ANY consistent order is exact (rarest-first is
+    * the performance heuristic, not a correctness requirement). Both
+    * sides therefore rank by (corpus df, h): the corpus prefixes and
+    * df table are computable ONCE at index-build time, and a batch
+    * shingle unseen in the corpus takes df 0 — sorted rarest, so it
+    * can only ENLARGE the batch prefix, never drop a candidate.
+    *
+    * 100 TB shape: the persisted index is three frames — the df table
+    * (keyed by h), the corpus prefix rows (bucketed by h), and the
+    * corpus shingle arrays (bucketed by id, for the verify join); an
+    * arriving batch computes its own side fresh (narrow, batch-sized)
+    * and every join keys on the index's bucket layout, so only the
+    * batch moves. Returns (id_batch, id_corpus, jaccard ≥ threshold).
+    */
+  def ngramJaccardPairsAcross(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def shingleSide(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+    def hashed(sh: DataFrame) = sh
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("h"))
+    val shC = shingleSide(corpus)
+    val shB = shingleSide(batch)
+    val exC = hashed(shC)
+    val exB = hashed(shB)
+    val dfC = exC.groupBy("h").agg(count(lit(1)).as("df"))
+    def prefixOf(ex: DataFrame, joinType: String) = {
+      val ranked = ex.join(dfC, Seq("h"), joinType)
+        .withColumn("dfo", coalesce(col("df"), lit(0L)))
+        .withColumn("rk", rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("dfo").asc, col("h").asc)))
+      ranked.filter(
+          col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+        .select(col("id"), col("n_sh"), col("h"))
+    }
+    val pC = prefixOf(exC, "inner") // index-build side: df always present
+    val pB = prefixOf(exB, "left")  // probe side: unseen shingles → df 0
+    val candidates = pB.as("b").join(pC.as("c"),
+        col("b.h") === col("c.h") &&
+          col("c.n_sh") * threshold <= col("b.n_sh") &&
+          col("b.n_sh") * threshold <= col("c.n_sh"))
+      .select(col("b.id").as("id_batch"), col("c.id").as("id_corpus"))
+      .distinct()
+    val sb = shB.select(col("id").as("id_batch"), col("shingles").as("sh_b"))
+    val sc = shC.select(col("id").as("id_corpus"), col("shingles").as("sh_c"))
+    candidates.join(sb, "id_batch").join(sc, "id_corpus")
+      .withColumn("jaccard",
+        graft.functions.TextExprs.jaccardSim(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_batch"), col("id_corpus"), col("jaccard"))
+  }
+
+  /** Incremental NEAR-dup ingest filter: rows of `batch` with no corpus
+    * near-duplicate at `threshold` ([[ngramJaccardPairsAcross]] probe +
+    * one anti-join). The near-dup complement of [[incrementalNew]]'s
+    * exact-fingerprint filter — a crawler re-fetch with a changed
+    * timestamp passes the exact filter but is caught here.
+    */
+  def incrementalNewNearDup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val dup = ngramJaccardPairsAcross(corpus, batch, idCol, textCol, n,
+      threshold).select(col("id_batch").as(idCol)).distinct()
+    batch.select(col(idCol)).join(dup, Seq(idCol), "left_anti")
+  }
+
   /** Incremental ingest filter: rows of `batch` whose normalized
     * fingerprint is NOT already in `corpus` — one left-anti join on
     * 16-byte digests (the shuffle carries hashes, never documents; at

@@ -26,6 +26,34 @@ class PipelineSpec extends SparkSpec {
     assert(drops.count() == 5 && drops.filter($"drop_id" < 100000).count() == 0)
   }
 
+  test("asymmetric PPJoin: cross pairs == global pairs restricted to " +
+      "the split; incremental near-dup filter = batch minus dup ids") {
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val across = Dedup.ngramJaccardPairsAcross(corpus, batch,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id_batch", $"id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the symmetric operator over everything, restricted to
+    // mixed-parity pairs (the frozen corpus-df order must not lose any
+    // candidate — unseen batch shingles rank rarest, enlarging prefixes)
+    val global = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = global.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    assert(across === expected)
+    assert(across.nonEmpty) // fixture must exercise the filter
+    val newIds = Dedup.incrementalNewNearDup(corpus, batch,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(newIds === batchIds -- across.map(_._1))
+  }
+
   test("fingerprint normalizes case + whitespace") {
     val d = Seq("Hello  World", "hello world", "HELLO\tWORLD ").toDF("text")
     assert(d.select(TF.fingerprint($"text")).distinct().count() == 1)

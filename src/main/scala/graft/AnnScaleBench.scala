@@ -104,6 +104,21 @@ object AnnScaleBench {
     run("opq_rr2000", () =>
       Similarity.Pq.opqTopK(e, queries, k = 5, dims = 64,
         m = 8, ksub = 16, rerank = 2000))
+    // kNN self-join: every vector probes for its top-3 — candidate mass
+    // ~n²·flips/2^planes, so the fixed-plane config is capped at 50k
+    // exactly like the banded pairs row below; scaled planes hold
+    // per-probe candidates ~constant.
+    val knnProbes = e.select($"vec_id".as("qid"), $"embedding")
+    if (n <= 50000)
+      run("knn_join_fixed_p8h1_k3", () =>
+        Similarity.knnJoin(e, knnProbes, k = 3, dims = 64,
+          numPlanes = 8, probeHamming = 1))
+    else
+      println(s"""{"label":"$label","n":$n,"config":"knn_join_fixed_p8h1_k3","skipped":"candidate mass ~9*n^2/256 at fixed 8 planes"}""")
+    run(s"knn_join_scaled_p${bandPlanes}h1_k3", () =>
+      Similarity.knnJoin(e, knnProbes, k = 3, dims = 64,
+        numPlanes = bandPlanes, probeHamming = 1))
+
     if (n <= 50000)
       run("embed_pairs_fixed_b16p6", () =>
         Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", dims = 64,

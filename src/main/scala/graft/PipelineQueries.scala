@@ -274,6 +274,22 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // kNN JOIN: every vector probes for its own top-3 neighbors — the
+    // kNN-graph workload where the probe set IS the corpus and nothing
+    // broadcasts. Shuffle bucket equi-join, slim candidates, oracle
+    // replays the 8-plane buckets + hamming-1 multi-probe bit-for-bit
+    // over the FULL 2000-probe set (explicit planes for the replicable
+    // signature; the operator's default derives planes from the corpus
+    // count — the anti-quadratic occupancy rule).
+    "sim_knn_join" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.select($"vec_id".as("qid"), $"embedding")
+      Similarity.knnJoin(e, probes, k = 3, dims = 64,
+          numPlanes = 8, probeHamming = 1)
+        .select($"qid", $"id", $"rank")
+    },
+
     // The STORAGE half of the LSH shape: the corpus is written to disk
     // partitioned by its exact-integer sign bucket, and the probe prunes
     // index directories at scan time (PartitionFilters — pinned by
@@ -938,6 +954,50 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
         |      AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** Full-probe-set kNN-join oracle: same integer-exact bucket
+    * re-derivation as [[lshTopKOracle]], but every vector is a probe
+    * (no qid filter), multi-probe is hamming ≤ 1, and rank ≤ k.
+    */
+  private def knnJoinOracle(planes: Int, k: Int): String =
+      s"""WITH signs AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range($planes) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |flips AS (
+        |  SELECT 0::BIGINT AS f
+        |  UNION ALL SELECT (1::BIGINT << i) FROM range($planes) t(i)),
+        |cands AS (
+        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS id
+        |  FROM sigs qs, flips f, sigs cs
+        |  WHERE cs.sig = xor(qs.sig, f.f)
+        |    AND cs.vec_id <> qs.vec_id),
+        |scored AS (
+        |  SELECT c.qid, c.id,
+        |    list_cosine_similarity(ce.embedding, qe.embedding) AS cos
+        |  FROM cands c
+        |  JOIN embeddings ce ON ce.vec_id = c.id
+        |  JOIN embeddings qe ON qe.vec_id = c.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
+        |      AS rank
+        |  FROM scored) WHERE rank <= $k""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Fixed-point centroids: both engines quantize each float component
@@ -1796,6 +1856,8 @@ object PipelineQueries {
     // flips of 8 planes (1+8+28 buckets). Candidate set matches the
     // Spark index bit-for-bit; ranking mirrors the brute oracle.
     "sim_topk_lsh" -> lshTopKOracle(8),
+
+    "sim_knn_join" -> knnJoinOracle(8, 3),
 
     // the on-disk partition-pruned probe replays its 6-plane index
     "sim_topk_disk" -> lshTopKOracle(6)

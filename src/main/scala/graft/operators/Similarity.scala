@@ -110,6 +110,54 @@ object Similarity {
     topKRank(scored, k, "cosine")
   }
 
+  /** kNN JOIN: top-k nearest corpus vectors for EVERY probe row — the
+    * kNN-graph / SemDeDup-prep / diversity-sampling workload where the
+    * probe set is the corpus itself (or another large table) and
+    * nothing can broadcast. Same integer-exact Rademacher buckets as
+    * [[lshTopK]], with the two changes a non-broadcastable probe side
+    * forces:
+    *  - the bucket match is a SHUFFLE equi-join, not `broadcast(q)`;
+    *  - candidate generation moves only (qid, bucket) / (id, bucket) —
+    *    vectors join back AFTER the candidate distinct (the
+    *    slim-candidates split the banded dedup uses), so the probe
+    *    multi-probe expansion (×flips) never multiplies vector bytes
+    *    on the wide shuffle.
+    *
+    * `numPlanes` defaults to AUTO (≤ 0: [[Dedup.scaledPlanes]] over the
+    * corpus count): total candidate mass is ~|probes|·flips·n/2^planes
+    * — quadratic in n at a FIXED plane count when probes ≈ corpus, the
+    * same footgun the banded dedup's auto default exists for. Explicit
+    * planes remain for replicable-signature gates.
+    *
+    * Probe rows whose `qidCol` equals a corpus `idCol` value are
+    * treated as the same vector (self-match excluded) — the self-join
+    * convention shared with [[lshTopK]]/[[bruteForceTopK]].
+    */
+  def knnJoin(corpus: DataFrame, probes: DataFrame, k: Int, dims: Int,
+      numPlanes: Int = 0, probeHamming: Int = 1, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else Dedup.scaledPlanes(corpus.select(col(idCol)).count())
+    val sig = (v: org.apache.spark.sql.Column) =>
+      VectorFunctions.rademacherSig(v, planes, dims, seed)
+    val cb = corpus.select(col(idCol).as("id"), sig(col(vecCol)).as("bucket"))
+    val flips: Seq[Long] = hammingFlips(planes, probeHamming)
+    val qb = probes.select(col(qidCol).as("qid"), sig(col(vecCol)).as("qsig"))
+      .withColumn("flip", explode(lit(flips.toArray)))
+      .select(col("qid"), col("qsig").bitwiseXOR(col("flip")).as("bucket"))
+    val cand = cb.join(qb, Seq("bucket"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id")).distinct()
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+    val qv = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = cand.join(cv, "id").join(qv, "qid")
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    topKRank(scored, k, "cosine")
+  }
+
   /** XOR masks enumerating all signatures within hamming distance
     * `probeHamming` of a base signature (identity mask included). */
   private[graft] def hammingFlips(numPlanes: Int,

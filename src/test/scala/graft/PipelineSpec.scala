@@ -227,6 +227,34 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(top - maxCos) < 1e-12)
   }
 
+  test("kNN join: identical construction to lshTopK on the same probe " +
+      "set; auto planes default == explicit scaledPlanes; deterministic") {
+    import graft.operators.Similarity
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same buckets, same multi-probe, same ranking — the only change is
+    // broadcast vs shuffle candidate generation, which must not alter
+    // a single row
+    val viaKnn = rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64, numPlanes = 8, probeHamming = 1))
+    val viaLsh = rows(Similarity.lshTopK(embeddings, queries, k = 5,
+      dims = 64, numPlanes = 8, probeHamming = 1))
+    assert(viaKnn === viaLsh)
+    assert(viaKnn.nonEmpty)
+    // the auto default derives the occupancy-rule plane count
+    val n = embeddings.count()
+    val auto = rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64))
+    val explicit = rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64, numPlanes = Dedup.scaledPlanes(n)))
+    assert(auto === explicit)
+    assert(auto === rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64))) // bit-stable
+  }
+
   test("LSH top-k recall against brute force (random vectors, lenient)") {
     val queries = embeddings.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding")

@@ -103,6 +103,24 @@ class PlanShapeSpec extends SparkSpec {
       s"cell self-join degraded to a product plan:\n$plan")
   }
 
+  test("round-10 gates: asymmetric PPJoin and kNN join stay equi-join " +
+      "plans — no product anywhere") {
+    // dedup_incremental_near: batch-prefix x corpus-prefix on the
+    // shingle hash; sim_knn_join: probe-bucket x corpus-bucket. Either
+    // degrading to a nested loop would pass correctness (the oracles
+    // replay whatever the candidates compute) while silently reverting
+    // the continuous-ingest / kNN-graph cost shape.
+    for (q <- Seq("dedup_incremental_near", "sim_knn_join")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf001))
+      assert(plan.contains("Join"), s"$q: expected candidate joins:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"$q: degraded to a product plan:\n$plan")
+    }
+    // q_bucketed_join pins its own zero-Exchange shape via the require()
+    // inside the registered query — executing it here is the assert.
+    SparkEntry.queries("q_bucketed_join")(spark, sf001).collect()
+  }
+
   test("change-log compaction family: ONE exchange end to end " +
       "(the single-shuffle contract the operator docs promise)") {
     // latestSnapshot / compactBatch are map-side-combinable hash aggs:

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build/probe split for the on-disk PPJoin n-gram index (BASELINE.md
+  * round-10): writeNgramIndex once per corpus version vs
+  * probeNgramIndex per arriving batch — the number that justifies the
+  * persisted index is the probe wall, not the combined one-shot wall.
+  *
+  * Usage: NgramIndexBench <sfStyleDir> [outPath]
+  * Split: doc_id % 10 == 0 arrives, the rest is the corpus (the
+  * dedup_incremental_* gate convention).
+  */
+object NgramIndexBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val out = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_ngram_idx").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        String.valueOf(64L * 1024 * 1024))
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val d = Tables(spark, dir, "documents")
+    val corpus = d.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = d.filter(pmod($"doc_id", lit(10)) === 0)
+    val nC = corpus.count(); val nB = batch.count()
+
+    // `reuse` third arg: probe an existing index from a fresh JVM (the
+    // real arrival shape — the builder JVM is long gone when a batch
+    // lands)
+    val reuse = args.length > 2 && args(2) == "reuse" &&
+      new java.io.File(s"$out/df").exists()
+    val buildWall = if (reuse) 0.0 else {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.writeNgramIndex(corpus, out, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def probeOnce(): (Double, Long) = {
+      val t = System.nanoTime()
+      val r = graft.operators.Dedup.probeNgramIndex(spark, out, batch,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val n = r.count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    val (cold, rows) = probeOnce()
+    val (w1, _) = probeOnce()
+    val (w2, _) = probeOnce()
+    val idxBytes = graft.operators.Tune.parquetBytes(out)
+    println(f"""{"dir":"$dir","layout":"parquet","n_corpus":$nC,"n_batch":$nB,"build_sec":$buildWall%.1f,"probe_cold_sec":$cold%.1f,"probe_warm_sec":${math.min(w1, w2)}%.1f,"pairs":$rows,"index_bytes":$idxBytes}""")
+
+    // the bucketed-catalog layout: bucketing survives the write/read
+    // boundary, so probes never re-shuffle the index side
+    val tb = System.nanoTime()
+    graft.operators.Dedup.writeNgramIndexBucketed(corpus, "bench_ngram_idx",
+      "doc_id", "text", n = 3, threshold = 0.5, buckets = cpus.toInt)
+    val buildBkt = (System.nanoTime() - tb) / 1e9
+    def probeBkt(): (Double, Long) = {
+      val t = System.nanoTime()
+      val r = graft.operators.Dedup.probeNgramIndexBucketed(spark,
+        "bench_ngram_idx", batch, "doc_id", "text", n = 3, threshold = 0.5)
+      val n = r.count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    val (bCold, bRows) = probeBkt()
+    val (bw1, _) = probeBkt()
+    val (bw2, _) = probeBkt()
+    println(f"""{"dir":"$dir","layout":"bucketed","n_corpus":$nC,"n_batch":$nB,"build_sec":$buildBkt%.1f,"probe_cold_sec":$bCold%.1f,"probe_warm_sec":${math.min(bw1, bw2)}%.1f,"pairs":$bRows}""")
+    spark.stop()
+  }
+}

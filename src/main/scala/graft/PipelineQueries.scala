@@ -35,12 +35,13 @@ object PipelineQueries {
     */
   private val tmpIndexRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def tmpIndexPath(dir: String): String = {
+  private def tmpIndexPath(dir: String,
+      prefix: String = "graft_sign_index"): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val path = sys.props("java.io.tmpdir") +
-      s"/graft_sign_index_${digest}_pid${ProcessHandle.current().pid()}"
+      s"/${prefix}_${digest}_pid${ProcessHandle.current().pid()}"
     if (tmpIndexRegistered.add(path)) sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
@@ -571,6 +572,27 @@ object PipelineQueries {
         "doc_id", "text", n = 3, threshold = 0.5)
     },
 
+    // The STORAGE half of the ingest story: the corpus's PPJoin
+    // structures (df order / prefix / shingle arrays) are written as an
+    // on-disk index once per corpus version, and each arriving batch
+    // probes the index — same output contract (and byte-identical
+    // oracle text — one shared materialization in the gate engine) as
+    // dedup_incremental_near, through the persisted path instead of
+    // the recompute path.
+    "dedup_incremental_disk" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val batch = d.filter(pmod($"doc_id", lit(10)) === 0)
+      val path = tmpIndexPath(dir, "graft_ngram_index")
+      Dedup.writeNgramIndex(corpus, path, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val dup = Dedup.probeNgramIndex(s, path, batch, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select($"id_batch".as("doc_id")).distinct()
+      batch.select($"doc_id").join(dup, Seq("doc_id"), "left_anti")
+    },
+
     // Z-order (Morton) values over two key columns — the clustering key
     // behind multi-column file pruning; pure bitwise Column arithmetic,
     // oracle-replicated with the same magic-number spreads in DuckDB.
@@ -954,6 +976,24 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
         |      AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** Shared by `dedup_incremental_near` (recompute path) and
+    * `dedup_incremental_disk` (persisted-index path): both promise the
+    * batch docs with no cross-split near-dup. Defined ABOVE the oracle
+    * map that references it (a val referenced before definition inside
+    * the same object captures null — the ComponentsOracle lesson).
+    */
+  private val IncrementalNearOracle: String = Shingles +
+    """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+      |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 10 = 0 AND doc_id NOT IN (
+      |  SELECT id_a FROM pairs WHERE id_a % 10 = 0 AND id_b % 10 <> 0
+      |  UNION SELECT id_b FROM pairs WHERE id_b % 10 = 0 AND id_a % 10 <> 0)""".stripMargin
 
   /** Full-probe-set kNN-join oracle: same integer-exact bucket
     * re-derivation as [[lshTopKOracle]], but every vector is a probe
@@ -1340,18 +1380,11 @@ object PipelineQueries {
 
     // reuses the byte-identical sh + pairs fragments (the cross-split
     // near-dup set is the global pair set restricted to mixed-parity
-    // pairs), so --memo-pairs covers this oracle at sf0.1 too
-    "dedup_incremental_near" -> (Shingles +
-      """,
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
-        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (
-        |  SELECT id_a FROM pairs WHERE id_a % 10 = 0 AND id_b % 10 <> 0
-        |  UNION SELECT id_b FROM pairs WHERE id_b % 10 = 0 AND id_a % 10 <> 0)""".stripMargin),
+    // pairs), so --memo-pairs covers this oracle at sf0.1 too. The
+    // disk-index gate shares the IDENTICAL text (one materialization):
+    // the persisted path promises the same rows as the recompute path.
+    "dedup_incremental_near" -> IncrementalNearOracle,
+    "dedup_incremental_disk" -> IncrementalNearOracle,
 
     "dedup_degree" -> (Shingles +
       """,

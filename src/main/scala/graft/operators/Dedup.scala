@@ -305,6 +305,136 @@ object Dedup {
       .select(col("id_batch"), col("id_corpus"), col("jaccard"))
   }
 
+  /** Persist the corpus side of [[ngramJaccardPairsAcross]] as an
+    * on-disk index — the amortization half of the continuous-ingest
+    * story. The asymmetric probe saves candidate-join mass, but the
+    * corpus-side work (shingling, df agg, prefix ranking) still
+    * dominates a one-shot call (measured: 21 s of the 500k-doc probe's
+    * wall is index build); writing it once per corpus version makes
+    * each arriving batch pay only its own (batch-sized) side.
+    *
+    * Layout under `path`: `df/` (h, df — the frozen global order),
+    * `prefix/` (id, n_sh, h — repartitioned by h, the probe join key,
+    * so a metastore deployment can declare it bucketed), `shingles/`
+    * (id, shingles, n_sh — the verify side, clustered by id).
+    */
+  def writeNgramIndex(corpus: DataFrame, path: String, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5): Unit = {
+    val (dfC, prefix, shC) = ngramIndexFrames(corpus, idCol, textCol, n,
+      threshold)
+    dfC.write.mode("overwrite").parquet(s"$path/df")
+    prefix.repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$path/prefix")
+    shC.repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Probe a [[writeNgramIndex]] index with an arriving batch: same
+    * output contract as [[ngramJaccardPairsAcross]] (the frozen
+    * (corpus-df, h) order is IN the index, so results are identical —
+    * asserted in PipelineSpec), but the corpus-side work is a read.
+    *
+    * NOTE plain parquet loses its partitioning on read, so this probe
+    * re-shuffles the index frames per call (measured 98 s cold / 29 s
+    * warm vs 48 s build at 500k docs); [[probeNgramIndexBucketed]] is
+    * the layout that actually makes probes cheap.
+    */
+  def probeNgramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    probeNgramFrames(spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/prefix"),
+      spark.read.parquet(s"$path/shingles"),
+      batch, idCol, textCol, n, threshold)
+
+  /** [[writeNgramIndex]] into BUCKETED catalog tables
+    * (`<tablePrefix>_df` / `_prefix` bucketed by `h`, `_shingles`
+    * bucketed by `id`): bucketing survives the write/read boundary, so
+    * a probe's joins read the index WITHOUT re-shuffling it — only the
+    * (small) arriving batch moves. This is the 100 TB layout; the plain
+    * parquet variant exists for catalog-less portability.
+    */
+  def writeNgramIndexBucketed(corpus: DataFrame, tablePrefix: String,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5, buckets: Int = 64): Unit = {
+    val (dfC, prefix, shC) = ngramIndexFrames(corpus, idCol, textCol, n,
+      threshold)
+    Bucketed.writeBucketed(dfC, s"${tablePrefix}_df", "h", buckets)
+    Bucketed.writeBucketed(prefix, s"${tablePrefix}_prefix", "h", buckets)
+    Bucketed.writeBucketed(shC, s"${tablePrefix}_shingles", "id", buckets)
+  }
+
+  /** Probe a [[writeNgramIndexBucketed]] index — identical rows to
+    * [[probeNgramIndex]]; the index side of every join is a bucketed
+    * scan (no Exchange on it, asserted in PipelineSpec).
+    */
+  def probeNgramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, batch: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    probeNgramFrames(spark.table(s"${tablePrefix}_df"),
+      spark.table(s"${tablePrefix}_prefix"),
+      spark.table(s"${tablePrefix}_shingles"),
+      batch, idCol, textCol, n, threshold)
+
+  /** The corpus-side index structures: (df table, prefix rows, shingle
+    * arrays) — shared by the parquet and bucketed writers.
+    */
+  private def ngramIndexFrames(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val shC = corpus
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+    val exC = shC
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("h"))
+    val dfC = exC.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = exC.join(dfC, "h")
+      .withColumn("rk", rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df").asc, col("h").asc)))
+    val prefix = ranked
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("n_sh"), col("h"))
+    (dfC, prefix, shC)
+  }
+
+  private def probeNgramFrames(dfC: DataFrame, prefixC: DataFrame,
+      shC: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val shB = batch
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_sh", size(col("shingles")))
+    val exB = shB
+      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("h"))
+    val rankedB = exB.join(dfC, Seq("h"), "left")
+      .withColumn("dfo", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("dfo").asc, col("h").asc)))
+    val prefixB = rankedB
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("n_sh"), col("h"))
+    val candidates = prefixB.as("b").join(prefixC.as("c"),
+        col("b.h") === col("c.h") &&
+          col("c.n_sh") * threshold <= col("b.n_sh") &&
+          col("b.n_sh") * threshold <= col("c.n_sh"))
+      .select(col("b.id").as("id_batch"), col("c.id").as("id_corpus"))
+      .distinct()
+    val sb = shB.select(col("id").as("id_batch"), col("shingles").as("sh_b"))
+    val sc = shC.select(col("id").as("id_corpus"), col("shingles").as("sh_c"))
+    candidates.join(sb, "id_batch").join(sc, "id_corpus")
+      .withColumn("jaccard",
+        graft.functions.TextExprs.jaccardSim(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_batch"), col("id_corpus"), col("jaccard"))
+  }
+
   /** Incremental NEAR-dup ingest filter: rows of `batch` with no corpus
     * near-duplicate at `threshold` ([[ngramJaccardPairsAcross]] probe +
     * one anti-join). The near-dup complement of [[incrementalNew]]'s

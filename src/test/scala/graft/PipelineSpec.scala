@@ -52,6 +52,61 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(newIds === batchIds -- across.map(_._1))
+    // the persisted index path returns the identical pair set: the
+    // frozen (corpus-df, h) order travels IN the index
+    val idx = java.nio.file.Files
+      .createTempDirectory("ngram_idx_spec").toString
+    try {
+      Dedup.writeNgramIndex(corpus, idx, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val plainProbe = Dedup.probeNgramIndex(spark, idx, batch,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val viaDisk = plainProbe
+        .select($"id_batch", $"id_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDisk === across)
+      // the bucketed-catalog layout: identical rows, and the index side
+      // of the joins keeps its bucketing across the write/read boundary
+      // — strictly fewer shuffles than the plain-parquet probe, whose
+      // index frames re-shuffle on every call
+      Dedup.writeNgramIndexBucketed(corpus, "spec_ngram_idx",
+        "doc_id", "text", n = 3, threshold = 0.5, buckets = 4)
+      try {
+        val bktProbe = Dedup.probeNgramIndexBucketed(spark,
+          "spec_ngram_idx", batch, "doc_id", "text", n = 3,
+          threshold = 0.5)
+        val viaBkt = bktProbe.select($"id_batch", $"id_corpus").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(viaBkt === across)
+        // at spec scale the tiny index frames BROADCAST, hiding the
+        // layout difference — force shuffle joins so the count compares
+        // the shapes a big index would actually produce
+        val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val exBkt = graft.operators.Bucketed.countExchanges(
+            Dedup.probeNgramIndexBucketed(spark, "spec_ngram_idx", batch,
+              "doc_id", "text", n = 3, threshold = 0.5))
+          val exPlain = graft.operators.Bucketed.countExchanges(
+            Dedup.probeNgramIndex(spark, idx, batch,
+              "doc_id", "text", n = 3, threshold = 0.5))
+          assert(exBkt < exPlain,
+            s"bucketed probe should shuffle less: $exBkt vs $exPlain")
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      } finally {
+        Seq("_df", "_prefix", "_shingles").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS spec_ngram_idx$s"))
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(idx))
+    }
   }
 
   test("fingerprint normalizes case + whitespace") {

@@ -207,7 +207,8 @@ def main():
         PAIR_QUERIES = ("dedup_ngram_pairs", "dedup_components",
                         "dedup_components_star", "dedup_degree",
                         "dedup_representatives", "pipeline_hygiene",
-                        "pipeline_leakage_split", "dedup_incremental_near")
+                        "pipeline_leakage_split", "dedup_incremental_near",
+                        "dedup_incremental_disk")
         stale = [q for q in PAIR_QUERIES
                  if q in oracle and "__memo_pairs" not in eff_sql[q]]
         if stale:

@@ -44,14 +44,24 @@ object StreamScaleBench {
     val srcDir = s"$sfDir/events.parquet"
     val maxFiles = if (args.length > 1) args(1).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_STORE=rocksdb switches the stateful phases to
+    // the RocksDB provider — state lives on local disk with a bounded
+    // in-memory working set, the provider a 100 TB deployment runs when
+    // per-partition state outgrows executor heap (the HDFS-backed
+    // default keeps every partition's map on-heap).
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -163,7 +173,7 @@ object StreamScaleBench {
       .select($"user_id", $"n_events", $"n_sessions")
     val diff = finalPerUser.exceptAll(batchSess).count() +
       batchSess.exceptAll(finalPerUser).count()
-    println(f"""{"phase":"sessionize_backfill","src":"$srcDir","n_events":$nEvents,"wall_sec":$sWall%.1f,"batches":$sBatches,"state_rows":$sRows,"state_mem_bytes":$sMem,"mismatch_rows_vs_batch":$diff}""")
+    println(f"""{"phase":"sessionize_backfill","state_store":"$stateStore","src":"$srcDir","n_events":$nEvents,"wall_sec":$sWall%.1f,"batches":$sBatches,"state_rows":$sRows,"state_mem_bytes":$sMem,"mismatch_rows_vs_batch":$diff}""")
 
     // ---- phase 3: the production 2 h watermark — bounded state via
     // event-time eviction (state carries watermark-live users only; no
@@ -172,7 +182,7 @@ object StreamScaleBench {
     val (wWall, wBatches, wRows, wMem) =
       sessionStream(chronoDir, "2 hours", s"$scratch/sessions_wm",
         s"$scratch/ckpt_sess_wm", chronoMax)
-    println(f"""{"phase":"sessionize_watermark","src":"$srcDir","n_events":$nEvents,"wall_sec":$wWall%.1f,"batches":$wBatches,"state_rows":$wRows,"state_mem_bytes":$wMem}""")
+    println(f"""{"phase":"sessionize_watermark","state_store":"$stateStore","src":"$srcDir","n_events":$nEvents,"wall_sec":$wWall%.1f,"batches":$wBatches,"state_rows":$wRows,"state_mem_bytes":$wMem}""")
 
     spark.stop()
   }

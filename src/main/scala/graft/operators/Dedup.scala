@@ -265,44 +265,12 @@ object Dedup {
   def ngramJaccardPairsAcross(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    def shingleSide(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("n_sh", size(col("shingles")))
-    def hashed(sh: DataFrame) = sh
-      .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-      .select(col("id"), col("n_sh"), xxhash64(col("sh")).as("h"))
-    val shC = shingleSide(corpus)
-    val shB = shingleSide(batch)
-    val exC = hashed(shC)
-    val exB = hashed(shB)
-    val dfC = exC.groupBy("h").agg(count(lit(1)).as("df"))
-    def prefixOf(ex: DataFrame, joinType: String) = {
-      val ranked = ex.join(dfC, Seq("h"), joinType)
-        .withColumn("dfo", coalesce(col("df"), lit(0L)))
-        .withColumn("rk", rank().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("id")
-            .orderBy(col("dfo").asc, col("h").asc)))
-      ranked.filter(
-          col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
-        .select(col("id"), col("n_sh"), col("h"))
-    }
-    val pC = prefixOf(exC, "inner") // index-build side: df always present
-    val pB = prefixOf(exB, "left")  // probe side: unseen shingles → df 0
-    val candidates = pB.as("b").join(pC.as("c"),
-        col("b.h") === col("c.h") &&
-          col("c.n_sh") * threshold <= col("b.n_sh") &&
-          col("b.n_sh") * threshold <= col("c.n_sh"))
-      .select(col("b.id").as("id_batch"), col("c.id").as("id_corpus"))
-      .distinct()
-    val sb = shB.select(col("id").as("id_batch"), col("shingles").as("sh_b"))
-    val sc = shC.select(col("id").as("id_corpus"), col("shingles").as("sh_c"))
-    candidates.join(sb, "id_batch").join(sc, "id_corpus")
-      .withColumn("jaccard",
-        graft.functions.TextExprs.jaccardSim(col("sh_b"), col("sh_c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_batch"), col("id_corpus"), col("jaccard"))
+    // one-shot form of the persisted-index pair: build the corpus
+    // frames in-plan, probe immediately (identical rows to the
+    // write/read paths — asserted in PipelineSpec)
+    val (dfC, prefixC, shC) = ngramIndexFrames(corpus, idCol, textCol, n,
+      threshold)
+    probeNgramFrames(dfC, prefixC, shC, batch, idCol, textCol, n, threshold)
   }
 
   /** Persist the corpus side of [[ngramJaccardPairsAcross]] as an

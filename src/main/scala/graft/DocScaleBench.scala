@@ -34,15 +34,20 @@ object DocScaleBench {
     // DERIVED from the input bytes (graft.operators.Tune — the lesson
     // as engine policy); the env knob remains as an explicit override.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      // the expansion factor is calibrated for the documents family's
+      // wide stages — derive only from documents.parquet; a dir without
+      // one keeps the plain core-count default (summing unrelated
+      // tables under a PPJoin factor would wildly over-provision)
       val docBytes = graft.operators.Tune.parquetBytes(s"$dir/documents.parquet")
-      val inBytes = if (docBytes > 0) docBytes
-                    else graft.operators.Tune.parquetBytes(dir)
-      val derived = graft.operators.Tune.shufflePartitions(
-        inBytes, graft.operators.Tune.PpjoinShuffleExpansion,
-        floor = cpus.toInt)
-      System.err.println(s"[docscale] derived shuffle partitions: $derived" +
-        s" (input $inBytes B x ${graft.operators.Tune.PpjoinShuffleExpansion})")
-      derived.toString
+      if (docBytes > 0) {
+        val derived = graft.operators.Tune.shufflePartitions(
+          docBytes, graft.operators.Tune.PpjoinShuffleExpansion,
+          floor = cpus.toInt)
+        System.err.println(s"[docscale] derived shuffle partitions: " +
+          s"$derived (input $docBytes B x " +
+          s"${graft.operators.Tune.PpjoinShuffleExpansion})")
+        derived.toString
+      } else cpus
     })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

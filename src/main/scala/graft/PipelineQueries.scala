@@ -35,19 +35,31 @@ object PipelineQueries {
     */
   private val tmpIndexRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
   private def tmpIndexPath(dir: String,
       prefix: String = "graft_sign_index"): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val path = sys.props("java.io.tmpdir") +
-      s"/${prefix}_${digest}_pid${ProcessHandle.current().pid()}"
-    if (tmpIndexRegistered.add(path)) sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(path))
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val stem = s"${prefix}_$digest"
+    val path = s"$tmp/${stem}_pid${ProcessHandle.current().pid()}"
+    if (tmpIndexRegistered.add(path)) {
+      // a SIGKILL'd/OOM-killed run never fires its shutdown hook —
+      // reclaim same-corpus siblings whose owning pid is gone, so
+      // orphans are bounded at one generation instead of accumulating
+      Option(tmp.listFiles()).foreach(_.foreach { f =>
+        val nm = f.getName
+        if (nm.startsWith(stem + "_pid") && f.getPath != path) {
+          val alive = nm.stripPrefix(stem + "_pid").toLongOption
+            .exists(p => ProcessHandle.of(p).isPresent)
+          if (!alive) rmTree(f)
+        }
+      })
+      sys.addShutdownHook(rmTree(new java.io.File(path)))
     }
     path
   }

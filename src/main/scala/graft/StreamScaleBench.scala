@@ -19,12 +19,14 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *     the direct batch latest-per-key snapshot (count + exact-decimal
   *     value checksum must match).
   *  2. `sessionize_backfill` — stateful sessionization
-  *     (flatMapGroupsWithState) with a RETAIN-ALL watermark: the
-  *     correct setting for replaying history (eviction mid-backfill
-  *     would both drop late files as the replica's part files arrive in
-  *     arbitrary time order, and reset returning users' counts). State
-  *     store holds every user; the final per-user emission is checked
-  *     ROW-FOR-ROW equal to the batch gaps-and-islands sessionization.
+  *     (flatMapGroupsWithState) with a RETAIN-ALL watermark — the
+  *     correct setting for replaying history, where eviction would
+  *     reset returning users' counts mid-replay. Streams the
+  *     CHRONOLOGICAL copy (see below — the raw replica's interleaved
+  *     file order violates the state API's in-order-per-key contract,
+  *     independent of watermarking). State store holds every user; the
+  *     final per-user emission is checked ROW-FOR-ROW equal to the
+  *     batch gaps-and-islands sessionization.
   *  3. `sessionize_watermark` — the production shape: the same operator
   *     with its 2 h watermark over a CHRONOLOGICAL copy of the replica
   *     (time-bucketed files written in ascending order — the shape a
@@ -68,6 +70,7 @@ object StreamScaleBench {
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stream_scale").toString
     val nEvents = Tables.read(spark, srcDir).count()
+    require(nEvents > 0, s"no events under $srcDir")
 
     // ---- phase 1: foreachBatch upsert through the streaming engine
     val t0 = System.nanoTime()
@@ -145,9 +148,14 @@ object StreamScaleBench {
       .agg(min($"us").as("lo"), max($"us").as("hi")).collect()(0)
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val nBuckets = 50
-    val evB = ev.withColumn("__bkt", least(lit(nBuckets - 1),
+    // coalesce: a NULL ts must not silently vanish from the copy (the
+    // equality check compares against sessionizeBatch over ALL rows) —
+    // null-ts rows land in bucket 0, matching their null-first order
+    // in the session sort
+    val evB = ev.withColumn("__bkt", coalesce(least(lit(nBuckets - 1),
       floor((graft.functions.TimeFunctions.epochMicros(ev, "ts")
-        .cast("double") - lo) / ((hi - lo) / nBuckets + 1e-9)).cast("int")))
+        .cast("double") - lo) / ((hi - lo) / nBuckets + 1e-9)).cast("int")),
+      lit(0)))
     (0 until nBuckets).foreach { k =>
       evB.filter($"__bkt" === k).drop("__bkt")
         .coalesce(1).write.mode("append").parquet(chronoDir)
@@ -173,7 +181,7 @@ object StreamScaleBench {
       .select($"user_id", $"n_events", $"n_sessions")
     val diff = finalPerUser.exceptAll(batchSess).count() +
       batchSess.exceptAll(finalPerUser).count()
-    println(f"""{"phase":"sessionize_backfill","state_store":"$stateStore","src":"$srcDir","n_events":$nEvents,"wall_sec":$sWall%.1f,"batches":$sBatches,"state_rows":$sRows,"state_mem_bytes":$sMem,"mismatch_rows_vs_batch":$diff}""")
+    println(f"""{"phase":"sessionize_backfill","state_store":"$stateStore","src":"$chronoDir (chronological copy of $srcDir)","n_events":$nEvents,"wall_sec":$sWall%.1f,"batches":$sBatches,"state_rows":$sRows,"state_mem_bytes":$sMem,"mismatch_rows_vs_batch":$diff}""")
 
     // ---- phase 3: the production 2 h watermark — bounded state via
     // event-time eviction (state carries watermark-live users only; no
@@ -182,7 +190,7 @@ object StreamScaleBench {
     val (wWall, wBatches, wRows, wMem) =
       sessionStream(chronoDir, "2 hours", s"$scratch/sessions_wm",
         s"$scratch/ckpt_sess_wm", chronoMax)
-    println(f"""{"phase":"sessionize_watermark","state_store":"$stateStore","src":"$srcDir","n_events":$nEvents,"wall_sec":$wWall%.1f,"batches":$wBatches,"state_rows":$wRows,"state_mem_bytes":$wMem}""")
+    println(f"""{"phase":"sessionize_watermark","state_store":"$stateStore","src":"$chronoDir (chronological copy of $srcDir)","n_events":$nEvents,"wall_sec":$wWall%.1f,"batches":$wBatches,"state_rows":$wRows,"state_mem_bytes":$wMem}""")
 
     spark.stop()
   }

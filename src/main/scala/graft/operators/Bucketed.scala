@@ -25,9 +25,13 @@ object Bucketed {
       buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // resolve the managed location through the catalog, not by string
+    // concatenation — honors the current database and db-qualified
+    // names (<warehouse>/<db>.db/<t>), where a hardcoded
+    // <warehouse>/<t> would miss (or worse, hit an unrelated dir)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

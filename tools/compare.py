@@ -243,6 +243,20 @@ def main():
     for q, err in run_errors.items():
         results[q] = {"status": "run_failed", "err": "run_failed",
                       "error": str(err)[:300], "ok": False}
+    def release(name):
+        # a query is DONE with its oracle text — on EVERY exit path, not
+        # just the full compare: a sharing query that crashed (marker /
+        # empty dir / oracle_error) must still release the shared memo,
+        # else exactly the degraded runs keep the big pair tables alive
+        # to the end of the run
+        sql = eff_sql.get(name)
+        if sql is None:
+            return
+        uses_left[sql] -= 1
+        if uses_left[sql] <= 0 and sql in memo_tables:
+            drop_o(con)
+            con.execute(f"DROP TABLE IF EXISTS {memo_tables.pop(sql)}")
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -259,6 +273,7 @@ def main():
                              "error": "output dir exists but contains no "
                                       "parquet (marker write also failed)",
                              "ok": False}
+            release(name)
             continue
         # Verify writes a one-column marker frame when the query itself
         # crashed — report it as an explicit run failure, never a pass
@@ -267,6 +282,7 @@ def main():
             msg = pandas_rows(files)[0][0][0]
             results[name] = {"status": "run_failed", "err": "run_failed",
                              "error": str(msg)[:300], "ok": False}
+            release(name)
             continue
         if name not in oracle:
             n = con.execute(
@@ -292,6 +308,7 @@ def main():
                 con.execute("CREATE TEMP TABLE __o AS " + sql)
         except Exception as e:
             results[name] = {"status": "oracle_error", "error": str(e)[:300]}
+            release(name)
             continue
 
         # path A: pandas read of mine vs duckdb .df() of oracle, str canon
@@ -329,10 +346,7 @@ def main():
         # this query is done with __o — free a repeated-text memo as
         # soon as its last user has run (bounds peak memory to the
         # concurrently-live memos, not the whole run's oracle set)
-        uses_left[sql] -= 1
-        if uses_left[sql] <= 0 and sql in memo_tables:
-            drop_o(con)
-            con.execute(f"DROP TABLE IF EXISTS {memo_tables.pop(sql)}")
+        release(name)
     # any oracle-registered query with neither an output dir nor a
     # run_errors entry is MISSING — absent is never a pass
     for q in oracle:

@@ -208,8 +208,8 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.scaledPlanes(10) === 4)
     assert(Dedup.scaledPlanes(Long.MaxValue) === 48)
     // overflow regime: occ × 2^p exceeds Long — the division form must
-    // stay exact (Long.MaxValue = (2^32+1)·(2^31-1) exactly, so the
-    // rule wants the smallest p with 2^p ≥ 2^32+1 = 33); the old
+    // stay exact: ceil(Long.MaxValue / Int.MaxValue) = 2^32+3, so the
+    // rule wants the smallest p with 2^p ≥ that, i.e. 33; the old
     // product form went negative here and clamped to maxPlanes
     assert(Dedup.scaledPlanes(Long.MaxValue, targetOccupancy = Int.MaxValue)
       === 33)

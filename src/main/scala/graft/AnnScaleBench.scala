@@ -118,6 +118,23 @@ object AnnScaleBench {
     run(s"knn_join_scaled_p${bandPlanes}h1_k3", () =>
       Similarity.knnJoin(e, knnProbes, k = 3, dims = 64,
         numPlanes = bandPlanes, probeHamming = 1))
+    // measured recall of the scaled-planes default vs brute force, on a
+    // 200-probe sample (per-probe recall is independent of the probe
+    // set, and brute over the FULL self-join would be O(n²)); the
+    // anti-quadratic wall is only meaningful if this number holds up
+    locally {
+      val sProbes = e.filter($"vec_id" < 200)
+        .select($"vec_id".as("qid"), $"embedding")
+      val brute = Similarity.bruteForceTopK(e, sProbes, k = 3)
+        .select($"qid", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val knn = Similarity.knnJoin(e, sProbes, k = 3, dims = 64,
+          numPlanes = bandPlanes, probeHamming = 1)
+        .select($"qid", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = knn.intersect(brute).size.toDouble / brute.size
+      println(f"""{"label":"$label","n":$n,"config":"knn_join_scaled_p${bandPlanes}h1_k3_recall_s200","recall":$rec%.3f}""")
+    }
 
     if (n <= 50000)
       run("embed_pairs_fixed_b16p6", () =>

@@ -79,6 +79,22 @@ object NgramIndexBench {
     val (bw1, _) = probeBkt()
     val (bw2, _) = probeBkt()
     println(f"""{"dir":"$dir","layout":"bucketed","n_corpus":$nC,"n_batch":$nB,"build_sec":$buildBkt%.1f,"probe_cold_sec":$bCold%.1f,"probe_warm_sec":${math.min(bw1, bw2)}%.1f,"pairs":$bRows}""")
+
+    // cleanup: repeated runs must not accumulate state. Drop the
+    // bench's bucketed catalog tables (managed — DROP removes their
+    // warehouse dirs), and when no explicit outPath was given, remove
+    // the default temp index dir too. An explicit outPath is kept on
+    // purpose — it's what the `reuse` mode probes from a fresh JVM.
+    Seq("df", "prefix", "shingles").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS bench_ngram_idx_$s")
+    }
     spark.stop()
+    if (args.length <= 1) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
   }
 }

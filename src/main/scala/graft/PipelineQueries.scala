@@ -64,6 +64,20 @@ object PipelineQueries {
     path
   }
 
+  /** Catalog-table prefix for the `dedup_incremental_bucketed` gate's
+    * scratch index — digest-keyed by the corpus dir so the name is a
+    * valid SQL identifier unique per SF. No pid suffix: the gate DROPs
+    * the three tables eagerly after materializing its probe result,
+    * and `writeBucketed` self-heals a stale managed location left
+    * behind by a killed run, so names can be reused safely.
+    */
+  private def bucketedIndexName(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_ngram_bkt_$digest"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- text analysis ----------------
@@ -603,6 +617,57 @@ object PipelineQueries {
           n = 3, threshold = 0.5)
         .select($"id_batch".as("doc_id")).distinct()
       batch.select($"doc_id").join(dup, Seq("doc_id"), "left_anti")
+    },
+
+    // The BUCKETED-catalog layout of the same persisted index — the
+    // layout a real ingest deployment lands on (measured 5.6× cheaper
+    // cold probe than plain parquet at 500k docs, BASELINE.md):
+    // bucketing survives the write/read boundary, so every probe join
+    // scans the index with NO Exchange on the index side — only the
+    // arriving batch moves. Same split and byte-identical oracle text
+    // as the near/disk siblings (one shared materialization in the
+    // gate engine). The probe result is materialized eagerly so the
+    // scratch catalog tables can be dropped before returning.
+    "dedup_incremental_bucketed" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val batch = d.filter(pmod($"doc_id", lit(10)) === 0)
+      val prefix = bucketedIndexName(dir)
+      Dedup.writeNgramIndexBucketed(corpus, prefix, "doc_id", "text",
+        n = 3, threshold = 0.5, buckets = 16)
+      val dup = Dedup.probeNgramIndexBucketed(s, prefix, batch,
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select($"id_batch".as("doc_id")).distinct()
+      val res = batch.select($"doc_id")
+        .join(dup, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      Seq("df", "prefix", "shingles").foreach { sfx =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_$sfx"): Unit
+      }
+      res
+    },
+
+    // Incremental near-dup ingest for EMBEDDINGS through the PERSISTED
+    // sign index (the vector mirror of dedup_incremental_disk): the
+    // corpus is written partitioned by its exact-integer 6-plane
+    // Rademacher bucket (writeSignIndex) once, and the arriving batch
+    // (vec_id % 10 == 0) probes it with hamming≤1 multi-probe — batch ×
+    // corpus-bucket equi-join only, never corpus×corpus. The oracle
+    // replays the signature bit-for-bit (round(x*1e7) quantization,
+    // md5-bit signs, seed 42) and the cosine verify at 0.4, so the
+    // genuinely-new id set is fully hash-checked.
+    "dedup_incremental_embed" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.filter(pmod($"vec_id", lit(10)) =!= 0)
+      val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+      val path = tmpIndexPath(dir, "graft_embed_ingest")
+      Similarity.writeSignIndex(corpus, path, dims = 64, numPlanes = 6,
+        seed = 42L)
+      Dedup.incrementalNewNearDupEmbedDisk(s, path, batch,
+        "vec_id", "embedding", dims = 64, numPlanes = 6,
+        threshold = 0.4, probeHamming = 1, seed = 42L)
     },
 
     // Z-order (Morton) values over two key columns — the clustering key
@@ -1397,6 +1462,7 @@ object PipelineQueries {
     // the persisted path promises the same rows as the recompute path.
     "dedup_incremental_near" -> IncrementalNearOracle,
     "dedup_incremental_disk" -> IncrementalNearOracle,
+    "dedup_incremental_bucketed" -> IncrementalNearOracle,
 
     "dedup_degree" -> (Shingles +
       """,
@@ -1903,6 +1969,48 @@ object PipelineQueries {
     "sim_topk_lsh" -> lshTopKOracle(8),
 
     "sim_knn_join" -> knnJoinOracle(8, 3),
+
+    // The embedding ingest probe: single 6-plane signature (seed 42 —
+    // the writeSignIndex layout), batch = vec_id % 10 == 0, hamming≤1
+    // multi-probe on the batch side, exact cosine ≥ 0.4 verify, then
+    // NOT IN → the genuinely-new arrivals. Bit-exact: the signature is
+    // the same round(x*1e7)/md5-sign integer arithmetic both engines
+    // compute.
+    "dedup_incremental_embed" ->
+      """WITH signs AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(6) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.p),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |flips AS (
+        |  SELECT 0::BIGINT AS f
+        |  UNION ALL SELECT (1::BIGINT << i) FROM range(6) t(i)),
+        |dup AS (
+        |  SELECT DISTINCT bs.vec_id
+        |  FROM sigs bs
+        |  CROSS JOIN flips f
+        |  JOIN sigs cs ON cs.sig = xor(bs.sig, f.f)
+        |  JOIN embeddings be ON be.vec_id = bs.vec_id
+        |  JOIN embeddings ce ON ce.vec_id = cs.vec_id
+        |  WHERE bs.vec_id % 10 = 0 AND cs.vec_id % 10 <> 0
+        |    AND list_cosine_similarity(be.embedding, ce.embedding) >= 0.4)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id % 10 = 0
+        |  AND e.vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
 
     // the on-disk partition-pruned probe replays its 6-plane index
     "sim_topk_disk" -> lshTopKOracle(6)

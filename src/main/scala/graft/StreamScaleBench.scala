@@ -148,14 +148,16 @@ object StreamScaleBench {
       .agg(min($"us").as("lo"), max($"us").as("hi")).collect()(0)
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val nBuckets = 50
-    // coalesce: a NULL ts must not silently vanish from the copy (the
-    // equality check compares against sessionizeBatch over ALL rows) —
-    // null-ts rows land in bucket 0, matching their null-first order
-    // in the session sort
-    val evB = ev.withColumn("__bkt", coalesce(least(lit(nBuckets - 1),
-      floor((graft.functions.TimeFunctions.epochMicros(ev, "ts")
-        .cast("double") - lo) / ((hi - lo) / nBuckets + 1e-9)).cast("int")),
-      lit(0)))
+    // a NULL ts must not silently vanish from the copy (the equality
+    // check compares against sessionizeBatch over ALL rows) — null-ts
+    // rows land in bucket 0, matching their null-first order in the
+    // session sort. The coalesce sits INSIDE the least(): least()
+    // skips null args, so least(n-1, null) would be n-1, routing null
+    // ts to the LAST bucket and making an outer coalesce dead code.
+    val evB = ev.withColumn("__bkt", least(lit(nBuckets - 1),
+      coalesce(floor((graft.functions.TimeFunctions.epochMicros(ev, "ts")
+        .cast("double") - lo) / ((hi - lo) / nBuckets + 1e-9)).cast("int"),
+        lit(0))))
     (0 until nBuckets).foreach { k =>
       evB.filter($"__bkt" === k).drop("__bkt")
         .coalesce(1).write.mode("append").parquet(chronoDir)
@@ -191,6 +193,81 @@ object StreamScaleBench {
       sessionStream(chronoDir, "2 hours", s"$scratch/sessions_wm",
         s"$scratch/ckpt_sess_wm", chronoMax)
     println(f"""{"phase":"sessionize_watermark","state_store":"$stateStore","src":"$chronoDir (chronological copy of $srcDir)","n_events":$nEvents,"wall_sec":$wWall%.1f,"batches":$wBatches,"state_rows":$wRows,"state_mem_bytes":$wMem}""")
+
+    // generic append-mode runner for the remaining stateful operators
+    // (dedup / stream-stream join): parquet sink, AvailableNow, same
+    // state metrics as sessionStream
+    def appendStream(dir: String, outDir: String, ckpt: String,
+        filesPerTrigger: Int)(xform: DataFrame => DataFrame)
+        : (Double, Long, Long, Long) = {
+      val schema = spark.read.parquet(dir).schema
+      val events = graft.Tables.normalize(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir))
+      val t = System.nanoTime()
+      val q = xform(events).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t) / 1e9
+      val st = q.recentProgress.reverse
+        .find(p => p.stateOperators.nonEmpty &&
+          p.stateOperators(0).numRowsTotal > 0)
+        .map(_.stateOperators(0))
+      (wall, q.recentProgress.count(_.numInputRows > 0).toLong,
+        st.map(_.numRowsTotal).getOrElse(-1L),
+        st.map(_.memoryUsedBytes).getOrElse(-1L))
+    }
+
+    // ---- phase 4: payload-fingerprint dedup through the engine.
+    // Retain-all watermark ⇒ global dedup, so the emitted fingerprint
+    // set must equal the batch dropDuplicates("fp") set EXACTLY (and
+    // the emitted row count must equal the distinct-fp count — no
+    // double emission, no loss). Then the production 2 h watermark for
+    // the bounded-state row (no equality claim: a payload recurring
+    // beyond the horizon is re-emitted by design).
+    val dedupOut = s"$scratch/dedup"
+    val (dWall, dBatches, dRows, dMem) =
+      appendStream(chronoDir, dedupOut, s"$scratch/ckpt_dedup", chronoMax)(
+        ev0 => graft.streaming.EventStreams.dedupStream(ev0,
+          watermark = "3650 days"))
+    val streamFp = spark.read.parquet(dedupOut)
+    val batchFp = graft.streaming.EventStreams.dedupStream(ev)
+      .select($"fp")
+    val dDiff = streamFp.select($"fp").exceptAll(batchFp).count() +
+      batchFp.exceptAll(streamFp.select($"fp")).count()
+    val dEmitted = streamFp.count()
+    println(f"""{"phase":"dedup_stream_retain_all","state_store":"$stateStore","src":"$chronoDir","n_events":$nEvents,"wall_sec":$dWall%.1f,"batches":$dBatches,"state_rows":$dRows,"state_mem_bytes":$dMem,"emitted":$dEmitted,"mismatch_fps_vs_batch":$dDiff}""")
+    val (dwWall, dwBatches, dwRows, dwMem) =
+      appendStream(chronoDir, s"$scratch/dedup_wm",
+        s"$scratch/ckpt_dedup_wm", chronoMax)(
+        ev0 => graft.streaming.EventStreams.dedupStream(ev0,
+          watermark = "2 hours"))
+    println(f"""{"phase":"dedup_stream_watermark","state_store":"$stateStore","src":"$chronoDir","n_events":$nEvents,"wall_sec":$dwWall%.1f,"batches":$dwBatches,"state_rows":$dwRows,"state_mem_bytes":$dwMem}""")
+
+    // ---- phase 5: stream-stream inner join (click→purchase
+    // attribution) with the PRODUCTION 2 h watermark — and still
+    // row-for-row equal to batch: delivery is chronological (bucketed
+    // files ≫ 2 h wide, watermark only advances between batches), so
+    // no event is ever late and every evicted click is older than any
+    // future purchase's window — eviction can't lose a match. Bounded
+    // state AND exact equality in one measured run.
+    val joinOut = s"$scratch/join"
+    val (jWall, jBatches, jRows, jMem) =
+      appendStream(chronoDir, joinOut, s"$scratch/ckpt_join", chronoMax)(
+        ev0 => graft.streaming.EventStreams.attributePurchases(ev0))
+    val streamJoin = spark.read.parquet(joinOut)
+      .select($"user_id", $"click_id", $"purchase_id")
+    val batchJoin = graft.streaming.EventStreams.attributePurchases(ev)
+      .select($"user_id", $"click_id", $"purchase_id")
+    val jDiff = streamJoin.exceptAll(batchJoin).count() +
+      batchJoin.exceptAll(streamJoin).count()
+    val jEmitted = streamJoin.count()
+    println(f"""{"phase":"join_stream_watermark","state_store":"$stateStore","src":"$chronoDir","n_events":$nEvents,"wall_sec":$jWall%.1f,"batches":$jBatches,"state_rows":$jRows,"state_mem_bytes":$jMem,"emitted":$jEmitted,"mismatch_rows_vs_batch":$jDiff}""")
 
     spark.stop()
   }

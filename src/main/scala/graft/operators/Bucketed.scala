@@ -24,12 +24,15 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // parse FIRST, then quote each part: backticking the whole name
+    // would treat "db.t" as a single-part identifier, dropping a
+    // different table than the one whose location is deleted below
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     // resolve the managed location through the catalog, not by string
     // concatenation — honors the current database and db-qualified
     // names (<warehouse>/<db>.db/<t>), where a hardcoded
     // <warehouse>/<t> would miss (or worse, hit an unrelated dir)
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -62,6 +62,9 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // hung-job guard: derive shuffle width from the input when the
+    // session never set one (no-op under any explicit configuration)
+    Tune.ensureShufflePartitions(df)
 
     val shingled = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
@@ -176,6 +179,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // hung-job guard (the 5M-doc postmortem's operator): size the
+    // shuffle width from the input when the session never set one
+    Tune.ensureShufflePartitions(df)
 
     val shingled = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
@@ -350,6 +356,9 @@ object Dedup {
   private def ngramIndexFrames(corpus: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double)
       : (DataFrame, DataFrame, DataFrame) = {
+    // covers every index build / one-shot-across entry: the corpus-side
+    // df agg + rank window is the widest stage of the family
+    Tune.ensureShufflePartitions(corpus)
     val shC = corpus
       .select(col(idCol).as("id"),
         TextFunctions.wordShingles(col(textCol), n).as("shingles"))
@@ -417,6 +426,99 @@ object Dedup {
     batch.select(col(idCol)).join(dup, Seq(idCol), "left_anti")
   }
 
+  /** Incremental NEAR-dup ingest for EMBEDDINGS: rows of `batch` with
+    * no sign-bucket near-duplicate (cosine ≥ `threshold`) already in
+    * `corpus` — the vector-side mirror of [[incrementalNewNearDup]].
+    * Candidates are a batch × corpus equi-join on the exact-integer
+    * Rademacher sign bucket, with multi-probe (hamming ≤
+    * `probeHamming`) applied on the BATCH side only: the corpus keeps a
+    * single frozen signature per row, which is what makes the persisted
+    * layout ([[incrementalNewNearDupEmbedDisk]]) write-once/probe-many.
+    * Never corpus×corpus — per-arrival cost is batch-sized, the
+    * continuous-ingest shape. Candidate generation moves only
+    * (id, bucket) rows; vectors join back by id for the cosine verify.
+    * Sides are assumed id-disjoint (the ingest contract). Returns the
+    * genuinely-new batch rows (`idCol` only).
+    */
+  def incrementalNewNearDupEmbed(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dims: Int, numPlanes: Int = 6,
+      threshold: Double = 0.4, probeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val index = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
+        .as("bucket"))
+    val qb = batchProbeBuckets(batch, idCol, vecCol, dims, numPlanes,
+      probeHamming, seed)
+    signNearDupNew(index, qb, batch, idCol, vecCol, threshold)
+  }
+
+  /** [[incrementalNewNearDupEmbed]] against a PERSISTED
+    * [[Similarity.writeSignIndex]] layout — the embedding side of the
+    * ingest storage story: the corpus is signed and partitioned by
+    * bucket once per corpus version, and each arriving batch probes the
+    * index paying only its own (batch-sized) signature work. When the
+    * batch's probe-bucket set is small, the scan is directory-pruned
+    * with a literal IN-filter (the [[Similarity.probeSignIndex]]
+    * shape); a large arrival batch touches most buckets, so past 1024
+    * distinct probe buckets the filter is skipped rather than exploding
+    * the literal list — at that occupancy pruning buys nothing anyway.
+    */
+  def incrementalNewNearDupEmbedDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String, dims: Int,
+      numPlanes: Int = 6, threshold: Double = 0.4, probeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val qb = batchProbeBuckets(batch, idCol, vecCol, dims, numPlanes,
+      probeHamming, seed)
+    val raw = spark.read.parquet(path)
+    val maxLits = 1024
+    val probed = qb.select("bucket").distinct().limit(maxLits + 1)
+      .collect().map(_.getLong(0))
+    val pruned =
+      if (probed.length <= maxLits) raw.filter(col("bucket").isin(probed: _*))
+      else raw
+    // partition-dir values type-infer as INT when they fit; normalize
+    // so the bucket join needs no implicit cast
+    val index = pruned.select(col("id"), col("vec"),
+      col("bucket").cast("long").as("bucket"))
+    signNearDupNew(index, qb, batch, idCol, vecCol, threshold)
+  }
+
+  /** Batch-side probe buckets: one signature per row, exploded over the
+    * hamming-ball XOR masks — slim (id, bucket) rows only; the vector
+    * never rides the explode.
+    */
+  private def batchProbeBuckets(batch: DataFrame, idCol: String,
+      vecCol: String, dims: Int, numPlanes: Int, probeHamming: Int,
+      seed: Long): DataFrame = {
+    val flips = Similarity.hammingFlips(numPlanes, probeHamming)
+    batch.select(col(idCol).as("bid"),
+        VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
+          .as("qsig"))
+      .withColumn("flip", explode(lit(flips.toArray)))
+      .select(col("bid"), col("qsig").bitwiseXOR(col("flip")).as("bucket"))
+  }
+
+  /** Shared verify + anti-join half of the embedding ingest probes:
+    * `index` carries (id, vec, bucket) corpus rows (in-plan or read
+    * from the persisted layout), `qb` the batch's (bid, bucket) probes.
+    */
+  private def signNearDupNew(index: DataFrame, qb: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val cand = index.select(col("bucket"), col("id").as("cid"))
+      .join(qb, Seq("bucket"))
+      .select(col("bid"), col("cid")).distinct()
+    val dup = cand
+      .join(index.select(col("id").as("cid"), col("vec").as("cvec")), "cid")
+      .join(batch.select(col(idCol).as("bid"), col(vecCol).as("bvec")),
+        "bid")
+      .filter(VectorFunctions.cosineSim(col("cvec"), col("bvec"))
+        >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    batch.select(col(idCol)).join(dup, Seq(idCol), "left_anti")
+  }
+
   /** Incremental ingest filter: rows of `batch` whose normalized
     * fingerprint is NOT already in `corpus` — one left-anti join on
     * 16-byte digests (the shuffle carries hashes, never documents; at
@@ -432,6 +534,22 @@ object Dedup {
     bf.join(cf, Seq("fp"), "left_anti").select(col(idCol), col("fp"))
   }
 
+  /** Eagerly materialize a frame and truncate its lineage — the
+    * iterative operators' per-round cut, without which the plan grows
+    * by one join per iteration (the classic iterative-Spark failure
+    * mode). Mode is deployment-derived: when the context has a
+    * checkpoint dir configured (`sparkContext.setCheckpointDir`), use a
+    * RELIABLE checkpoint — localCheckpoint blocks live on executors, so
+    * on a 1000-executor cluster any executor loss mid-iteration kills
+    * the job unrecoverably; a reliable checkpoint survives it. With no
+    * checkpoint dir (single-box, tests, bench) keep the fast
+    * executor-memory localCheckpoint default.
+    */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Connected components over near-dup pairs → duplicate CLUSTERS.
     *
     * Pair operators emit edges; a curation pipeline needs the cluster
@@ -443,9 +561,10 @@ object Dedup {
     * smallest label among itself and its neighbors until fixpoint, so
     * each component converges to its minimum member id (≤ diameter
     * iterations; near-dup clusters are shallow in practice). Each
-    * iteration is one equi-join + one aggregate, lineage truncated with
-    * an eager localCheckpoint so the plan doesn't grow by one join per
-    * iteration (the classic iterative-Spark failure mode). At larger
+    * iteration is one equi-join + one aggregate, lineage truncated each
+    * round via [[truncateLineage]] (reliable checkpoint when a
+    * checkpoint dir is configured, eager localCheckpoint otherwise) so
+    * the plan doesn't grow by one join per iteration. At larger
     * diameters swap in the large-star/small-star variant (Kiveris et
     * al., "Connected Components in MapReduce", public) — same join
     * primitive, O(log n) rounds.
@@ -459,12 +578,11 @@ object Dedup {
     // materialize the pair plan ONCE before mirroring it — the union
     // below reads it twice, and upstream pair generation (e.g. the
     // PPJoin pipeline) is the dominant cost of the whole operator
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(true)
-    val edges = p
+    val p = truncateLineage(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val edges = truncateLineage(p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // edges reused every iteration — cache once
+      .distinct()) // edges reused every iteration — cache once
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var iter = 0
@@ -473,10 +591,10 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("dcomp").as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = truncateLineage(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
-        .localCheckpoint(true) // truncate lineage; one action per iter
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next")))
+        // truncate lineage; one action per iter
       converged = updated.filter(col("next") < col("comp")).isEmpty
       labels = updated.select(col("id"), col("next").as("comp"))
       iter += 1
@@ -555,13 +673,13 @@ object Dedup {
       if (large) relinked
       else relinked.union(mins.select(col("src"), col("m").as("dst")))
     }
-    var edges = canon(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
-      .localCheckpoint(true)
+    var edges = truncateLineage(
+      canon(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))))
     var iter = 0
     var stable = false
     while (iter < maxIter && !stable) {
-      val next = canon(starStep(starStep(edges, large = true), large = false))
-        .localCheckpoint(true)
+      val next = truncateLineage(
+        canon(starStep(starStep(edges, large = true), large = false)))
       stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
       iter += 1

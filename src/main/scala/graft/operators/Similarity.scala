@@ -35,6 +35,25 @@ object Similarity {
   private val quantizerCache = scala.collection.concurrent.TrieMap
     .empty[(Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
 
+  /** Order-independent bounded training sample: rank rows by a hash of
+    * the vector itself and take the top-N. A bare `.limit(N)` is
+    * partition-order dependent — the same corpus written with a
+    * different file layout (or read on a different cluster layout)
+    * trains a DIFFERENT codebook, so two builds of "the same" index
+    * disagree. Hash-ranked top-N returns the identical sample for any
+    * physical layout; `orderBy(...).limit(n)` plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge — one
+    * narrow pass at train time only, no full sort shuffle). The vector
+    * column is the tiebreak for (astronomically rare) hash collisions
+    * at the boundary, making the pick fully deterministic.
+    */
+  private[operators] def deterministicSample(corpus: DataFrame,
+      vexpr: org.apache.spark.sql.Column, sampleN: Int): Array[Array[Float]] =
+    corpus.select(vexpr.as("v"))
+      .orderBy(xxhash64(col("v")), col("v"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+
   private[graft] def fitQuantizer(features: DataFrame, nlist: Int,
       seed: Long): org.apache.spark.ml.clustering.KMeansModel =
     quantizerCache.getOrElseUpdate(
@@ -291,8 +310,7 @@ object Similarity {
         preNormalized: Boolean = false): (Seq[Float], Seq[Float]) = {
       val vexpr =
         if (preNormalized) col(vecCol) else Embeddings.normalize(col(vecCol))
-      val sample = corpus.select(vexpr.as("v"))
-        .limit(sampleN).collect().map(_.getSeq[Float](0).toArray)
+      val sample = deterministicSample(corpus, vexpr, sampleN)
       val mins = Array.fill(dims)(Float.MaxValue)
       val maxs = Array.fill(dims)(Float.MinValue)
       sample.foreach { v =>
@@ -364,10 +382,8 @@ object Similarity {
         preNormalized: Boolean = false): Array[Float] = {
       val vexpr =
         if (preNormalized) col(vecCol) else Embeddings.normalize(col(vecCol))
-      val sample: Array[Array[Float]] = corpus
-        .select(vexpr.as("v"))
-        .limit(sampleN).collect()
-        .map(_.getSeq[Float](0).toArray)
+      val sample: Array[Array[Float]] =
+        deterministicSample(corpus, vexpr, sampleN)
       kmeansSub(sample, dims, m, ksub, seed, iters)
     }
 
@@ -474,10 +490,8 @@ object Similarity {
         vecCol: String = "embedding", iters: Int = 12,
         opqIters: Int = 6): (Array[Float], Array[Float]) = {
       import breeze.linalg.{svd, DenseMatrix, DenseVector}
-      val sample: Array[Array[Float]] = corpus
-        .select(Embeddings.normalize(col(vecCol)).as("v"))
-        .limit(sampleN).collect()
-        .map(_.getSeq[Float](0).toArray)
+      val sample: Array[Array[Float]] = deterministicSample(corpus,
+        Embeddings.normalize(col(vecCol)), sampleN)
       require(sample.nonEmpty, "empty training sample")
       var r = DenseMatrix.eye[Double](dims)
       def rotated(x: Array[Float]): Array[Float] = {

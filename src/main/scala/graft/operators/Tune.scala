@@ -54,6 +54,62 @@ object Tune {
     math.max(floor, math.min(parts, 1000000.0).toInt)
   }
 
+  /** Estimated bytes ENTERING a frame's plan: the sum of its leaf
+    * relations' Catalyst size estimates (file-source leaves report
+    * on-disk file bytes). Used by [[ensureShufflePartitions]] to size
+    * the shuffle width from what will actually be scanned.
+    */
+  def planInputBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    val tot = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (tot > BigInt(Long.MaxValue)) Long.MaxValue
+    else math.max(0L, tot.toLong)
+  }
+
+  /** First-action hook for the shingle-exploding operator entry points
+    * (the PPJoin/MinHash family): when the session's
+    * `spark.sql.shuffle.partitions` was never EXPLICITLY set, derive it
+    * from the bytes entering this plan and raise the session value —
+    * making the documented hung-job regime (68 GB shuffle over the
+    * 200-partition code default) un-enterable for library callers, not
+    * just the bench mains. An explicitly-configured value is never
+    * overridden: tuning wins over policy. Returns the partition count
+    * in effect. Raise-only: a small corpus keeps the code default (AQE
+    * coalesces over-provisioned shuffles down for free; what it cannot
+    * do is raise the initial width mid-query — see object doc).
+    */
+  def ensureShufflePartitions(df: org.apache.spark.sql.DataFrame,
+      expansion: Double = PpjoinShuffleExpansion,
+      targetPartitionBytes: Long = DefaultTargetPartitionBytes): Int =
+    ensureShufflePartitions(df.sparkSession, planInputBytes(df),
+      expansion, targetPartitionBytes)
+
+  /** Byte-level form of the guard (the df overload delegates here): the
+    * session-mutation seam, so the derivation at the measured decade
+    * points is testable without fabricating relations of exact sizes.
+    */
+  def ensureShufflePartitions(spark: org.apache.spark.sql.SparkSession,
+      inputBytes: Long, expansion: Double,
+      targetPartitionBytes: Long): Int = {
+    val key = "spark.sql.shuffle.partitions"
+    // RuntimeConfig.getAll lists only entries actually set (session or
+    // SparkConf) — the SQLConf code default (200) is absent from it
+    if (spark.conf.getAll.contains(key)) spark.conf.get(key).toInt
+    else {
+      val current = spark.conf.get(key).toInt
+      val floor = math.max(1, spark.sparkContext.defaultParallelism)
+      val derived = shufflePartitions(inputBytes, expansion,
+        floor, targetPartitionBytes)
+      if (derived > current) {
+        spark.conf.set(key, derived.toString)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"graft.Tune: derived spark.sql.shuffle.partitions=$derived " +
+            s"from plan input bytes (was unset; code default $current)")
+        derived
+      } else current
+    }
+  }
+
   /** On-disk bytes of a parquet table path (a single file or a
     * directory of part files) — plain java.io so it can run BEFORE the
     * SparkSession exists, which is when shuffle.partitions must be set.

@@ -324,6 +324,28 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("kNN join recall floor vs brute force (scaled-planes default)") {
+    import graft.operators.Similarity
+    // the default derives planes from corpus occupancy — this pins that
+    // the anti-quadratic config still FINDS things (a plane count
+    // runaway would keep the wall flat while recall silently collapsed;
+    // the measured 20k/200k recall rows live in BASELINE.md)
+    val probes = embeddings.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = Similarity.bruteForceTopK(embeddings, probes, k = 3)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val knn = Similarity.knnJoin(embeddings, probes, k = 3, dims = 64)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = knn.intersect(brute).size.toDouble / brute.size
+    // near-random vectors, single signature, hamming-1 multi-probe:
+    // the lshTopK floor precedent (0.2) applies — this is the
+    // worst-case geometry, not the clustered corpora the index targets
+    assert(recall >= 0.2, s"kNN join recall $recall")
+    assert(knn.nonEmpty)
+  }
+
   test("language ID: correct on real sentences, CJK via script") {
     val samples = Seq(
       ("the cat sat on the mat and it is that simple", "en"),

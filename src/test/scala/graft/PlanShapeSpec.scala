@@ -121,6 +121,24 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries("q_bucketed_join")(spark, sf001).collect()
   }
 
+  test("round-11 gate: bucketed-index ingest probe == recompute path, " +
+      "row for row") {
+    // dedup_incremental_bucketed persists the corpus PPJoin structures
+    // as bucketed catalog tables and probes them; its contract is
+    // byte-identical output to the in-memory asymmetric path (the
+    // driver enforces this with a shared oracle text — this is the same
+    // assert without the DuckDB round-trip, plus it exercises the
+    // write/read/drop lifecycle inside a test session).
+    val viaIndex = SparkEntry.queries("dedup_incremental_bucketed")(
+      spark, sf001).collect().map(_.getLong(0)).toSet
+    val recompute = SparkEntry.queries("dedup_incremental_near")(
+      spark, sf001).collect().map(_.getLong(0)).toSet
+    assert(viaIndex == recompute,
+      s"bucketed probe diverged: ${viaIndex.diff(recompute).take(5)} / " +
+        s"${recompute.diff(viaIndex).take(5)}")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("change-log compaction family: ONE exchange end to end " +
       "(the single-shuffle contract the operator docs promise)") {
     // latestSnapshot / compactBatch are map-side-combinable hash aggs:

@@ -54,4 +54,36 @@ class SignIndexSpec extends SparkSpec {
     assert(readFiles > 0 && readFiles < allFiles,
       s"probe must prune index partitions (read $readFiles of $allFiles)")
   }
+
+  test("embedding ingest probe: disk == in-memory, new ∪ dup partitions " +
+      "the batch, exact containment") {
+    val e = Tables(spark, sf001, "embeddings")
+    val corpus = e.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("embed_ingest").toString
+    Similarity.writeSignIndex(corpus, dir, dims = 64, numPlanes = 6)
+
+    val viaDisk = graft.operators.Dedup.incrementalNewNearDupEmbedDisk(
+        spark, dir, batch, "vec_id", "embedding", dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    val viaMem = graft.operators.Dedup.incrementalNewNearDupEmbed(
+        corpus, batch, "vec_id", "embedding", dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaDisk == viaMem,
+      "persisted-layout probe must be result-identical to the in-plan one")
+
+    // the kept set is exactly batch minus the flagged dups — and every
+    // EXACT duplicate planted across the split must be flagged (a
+    // same-vector pair shares its bucket at any plane count, and
+    // cosine(v, v) = 1 ≥ threshold, so exact dups cannot escape)
+    val batchIds = batch.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaMem.subsetOf(batchIds) && viaMem.nonEmpty)
+    val planted = corpus.limit(3)
+      .select(($"vec_id" * 1000L + 7L).as("vec_id"), $"embedding")
+      .withColumn("vec_id", $"vec_id" - pmod($"vec_id", lit(10))) // % 10 == 0
+    val got = graft.operators.Dedup.incrementalNewNearDupEmbed(
+        corpus, planted, "vec_id", "embedding", dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.isEmpty, s"planted exact duplicates escaped: $got")
+  }
 }

@@ -140,6 +140,36 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(recallPart >= 0.25, s"IVF+PQ partial-probe recall $recallPart")
   }
 
+  test("index training is layout-independent: same codebooks on a repartitioned corpus") {
+    val e = Tables(spark, sf001, "embeddings")
+    val dims = e.select(size($"embedding")).head().getInt(0)
+    val n = e.count().toInt
+    // a deliberately DIFFERENT physical layout of the same corpus:
+    // different partition count and scrambled within-partition order —
+    // the shape a second cluster layout (or a rewritten table) presents
+    val scrambled = e.repartition(7)
+      .sortWithinPartitions(pmod($"vec_id" * 2654435761L, lit(977)))
+    // sampleN < corpus forces SUBSET SELECTION to be deterministic too,
+    // not just the ordering of a full-corpus sample
+    val sampleN = math.max(32, n / 2)
+    val (mins1, scales1) = Similarity.Sq8.train(e, dims, sampleN = sampleN)
+    val (mins2, scales2) = Similarity.Sq8.train(scrambled, dims,
+      sampleN = sampleN)
+    assert(mins1 == mins2 && scales1 == scales2,
+      "SQ8 train must not depend on corpus layout")
+    val cb1 = Similarity.Pq.train(e, dims, m = 8, ksub = 16,
+      sampleN = sampleN)
+    val cb2 = Similarity.Pq.train(scrambled, dims, m = 8, ksub = 16,
+      sampleN = sampleN)
+    assert(cb1.sameElements(cb2), "PQ codebook must not depend on layout")
+    val (rot1, ocb1) = Similarity.Pq.trainOpq(e, dims, m = 8, ksub = 16,
+      sampleN = sampleN, opqIters = 2)
+    val (rot2, ocb2) = Similarity.Pq.trainOpq(scrambled, dims, m = 8,
+      ksub = 16, sampleN = sampleN, opqIters = 2)
+    assert(rot1.sameElements(rot2) && ocb1.sameElements(ocb2),
+      "OPQ rotation/codebook must not depend on layout")
+  }
+
   test("OPQ: rotation cuts quantization error vs plain PQ on rotated anisotropic data") {
     // the canonical OPQ-vs-PQ geometry: an axis-aligned gaussian with
     // strongly decaying per-dimension variance, mixed by a fixed random

@@ -104,6 +104,42 @@ class TextQualitySpec extends SparkSpec {
     assert(got.size == 15)
   }
 
+  test("components take the RELIABLE checkpoint path when a checkpoint dir is set") {
+    // localCheckpoint blocks live on executors — at 1000-executor scale
+    // an executor loss mid-iteration kills the job; with a configured
+    // checkpoint dir the iterative operators must switch to reliable
+    // checkpoints (Dedup.truncateLineage). This exercises that path
+    // end-to-end and checks the checkpoint data actually hit the dir.
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no ambient ckpt dir")
+    val dir = new java.io.File(tmpDir("graft_ckpt"))
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+        (31L, 32L), (32L, 33L), (33L, 34L)).toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(3L) == 1L && got(11L) == 10L && got(34L) == 31L)
+      val star = graft.operators.Dedup.connectedComponentsLogStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == got)
+      def rddDirs(f: java.io.File): Int =
+        (if (f.isDirectory && f.getName.startsWith("rdd-")) 1 else 0) +
+          Option(f.listFiles()).map(_.map(rddDirs).sum).getOrElse(0)
+      assert(rddDirs(dir) > 0, "no reliable checkpoint data written")
+    } finally {
+      // checkpointDir is a private[spark] var with no public unset; the
+      // generated setter is public in bytecode — restore the shared
+      // context so other suites keep the fast localCheckpoint default
+      sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
+        .get.invoke(sc, None)
+      rm(dir)
+    }
+  }
+
   test("cluster representatives: best-score rep per component, singletons kept") {
     val docs = Seq(
       (1L, 50L), (2L, 80L), (3L, 80L),   // cluster {1,2,3}: 2 and 3 tie on

@@ -36,6 +36,53 @@ class TuneSpec extends AnyFunSuite {
     }
   }
 
+  test("session guard derives shuffle.partitions at the decade points") {
+    // an isolated session with the key UNSET — the library-caller shape
+    // the 5M-doc postmortem is about (code default 200 in force)
+    val s = TestSpark.spark.newSession()
+    val key = "spark.sql.shuffle.partitions"
+    s.conf.unset(key)
+    val exp = Tune.PpjoinShuffleExpansion
+    val tgt = Tune.DefaultTargetPartitionBytes
+    // sf0.1 (0.6 MB) and the 100x replica (87 MB): derived counts sit
+    // UNDER the code default — raise-only guard leaves 200 (AQE
+    // coalesces over-provisioned shuffles; the danger is only ever a
+    // too-NARROW width)
+    assert(Tune.ensureShufflePartitions(s, 594568L, exp, tgt) === 200)
+    assert(!s.conf.getAll.contains(key), "small input must not set conf")
+    assert(Tune.ensureShufflePartitions(s, 86837458L, exp, tgt) === 200)
+    assert(!s.conf.getAll.contains(key))
+    // the 1000x point (0.93 GB -> ~68 GB shuffle): the hung-job regime
+    // under 200 partitions is re-derived to ~260 x 256 MB and SET on
+    // the session
+    val p5m = Tune.ensureShufflePartitions(s, 928602216L, exp, tgt)
+    assert(p5m >= 256 && p5m <= 280, s"5M-doc point derived $p5m")
+    assert(s.conf.get(key).toInt === p5m)
+
+    // an EXPLICITLY configured session is never overridden, even at
+    // the 5M-doc point — tuning wins over policy
+    val s2 = TestSpark.spark.newSession()
+    s2.conf.set(key, "7")
+    assert(Tune.ensureShufflePartitions(s2, 928602216L, exp, tgt) === 7)
+    assert(s2.conf.get(key) === "7")
+  }
+
+  test("planInputBytes reads leaf relation sizes; df guard is wired") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val onDisk = Tune.parquetBytes("/root/testdata/sf0.001/documents.parquet")
+    val est = Tune.planInputBytes(docs)
+    // Catalyst's file-source leaf stat is the on-disk bytes (x the
+    // default compression factor 1.0) — allow slack for stat padding
+    assert(est >= onDisk / 2 && est <= onDisk * 4,
+      s"plan estimate $est vs on-disk $onDisk")
+    // a filter above the scan must not hide the leaf
+    assert(Tune.planInputBytes(docs.filter("doc_id % 2 = 0")) === est)
+    // the df overload on an explicitly-configured session: no-op
+    assert(Tune.ensureShufflePartitions(docs) ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
   test("parquetBytes sums part files, skips markers, 0 for missing") {
     val dir = java.nio.file.Files.createTempDirectory("tune_spec").toFile
     try {

@@ -208,7 +208,7 @@ def main():
                         "dedup_components_star", "dedup_degree",
                         "dedup_representatives", "pipeline_hygiene",
                         "pipeline_leakage_split", "dedup_incremental_near",
-                        "dedup_incremental_disk")
+                        "dedup_incremental_disk", "dedup_incremental_bucketed")
         stale = [q for q in PAIR_QUERIES
                  if q in oracle and "__memo_pairs" not in eff_sql[q]]
         if stale:
@@ -347,6 +347,14 @@ def main():
         # soon as its last user has run (bounds peak memory to the
         # concurrently-live memos, not the whole run's oracle set)
         release(name)
+    # run_errors entries with NO output dir at all never enter the dir
+    # loop above, so their release() never fires — if such a query
+    # shares an oracle text, the shared memo table would stay alive to
+    # the end of the run. Release them here.
+    listed = set(os.listdir(out_dir))
+    for q in run_errors:
+        if q not in listed:
+            release(q)
     # any oracle-registered query with neither an output dir nor a
     # run_errors entry is MISSING — absent is never a pass
     for q in oracle:

@@ -794,14 +794,18 @@ object Dedup {
     * scan of one column — and it is what makes the operator safe to
     * point at a corpus whose size the caller doesn't know within a
     * decade. Same output contract as the fixed-plane operator at the
-    * chosen plane count.
+    * chosen plane count. Pass `knownCount` when the caller already has
+    * the row count (a catalog stat is free at 100 TB; the extra scan
+    * isn't) — the derived plane count is then identical to what the
+    * count job would have produced.
     */
   def embeddingNearDupPairsAuto(df: DataFrame, idCol: String,
       vecCol: String, dims: Int, threshold: Double = 0.95, bands: Int = 4,
-      targetOccupancy: Int = 30, seed: Long = 42L): DataFrame = {
-    val planes = scaledPlanes(df.select(col(idCol)).count(), targetOccupancy)
+      targetOccupancy: Int = 30, seed: Long = 42L,
+      knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0) knownCount else df.select(col(idCol)).count()
     embeddingNearDupPairs(df, idCol, vecCol, dims, threshold, bands,
-      planes, seed)
+      scaledPlanes(n, targetOccupancy), seed)
   }
 
   /** EXACT edit-distance self-join: all pairs with

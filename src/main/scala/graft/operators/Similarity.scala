@@ -155,10 +155,15 @@ object Similarity {
   def knnJoin(corpus: DataFrame, probes: DataFrame, k: Int, dims: Int,
       numPlanes: Int = 0, probeHamming: Int = 1, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid"): DataFrame = {
+      qidCol: String = "qid", knownCount: Long = -1L): DataFrame = {
+    // knownCount: skip the auto-planes count job when the caller
+    // already has the corpus row count (catalog stats are free at
+    // scale; a second scan of the corpus isn't)
     val planes =
       if (numPlanes > 0) numPlanes
-      else Dedup.scaledPlanes(corpus.select(col(idCol)).count())
+      else Dedup.scaledPlanes(
+        if (knownCount >= 0) knownCount
+        else corpus.select(col(idCol)).count())
     val sig = (v: org.apache.spark.sql.Column) =>
       VectorFunctions.rademacherSig(v, planes, dims, seed)
     val cb = corpus.select(col(idCol).as("id"), sig(col(vecCol)).as("bucket"))

@@ -308,6 +308,9 @@ class PipelineSpec extends SparkSpec {
     assert(auto === explicit)
     assert(auto === rows(Similarity.knnJoin(embeddings, queries, k = 5,
       dims = 64))) // bit-stable
+    // knownCount skips the count job without changing the derivation
+    assert(auto === rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64, knownCount = n)))
   }
 
   test("LSH top-k recall against brute force (random vectors, lenient)") {

@@ -89,12 +89,19 @@ object NgramIndexBench {
 
     if (layouts("bucketed")) {
       // the bucketed-catalog layout: bucketing survives the write/read
-      // boundary, so probes never re-shuffle the index side
-      val tb = System.nanoTime()
-      graft.operators.Dedup.writeNgramIndexBucketed(corpus,
-        "bench_ngram_idx", "doc_id", "text", n = 3, threshold = 0.5,
-        buckets = cpus.toInt)
-      val buildBkt = (System.nanoTime() - tb) / 1e9
+      // boundary, so probes never re-shuffle the index side. `reuse`
+      // skips the build when the catalog tables already exist (pair
+      // with SPARK_GRAFT_KEEP_TABLES=1 on the builder run) — that is
+      // the fresh-JVM arrival shape for THIS layout.
+      val reuseBkt = args.length > 2 && args(2) == "reuse" &&
+        spark.catalog.tableExists("bench_ngram_idx_df")
+      val buildBkt = if (reuseBkt) 0.0 else {
+        val tb = System.nanoTime()
+        graft.operators.Dedup.writeNgramIndexBucketed(corpus,
+          "bench_ngram_idx", "doc_id", "text", n = 3, threshold = 0.5,
+          buckets = cpus.toInt)
+        (System.nanoTime() - tb) / 1e9
+      }
       def probeBkt(): (Double, Long) = {
         val t = System.nanoTime()
         val r = graft.operators.Dedup.probeNgramIndexBucketed(spark,
@@ -120,10 +127,13 @@ object NgramIndexBench {
     // bench's bucketed catalog tables (managed — DROP removes their
     // warehouse dirs), and when no explicit outPath was given, remove
     // the default temp index dir too. An explicit outPath is kept on
-    // purpose — it's what the `reuse` mode probes from a fresh JVM.
-    Seq("df", "prefix", "shingles").foreach { s =>
-      spark.sql(s"DROP TABLE IF EXISTS bench_ngram_idx_$s")
-    }
+    // purpose — it's what the `reuse` mode probes from a fresh JVM;
+    // SPARK_GRAFT_KEEP_TABLES=1 keeps the catalog tables for the same
+    // reason (a later `reuse` run probes them without rebuilding).
+    if (!sys.env.get("SPARK_GRAFT_KEEP_TABLES").contains("1"))
+      Seq("df", "prefix", "shingles").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS bench_ngram_idx_$s")
+      }
     spark.stop()
     if (args.length <= 1) {
       def rm(f: java.io.File): Unit = {

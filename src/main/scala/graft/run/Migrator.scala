@@ -31,7 +31,8 @@ final case class MigrationReport(
   * through whole-stage-codegen'd projections, with scan pruning handled
   * by Catalyst.
   */
-class Migrator(source: Source, sink: Sink) {
+class Migrator(source: Source, sink: Sink,
+    progressOut: String => Unit = m => Console.err.println(m)) {
 
   def migrate(spec: MigrationSpec): MigrationReport = {
     // 1. connections (reference: migrator.py:169-179)
@@ -129,9 +130,23 @@ class Migrator(source: Source, sink: Sink) {
     val observed = out.observe(obs,
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
-    // truncate/drop already handled above; the write itself always appends
-    sink.write(observed, spec.destTable, WriteMode.Append)
-    val rows = obs.get("n").asInstanceOf[Long]
+    // truncate/drop already handled above; the write itself always appends.
+    // Task-level progress for the move (the reference's tqdm over data
+    // batches, migrator.py:297): job-group-scoped listener, registered
+    // only for the duration of this one action.
+    val sc = observed.sparkSession.sparkContext
+    val group = s"graft.migrate.${spec.sourceTable}->${spec.destTable}"
+    val listener = new ProgressListener(group, progressOut)
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, group, interruptOnCancel = false)
+    val rows =
+      try {
+        sink.write(observed, spec.destTable, WriteMode.Append)
+        obs.get("n").asInstanceOf[Long]
+      } finally {
+        sc.clearJobGroup()
+        sc.removeSparkListener(listener)
+      }
     MigrationReport(spec.sourceTable, spec.destTable, spec.mode,
       srcCols, destCols, created, rows, dryRun = false)
   }

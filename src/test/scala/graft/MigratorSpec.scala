@@ -438,4 +438,30 @@ class MigratorSpec extends SparkSpec {
     assert(rows.count() == 3)
     assert(rows.filter(col("score").isNotNull).count() == 1)
   }
+
+  test("task-level progress is reported during the move (O3 tqdm parity)") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val out = tmpDir("mig-progress")
+    val m = new Migrator(new SourceReader(spark, sf001),
+      new ParquetSink(spark, out), progressOut = lines.add(_))
+    val report = m.migrate(MigrationSpec(
+      sourceTable = "lineitem", destTable = "li_out",
+      fullScanGuardLimit = None))
+    assert(report.rowsWritten == 6000)
+    // listener events are posted async; the job-start emit lands well
+    // before the write returns, but give the bus a beat to be safe
+    val deadline = System.currentTimeMillis() + 10000
+    while (lines.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    import scala.jdk.CollectionConverters._
+    val got = lines.asScala.toSeq
+    assert(got.nonEmpty, "no progress lines emitted")
+    assert(got.forall(_.matches("""\[migrate\] tasks \d+/\d+ \(\d+%\)""")),
+      s"malformed progress line in $got")
+    // the group is cleared and the listener removed after the move:
+    // a second unrelated action must not add lines
+    val before = lines.size()
+    spark.range(100).count()
+    assert(lines.size() == before)
+  }
 }

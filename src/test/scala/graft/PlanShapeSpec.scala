@@ -139,6 +139,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("round-11 gate: embedding ingest probe stays a bucket equi-join " +
+      "— no product anywhere") {
+    // dedup_incremental_embed: arriving-batch signatures x corpus sign
+    // buckets (hamming<=1 multi-probe). Degrading to a nested loop is
+    // batch x corpus = the quadratic the index exists to avoid.
+    val plan = finalPlan(SparkEntry.queries("dedup_incremental_embed")(
+      spark, sf001))
+    assert(plan.contains("Join"), s"expected candidate join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"degraded to a product plan:\n$plan")
+  }
+
   test("change-log compaction family: ONE exchange end to end " +
       "(the single-shuffle contract the operator docs promise)") {
     // latestSnapshot / compactBatch are map-side-combinable hash aggs:

@@ -65,8 +65,12 @@ object AnnScaleBench {
     // committed; the recall rows are the only new data those runs need
     val recallOnly = sys.env.get("SPARK_GRAFT_ANN_RECALL_ONLY")
       .exists(_ == "1")
+    // SPARK_GRAFT_ANN_ONLY=<substring> times only matching configs —
+    // re-measuring one family's decade without paying the full sweep
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ANN_ONLY")
     def run(name: String, thunk: () => DataFrame): Unit = {
       if (recallOnly) return
+      if (onlyFilter.exists(f => !name.contains(f))) return
       def once(): (Double, Long) = {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
@@ -125,22 +129,47 @@ object AnnScaleBench {
     run(s"knn_join_scaled_p${bandPlanes}h1_k3", () =>
       Similarity.knnJoin(e, knnProbes, k = 3, dims = 64,
         numPlanes = bandPlanes, probeHamming = 1))
-    // measured recall of the scaled-planes default vs brute force, on a
-    // 200-probe sample (per-probe recall is independent of the probe
-    // set, and brute over the FULL self-join would be O(n²)); the
-    // anti-quadratic wall is only meaningful if this number holds up
+    // the banded DEFAULT (16 bands OR'd over the same scaled planes):
+    // the configuration whose recall holds the 0.5 floor — b× the
+    // candidate mass, still ~linear in n
+    run(s"knn_join_banded_b16p${bandPlanes}h1_k3", () =>
+      Similarity.knnJoin(e, knnProbes, k = 3, dims = 64,
+        numPlanes = bandPlanes, probeHamming = 1, numBands = 16))
+    // IVF variant of the join: √n cells (the knnJoinIvf auto rule),
+    // nprobe 8 — candidate mass nprobe/nlist of the corpus per probe,
+    // no banding multiplier; cold includes the quantizer fit (cached
+    // for warm passes, as a persisted index would be)
+    val ivfCells = math.min(4096, math.max(8, math.sqrt(n.toDouble).toInt))
+    run(s"knn_join_ivf_l${ivfCells}p8_k3", () =>
+      Similarity.knnJoinIvf(e, knnProbes, k = 3, nprobe = 8,
+        knownCount = n))
+    // measured recall vs brute force on a 200-probe sample (per-probe
+    // recall is independent of the probe set, and brute over the FULL
+    // self-join would be O(n²)) — for BOTH the single-band construction
+    // (the per-band probability the banding math starts from) and the
+    // banded default; the anti-quadratic wall is only meaningful if the
+    // default's number holds up
     locally {
       val sProbes = e.filter($"vec_id" < 200)
         .select($"vec_id".as("qid"), $"embedding")
       val brute = Similarity.bruteForceTopK(e, sProbes, k = 3)
         .select($"qid", $"id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val knn = Similarity.knnJoin(e, sProbes, k = 3, dims = 64,
-          numPlanes = bandPlanes, probeHamming = 1)
+      def recOf(bands: Int): Double = {
+        val knn = Similarity.knnJoin(e, sProbes, k = 3, dims = 64,
+            numPlanes = bandPlanes, probeHamming = 1, numBands = bands)
+          .select($"qid", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        knn.intersect(brute).size.toDouble / brute.size
+      }
+      println(f"""{"label":"$label","n":$n,"config":"knn_join_scaled_p${bandPlanes}h1_k3_recall_s200","recall":${recOf(1)}%.3f}""")
+      println(f"""{"label":"$label","n":$n,"config":"knn_join_banded_b16p${bandPlanes}h1_k3_recall_s200","recall":${recOf(16)}%.3f}""")
+      val ivf = Similarity.knnJoinIvf(e, sProbes, k = 3, nprobe = 8,
+          knownCount = n)
         .select($"qid", $"id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val rec = knn.intersect(brute).size.toDouble / brute.size
-      println(f"""{"label":"$label","n":$n,"config":"knn_join_scaled_p${bandPlanes}h1_k3_recall_s200","recall":$rec%.3f}""")
+      val ivfRec = ivf.intersect(brute).size.toDouble / brute.size
+      println(f"""{"label":"$label","n":$n,"config":"knn_join_ivf_l${ivfCells}p8_k3_recall_s200","recall":$ivfRec%.3f}""")
     }
 
     if (n <= 50000)

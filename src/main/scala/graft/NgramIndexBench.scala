@@ -93,8 +93,12 @@ object NgramIndexBench {
       // skips the build when the catalog tables already exist (pair
       // with SPARK_GRAFT_KEEP_TABLES=1 on the builder run) — that is
       // the fresh-JVM arrival shape for THIS layout.
+      // attachNgramIndexBucketed re-creates the catalog entries over
+      // the surviving warehouse data (in-memory catalog = entries die
+      // with the builder JVM; a persistent metastore would keep them)
       val reuseBkt = args.length > 2 && args(2) == "reuse" &&
-        spark.catalog.tableExists("bench_ngram_idx_df")
+        graft.operators.Dedup.attachNgramIndexBucketed(spark,
+          "bench_ngram_idx", buckets = cpus.toInt)
       val buildBkt = if (reuseBkt) 0.0 else {
         val tb = System.nanoTime()
         graft.operators.Dedup.writeNgramIndexBucketed(corpus,
@@ -132,7 +136,9 @@ object NgramIndexBench {
     // reason (a later `reuse` run probes them without rebuilding).
     if (!sys.env.get("SPARK_GRAFT_KEEP_TABLES").contains("1"))
       Seq("df", "prefix", "shingles").foreach { s =>
-        spark.sql(s"DROP TABLE IF EXISTS bench_ngram_idx_$s")
+        // dropBucketed: a reuse-attached table is external (CREATE …
+        // LOCATION), where DROP TABLE alone leaves the data dir behind
+        graft.operators.Bucketed.dropBucketed(spark, s"bench_ngram_idx_$s")
       }
     spark.stop()
     if (args.length <= 1) {

@@ -317,6 +317,20 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // IVF kNN join with nprobe = nlist (every cell probed): provably
+    // equal to the brute-force self-join top-k (the sim_topk_ivf oracle
+    // argument), so the exact SQL is a true oracle while the measured
+    // plan keeps the index shape — quantizer fit, cell equi-join,
+    // bounded-heap rank. Production nprobe < nlist recall is pinned in
+    // SkewAndIvfSpec and measured across decades in BASELINE.md.
+    "sim_knn_join_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.select($"vec_id".as("qid"), $"embedding")
+      Similarity.knnJoinIvf(e, probes, k = 3, nlist = 8, nprobe = 8)
+        .select($"qid", $"id", $"rank")
+    },
+
     // The STORAGE half of the LSH shape: the corpus is written to disk
     // partitioned by its exact-integer sign bucket, and the probe prunes
     // index directories at scan time (PartitionFilters — pinned by
@@ -1969,6 +1983,17 @@ object PipelineQueries {
     "sim_topk_lsh" -> lshTopKOracle(8),
 
     "sim_knn_join" -> knnJoinOracle(8, 3),
+
+    // nprobe = nlist ⇒ IVF ≡ brute force (every corpus vector is in
+    // some probed cell) — exact self-join top-3 is the true oracle
+    "sim_knn_join_ivf" ->
+      """WITH s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.embedding) AS cos
+        |      FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
 
     // The embedding ingest probe: single 6-plane signature (seed 42 —
     // the writeSignIndex layout), batch = vec_id % 10 == 0, hamming≤1

@@ -338,6 +338,25 @@ object Dedup {
     Bucketed.writeBucketed(shC, s"${tablePrefix}_shingles", "id", buckets)
   }
 
+  /** Attach a session to a [[writeNgramIndexBucketed]] index built by
+    * an earlier session (in-memory catalog: the entries died with that
+    * JVM, the bucketed warehouse data did not). Metadata-only; `buckets`
+    * must match the build. True iff all three tables are usable —
+    * partial indexes (a build that died between table writes) attach
+    * nothing and return false so the caller rebuilds.
+    */
+  def attachNgramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, buckets: Int): Boolean = {
+    val ok =
+      Bucketed.registerBucketed(spark, s"${tablePrefix}_df", "h", buckets) &&
+      Bucketed.registerBucketed(spark, s"${tablePrefix}_prefix", "h", buckets) &&
+      Bucketed.registerBucketed(spark, s"${tablePrefix}_shingles", "id", buckets)
+    if (!ok) Seq("df", "prefix", "shingles").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_$s"): Unit
+    }
+    ok
+  }
+
   /** Probe a [[writeNgramIndexBucketed]] index — identical rows to
     * [[probeNgramIndex]]; the index side of every join is a bucketed
     * scan (no Exchange on it, asserted in PipelineSpec).

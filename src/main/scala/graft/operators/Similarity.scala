@@ -148,6 +148,19 @@ object Similarity {
     * same footgun the banded dedup's auto default exists for. Explicit
     * planes remain for replicable-signature gates.
     *
+    * `numBands` is the RECALL knob (≤ 0 = auto). One sign signature is
+    * an AND over `planes` bits, so a true neighbor's match probability
+    * decays exponentially as the occupancy rule grows planes with the
+    * corpus — measured per-band recall 0.207 / 0.080 / 0.045 at
+    * 2k/20k/200k (BASELINE.md round-11). Banding is the standard OR
+    * repair (MMDS ch.3): `b` independent signatures (seed + band·7919,
+    * the [[Dedup.embeddingNearDupPairs]] convention) make recall
+    * 1-(1-p)^b at b× candidate mass — 16 bands lifts those same
+    * corpora to ~0.97 / 0.74 / 0.52. Auto = 16 when planes are auto
+    * too; an EXPLICIT plane count keeps the single-band construction
+    * (replicable-signature gates pin bands=1 semantics by passing
+    * planes).
+    *
     * Probe rows whose `qidCol` equals a corpus `idCol` value are
     * treated as the same vector (self-match excluded) — the self-join
     * convention shared with [[lshTopK]]/[[bruteForceTopK]].
@@ -155,7 +168,8 @@ object Similarity {
   def knnJoin(corpus: DataFrame, probes: DataFrame, k: Int, dims: Int,
       numPlanes: Int = 0, probeHamming: Int = 1, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", knownCount: Long = -1L): DataFrame = {
+      qidCol: String = "qid", knownCount: Long = -1L,
+      numBands: Int = 0): DataFrame = {
     // knownCount: skip the auto-planes count job when the caller
     // already has the corpus row count (catalog stats are free at
     // scale; a second scan of the corpus isn't)
@@ -164,16 +178,95 @@ object Similarity {
       else Dedup.scaledPlanes(
         if (knownCount >= 0) knownCount
         else corpus.select(col(idCol)).count())
-    val sig = (v: org.apache.spark.sql.Column) =>
-      VectorFunctions.rademacherSig(v, planes, dims, seed)
-    val cb = corpus.select(col(idCol).as("id"), sig(col(vecCol)).as("bucket"))
+    val bands =
+      if (numBands > 0) numBands
+      else if (numPlanes > 0) 1
+      else 16
+    // candidate generation moves ONLY (band, bucket, id) rows — the
+    // band explode multiplies slim rows, never vector bytes
+    val bandSig = (v: org.apache.spark.sql.Column, bnd: Int) =>
+      VectorFunctions.rademacherSig(v, planes, dims, seed + bnd * 7919L)
+    val cb = corpus.select(col(idCol).as("id"),
+        explode(array((0 until bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            bandSig(col(vecCol), bnd).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val flips: Seq[Long] = hammingFlips(planes, probeHamming)
-    val qb = probes.select(col(qidCol).as("qid"), sig(col(vecCol)).as("qsig"))
+    val qb = probes.select(col(qidCol).as("qid"),
+        explode(array((0 until bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            bandSig(col(vecCol), bnd).as("qsig"))): _*)).as("bb"))
+      .select(col("qid"), col("bb.band").as("band"), col("bb.qsig").as("qsig"))
       .withColumn("flip", explode(lit(flips.toArray)))
-      .select(col("qid"), col("qsig").bitwiseXOR(col("flip")).as("bucket"))
-    val cand = cb.join(qb, Seq("bucket"))
+      .select(col("qid"), col("band"),
+        col("qsig").bitwiseXOR(col("flip")).as("bucket"))
+    val cand = cb.join(qb, Seq("band", "bucket"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id")).distinct()
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+    val qv = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = cand.join(cv, "id").join(qv, "qid")
+      .select(col("qid"), col("id"),
+        VectorFunctions.cosineSim(col("cvec"), col("qvec")).as("cosine"))
+    topKRank(scored, k, "cosine")
+  }
+
+  /** IVF kNN JOIN: top-k nearest corpus vectors for every probe row via
+    * an inverted-file coarse quantizer — the [[knnJoin]] workload (probe
+    * set too large to broadcast) through the [[ivfTopK]] index shape.
+    * On clustered corpora IVF beats sign-LSH's recall-per-candidate
+    * (cells follow the data's density; hyperplanes don't), and its
+    * candidate mass is exactly `nprobe/nlist` of the corpus per probe —
+    * no banding multiplier. Measured head-to-head with the banded LSH
+    * join in BASELINE.md round-11.
+    *
+    * Scale shape: centroids broadcast (nlist ≤ 4096 × dims floats); the
+    * per-probe cell ranking reduces |probes|·nlist slim (qid, cell,
+    * score) rows through the bounded-heap [[topKRank]] aggregate (no
+    * per-qid window task ceiling); the candidate equi-join on `cell`
+    * moves only id/qid pairs and each corpus vector lives in exactly
+    * ONE cell, so candidates need no dedup; vectors join back by key
+    * for the exact cosine, once per candidate.
+    *
+    * `nlist` ≤ 0 derives √n (the per-cell-occupancy rule, capped at
+    * 4096); `nprobe = nlist` probes every cell, which makes the result
+    * PROVABLY equal to brute force (the gate configuration — same
+    * argument as sim_topk_ivf's oracle).
+    */
+  def knnJoinIvf(corpus: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int = 0, nprobe: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", knownCount: Long = -1L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cells =
+      if (nlist > 0) nlist
+      else {
+        val n = if (knownCount >= 0) knownCount
+          else corpus.select(col(idCol)).count()
+        math.min(4096, math.max(8, math.sqrt(n.toDouble).toInt))
+      }
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      .withColumn("features", array_to_vector(col("cvec")))
+    val model = fitQuantizer(c.select("features"), cells, seed)
+    val assigned = model.transform(c)
+      .select(col("id"), col("prediction").cast("long").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    // nprobe nearest cells per probe, via the map-side-combine top-k
+    // aggregate over slim rows (a per-qid row_number window would put
+    // one task per qid on the table — the ceiling topKRank exists for)
+    val q = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val cellScores = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cell").as("id"),
+        VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("ccos"))
+    val probeCells = topKRank(cellScores, math.min(nprobe, cells), "ccos")
+      .select(col("qid"), col("id").as("cell"))
+    val cand = assigned.join(probeCells, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
     val qv = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
     val scored = cand.join(cv, "id").join(qv, "qid")

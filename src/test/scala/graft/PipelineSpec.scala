@@ -299,13 +299,22 @@ class PipelineSpec extends SparkSpec {
       dims = 64, numPlanes = 8, probeHamming = 1))
     assert(viaKnn === viaLsh)
     assert(viaKnn.nonEmpty)
-    // the auto default derives the occupancy-rule plane count
+    // the auto default derives the occupancy-rule plane count AND the
+    // 16-band OR-construction (explicit planes alone = single band, so
+    // the equivalent explicit call pins both knobs)
     val n = embeddings.count()
     val auto = rows(Similarity.knnJoin(embeddings, queries, k = 5,
       dims = 64))
     val explicit = rows(Similarity.knnJoin(embeddings, queries, k = 5,
-      dims = 64, numPlanes = Dedup.scaledPlanes(n)))
+      dims = 64, numPlanes = Dedup.scaledPlanes(n), numBands = 16))
     assert(auto === explicit)
+    // explicit planes WITHOUT bands stays the single-band construction
+    // (the sim_knn_join gate's replayable-oracle contract): a strict
+    // candidate subset of the banded default, same band-0 signature
+    val single = rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64, numPlanes = Dedup.scaledPlanes(n)))
+    assert(single === rows(Similarity.knnJoin(embeddings, queries, k = 5,
+      dims = 64, numPlanes = Dedup.scaledPlanes(n), numBands = 1)))
     assert(auto === rows(Similarity.knnJoin(embeddings, queries, k = 5,
       dims = 64))) // bit-stable
     // knownCount skips the count job without changing the derivation
@@ -342,10 +351,10 @@ class PipelineSpec extends SparkSpec {
       .select("qid", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = knn.intersect(brute).size.toDouble / brute.size
-    // near-random vectors, single signature, hamming-1 multi-probe:
-    // the lshTopK floor precedent (0.2) applies — this is the
-    // worst-case geometry, not the clustered corpora the index targets
-    assert(recall >= 0.2, s"kNN join recall $recall")
+    // the banded default (16 bands OR'd over occupancy-scaled planes)
+    // owes the dedup_embed_pairs floor even on near-random vectors —
+    // the measured 2k/20k/200k decade rows live in BASELINE.md
+    assert(recall >= 0.5, s"kNN join recall $recall")
     assert(knn.nonEmpty)
   }
 

@@ -45,6 +45,34 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall") // near-random vectors: lenient
   }
 
+  test("IVF kNN JOIN: full probe == brute; partial probe recall; " +
+      "rank parity with the window oracle") {
+    val e = Tables(spark, sf001, "embeddings")
+    // the join workload: the whole table probes for its top-3
+    val probes = e.select($"vec_id".as("qid"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(e, probes, k = 3))
+    // nprobe = nlist probes every cell ⇒ the gate's provably-exact
+    // configuration, including RANK (tie order id ASC both sides)
+    val full = rows(Similarity.knnJoinIvf(e, probes, k = 3,
+      nlist = 8, nprobe = 8))
+    assert(full == brute)
+    // production shape: √n cells (auto), nprobe 4 of 14 at sf0.01 —
+    // the recall floor the banded-LSH default owes too
+    val partial = Similarity.knnJoinIvf(e, probes, k = 3, nprobe = 4)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = partial.intersect(bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"IVF kNN join recall $recall")
+    // deterministic: same corpus, same seed ⇒ same rows
+    assert(partial == Similarity.knnJoinIvf(e, probes, k = 3, nprobe = 4)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("PQ: ADC approximates cosine; rerank recovers brute-force top-k") {
     val e = Tables(spark, sf001, "embeddings")
     val dims = e.select(size($"embedding")).head().getInt(0)

@@ -172,6 +172,46 @@ object AnnScaleBench {
       println(f"""{"label":"$label","n":$n,"config":"knn_join_ivf_l${ivfCells}p8_k3_recall_s200","recall":$ivfRec%.3f}""")
     }
 
+    // Embedding INGEST decade (the vector mirror of NgramIndexBench):
+    // corpus signed + partitioned by sign bucket once (writeSignIndex),
+    // each arriving batch (vec_id % 10 == 0, so batch grows with the
+    // corpus like the gate split) pays only its own signature work +
+    // the bucket equi-join. Gated by the same ONLY filter as the walls.
+    if (!recallOnly && !onlyFilter.exists(f => !"embed_ingest".contains(f))) {
+      val corpus = e.filter(pmod($"vec_id", lit(10)) =!= 0)
+      val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+      val nB = batch.count()
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_embed_ingest_bench").toString
+      try {
+        val tb = System.nanoTime()
+        // numPlanes ≤ 0: occupancy-scaled at write time, recorded in
+        // the index sidecar; the probe self-configures from it — the
+        // fixed-6-plane control row (89 s probe at 180k corpus) is in
+        // BASELINE.md round-11
+        Similarity.writeSignIndex(corpus, idxPath, dims = 64,
+          numPlanes = 0, seed = 42L)
+        val buildWall = (System.nanoTime() - tb) / 1e9
+        val planes = Similarity.signIndexMeta(spark, idxPath)
+          .map(_._1).getOrElse(-1)
+        def probeOnce(): (Double, Long) = {
+          val t = System.nanoTime()
+          val r = Dedup.incrementalNewNearDupEmbedDisk(spark, idxPath,
+            batch, "vec_id", "embedding", dims = 64,
+            threshold = 0.4, probeHamming = 1, seed = 42L).count()
+          ((System.nanoTime() - t) / 1e9, r)
+        }
+        val (pc, newRows) = probeOnce()
+        val (pw1, _) = probeOnce(); val (pw2, _) = probeOnce()
+        println(f"""{"label":"$label","n":$n,"config":"embed_ingest_disk_p${planes}h1_auto","n_batch":$nB,"build_sec":$buildWall%.2f,"probe_cold_sec":$pc%.2f,"probe_warm_sec":${math.min(pw1, pw2)}%.2f,"genuinely_new":$newRows}""")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(idxPath))
+      }
+    }
+
     if (n <= 50000)
       run("embed_pairs_fixed_b16p6", () =>
         Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", dims = 64,

@@ -485,9 +485,15 @@ object Dedup {
   def incrementalNewNearDupEmbedDisk(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String, dims: Int,
-      numPlanes: Int = 6, threshold: Double = 0.4, probeHamming: Int = 1,
+      numPlanes: Int = 0, threshold: Double = 0.4, probeHamming: Int = 1,
       seed: Long = 42L): DataFrame = {
-    val qb = batchProbeBuckets(batch, idCol, vecCol, dims, numPlanes,
+    // ≤ 0: read the plane count the index was WRITTEN with from its
+    // sidecar (an explicit value is validated against it) — the probe
+    // must replay the write-side signature bit-for-bit or the bucket
+    // join silently finds nothing
+    val planes = Similarity.resolveSignPlanes(spark, path, numPlanes,
+      dims, seed)
+    val qb = batchProbeBuckets(batch, idCol, vecCol, dims, planes,
       probeHamming, seed)
     val raw = spark.read.parquet(path)
     val maxLits = 1024

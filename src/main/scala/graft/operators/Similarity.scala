@@ -303,15 +303,83 @@ object Similarity {
     * exactly one task so the file count is O(buckets). Same shuffle a
     * 1000-executor write wants: one exchange, then directory-local
     * sequential writes.
+    *
+    * `numPlanes` ≤ 0 derives the occupancy-scaled count
+    * ([[Dedup.scaledPlanes]] over the corpus size — `knownCount` skips
+    * the count job): a FIXED plane count tuned at one corpus size goes
+    * quadratic a decade later (measured: the 6-plane index at 180k
+    * vectors has 2,800-vector buckets, and a 20k-row batch probe costs
+    * 89 s of cosine verification — BASELINE.md round-11). The planes /
+    * dims / seed actually used are recorded in a `_graft_sign_meta.json`
+    * sidecar, which [[probeSignIndex]] and
+    * [[Dedup.incrementalNewNearDupEmbedDisk]] read back when THEIR
+    * `numPlanes` is left ≤ 0 — the probe side must match the write side
+    * bit-for-bit, so the index carries its own configuration the way
+    * any real index format does.
     */
   def writeSignIndex(corpus: DataFrame, path: String, dims: Int,
       numPlanes: Int = 8, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Long = -1L): Unit = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else Dedup.scaledPlanes(
+        if (knownCount >= 0) knownCount
+        else corpus.select(col(idCol)).count())
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
+        VectorFunctions.rademacherSig(col(vecCol), planes, dims, seed)
           .as("bucket"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path, SignMetaFile)
+    val fs = p.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"planes":$planes,"dims":$dims,"seed":$seed}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private val SignMetaFile = "_graft_sign_meta.json"
+
+  /** The (planes, dims, seed) a [[writeSignIndex]] layout was written
+    * with, from its sidecar — None for pre-sidecar indexes. */
+  def signIndexMeta(spark: SparkSession,
+      path: String): Option[(Int, Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path, SignMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"planes":(\d+),"dims":(\d+),"seed":(-?\d+)""".r
+      re.findFirstMatchIn(txt).map(m =>
+        (m.group(1).toInt, m.group(2).toInt, m.group(3).toLong))
+    }
+  }
+
+  /** Resolve the plane count for probing `path`: an explicit value wins
+    * (and is validated against the sidecar when one exists — a
+    * mismatched probe returns silently-wrong empty joins, the worst
+    * failure mode an index can have); ≤ 0 requires the sidecar.
+    */
+  private[operators] def resolveSignPlanes(spark: SparkSession,
+      path: String, numPlanes: Int, dims: Int, seed: Long): Int = {
+    val meta = signIndexMeta(spark, path)
+    meta.foreach { case (mp, md, ms) =>
+      require(md == dims && ms == seed,
+        s"sign index at $path was written with dims=$md seed=$ms; " +
+          s"probe called with dims=$dims seed=$seed")
+      if (numPlanes > 0) require(mp == numPlanes,
+        s"sign index at $path was written with $mp planes; " +
+          s"probe called with $numPlanes")
+    }
+    if (numPlanes > 0) numPlanes
+    else meta.map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"no $SignMetaFile under $path — pass numPlanes explicitly"))
+  }
 
   /** Multi-probe ANN top-k over a [[writeSignIndex]] layout. The probe
     * bucket set (|queries| × (1 + p + p(p−1)/2) longs, queries are
@@ -322,12 +390,13 @@ object Similarity {
     * [[lshTopK]]'s.
     */
   def probeSignIndex(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int, dims: Int, numPlanes: Int = 8,
+      queries: DataFrame, k: Int, dims: Int, numPlanes: Int = 0,
       probeHamming: Int = 1, seed: Long = 42L,
       qidCol: String = "qid", vecCol: String = "embedding"): DataFrame = {
-    val flips = hammingFlips(numPlanes, probeHamming)
+    val planes = resolveSignPlanes(spark, path, numPlanes, dims, seed)
+    val flips = hammingFlips(planes, probeHamming)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
-        VectorFunctions.rademacherSig(col(vecCol), numPlanes, dims, seed)
+        VectorFunctions.rademacherSig(col(vecCol), planes, dims, seed)
           .as("qsig"))
       .withColumn("flip", explode(lit(flips.toArray)))
       .select(col("qid"), col("qvec"),

@@ -121,6 +121,25 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries("q_bucketed_join")(spark, sf001).collect()
   }
 
+  test("round-11 gate: IVF kNN join — cell candidates via hash equi-join; " +
+      "the only product is the bounded centroid broadcast") {
+    // knnJoinIvf's candidate generation must stay an equi-join on the
+    // cell id (assigned x probeCells); the probe-side cell ranking
+    // legitimately crossJoins a broadcast of the nlist centroids
+    // (bounded: nlist <= 4096 rows), which plans as a broadcast
+    // nested-loop — allowed. An unbroadcast Cartesian anywhere means
+    // either the centroid frame stopped broadcasting or the cell join
+    // lost its equi-key; both silently revert the nprobe/nlist cost
+    // shape while correctness (exact at nprobe=nlist) keeps passing.
+    val plan = finalPlan(SparkEntry.queries("sim_knn_join_ivf")(
+      spark, sf001))
+    assert(!plan.contains("CartesianProduct"),
+      s"sim_knn_join_ivf: unbroadcast product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"sim_knn_join_ivf: no equi-join found for cell candidates:\n$plan")
+  }
+
   test("round-11 gate: bucketed-index ingest probe == recompute path, " +
       "row for row") {
     // dedup_incremental_bucketed persists the corpus PPJoin structures

@@ -86,4 +86,42 @@ class SignIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got.isEmpty, s"planted exact duplicates escaped: $got")
   }
+
+  test("sign index sidecar: auto planes derive the occupancy rule, the " +
+      "probe self-configures, and a mismatched probe is refused") {
+    val e = Tables(spark, sf001, "embeddings")
+    val corpus = e.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("signmeta").toString
+    // auto write records (planes, dims, seed); planes == the same
+    // scaledPlanes rule every auto LSH operator uses
+    Similarity.writeSignIndex(corpus, dir, dims = 64, numPlanes = 0)
+    val n = corpus.count()
+    val meta = Similarity.signIndexMeta(spark, dir)
+    assert(meta.contains((graft.operators.Dedup.scaledPlanes(n), 64, 42L)))
+    // auto probe (numPlanes omitted) == explicit probe at the recorded
+    // count: the sidecar IS the configuration
+    val auto = graft.operators.Dedup.incrementalNewNearDupEmbedDisk(
+        spark, dir, batch, "vec_id", "embedding", dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    val explicit = graft.operators.Dedup.incrementalNewNearDupEmbedDisk(
+        spark, dir, batch, "vec_id", "embedding", dims = 64,
+        numPlanes = meta.get._1)
+      .collect().map(_.getLong(0)).toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // a probe at the WRONG plane count replays a different signature —
+    // bucket join finds nothing and every dup escapes. That failure is
+    // silent, so the sidecar check must turn it into an error.
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalNewNearDupEmbedDisk(
+        spark, dir, batch, "vec_id", "embedding", dims = 64,
+        numPlanes = meta.get._1 + 1)
+    }
+    // and so must a different seed (same reason, different axis)
+    intercept[IllegalArgumentException] {
+      Similarity.probeSignIndex(spark, dir,
+        batch.select($"vec_id".as("qid"), $"embedding"), k = 3,
+        dims = 64, seed = 43L)
+    }
+  }
 }

@@ -748,9 +748,18 @@ object Dedup {
     * (candidate mass ∝ n²/2^planes — measured in [[scaledPlanes]]'s
     * doc), so a hand-picked constant is opt-in, for callers that need a
     * replicable signature (the gate's 16×6 config), never the default.
+    *
+    * `bands` defaults to 16 (round 11 — was 4): as the occupancy rule
+    * grows planes with the corpus, a TRUE near-dup's per-band match
+    * probability p^planes decays exponentially, and the OR-width is
+    * what holds recall (1-(1-p^planes)^bands ≈ 0.99 for a 0.95-cosine
+    * dup at 16 bands / 13 planes vs 0.68 at 4 — the [[Similarity.knnJoin]]
+    * banding math, and the configuration every measured decade row and
+    * both gates actually use). Cost is linear in bands; dial down for
+    * cheap sweeps, never for dedup correctness.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dims: Int, threshold: Double = 0.95, bands: Int = 4,
+      dims: Int, threshold: Double = 0.95, bands: Int = 16,
       planesPerBand: Int = 0, seed: Long = 42L): DataFrame = {
     val planes =
       if (planesPerBand > 0) planesPerBand
@@ -825,7 +834,7 @@ object Dedup {
     * count job would have produced.
     */
   def embeddingNearDupPairsAuto(df: DataFrame, idCol: String,
-      vecCol: String, dims: Int, threshold: Double = 0.95, bands: Int = 4,
+      vecCol: String, dims: Int, threshold: Double = 0.95, bands: Int = 16,
       targetOccupancy: Int = 30, seed: Long = 42L,
       knownCount: Long = -1L): DataFrame = {
     val n = if (knownCount >= 0) knownCount else df.select(col(idCol)).count()

@@ -364,4 +364,81 @@ class StreamingSpec extends SparkSpec {
     val a = fold(Seq(0, 1, 2))
     assert(a === fold(Seq(2, 1, 0)) && a === fold(Seq(1, 2, 0)) && a.nonEmpty)
   }
+
+  test("continuous ingest stream: within-batch exact + vs-corpus-index + " +
+      "vs-accepted dedup == the sequential batch replay") {
+    import graft.operators.Dedup
+    import graft.streaming.IngestStream
+    val docs = Tables(spark, sf001, "documents")
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val idxPrefix = "ingest_stream_test_idx"
+    Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+      n = 3, threshold = 0.5, buckets = 4)
+    try {
+      // two arrival files, processed as two micro-batches (file-source
+      // modification-time order pinned explicitly, maxFilesPerTrigger=1):
+      //   file 1: fresh docs + a corpus-text dup + an exact within-batch
+      //           dup pair (same text, two ids — min id must win)
+      //   file 2: a dup of a file-1 ACCEPTED doc (only the cross-batch
+      //           accepted probe can catch it) + a fresh doc
+      // planted texts use a vocabulary disjoint from the corpus (and
+      // from each other), so "fresh" is fresh by construction — real
+      // doc texts have organic near-dups in the corpus, which is
+      // exactly what the probe is supposed to catch
+      def synthText(stem: String): String =
+        (0 until 20).map(i => s"zzq$stem$i").mkString(" ")
+      val a = synthText("alpha"); val b = synthText("beta")
+      val c = synthText("gamma")
+      val corpusText = corpus.select($"text").head().getString(0)
+      val srcDir = tmpDir("ingest-src")
+      val f1 = Seq(
+        (1000001L, a),          // fresh -> accepted
+        (1000002L, corpusText), // dup of the frozen corpus -> dropped
+        (1000003L, b), (1000004L, b) // exact pair -> min id 1000003 kept
+      ).toDF("doc_id", "text")
+      val f2 = Seq(
+        (1000005L, a),          // dup of batch-1 ACCEPTED doc -> dropped
+        (1000006L, c)           // fresh -> accepted
+      ).toDF("doc_id", "text")
+      f1.coalesce(1).write.parquet(s"$srcDir/f1")
+      f2.coalesce(1).write.parquet(s"$srcDir/f2")
+      // file source streams a flat dir; move part files up with ordered
+      // mod times so batch 1 = f1, batch 2 = f2
+      def promote(sub: String, age: Long): Unit = {
+        val part = new java.io.File(s"$srcDir/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$srcDir/$sub.parquet")
+        assert(part.renameTo(dst))
+        assert(dst.setLastModified(System.currentTimeMillis() - age))
+        new java.io.File(s"$srcDir/$sub").listFiles().foreach(_.delete())
+        new java.io.File(s"$srcDir/$sub").delete(): Unit
+      }
+      promote("f1", 60000); promote("f2", 30000)
+
+      val outDir = tmpDir("ingest-out")
+      IngestStream.run(spark, srcDir, idxPrefix, indexBuckets = 4,
+        outDir = outDir, checkpointDir = tmpDir("ingest-ckpt"),
+        maxFilesPerTrigger = 1)
+      val got = IngestStream.accepted(spark, outDir).get
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1000001L, 1000003L, 1000006L),
+        s"accepted set diverged: $got")
+      // and the stream run == the sequential applyBatch replay (the
+      // engine's file/batch/checkpoint plumbing added nothing, lost
+      // nothing)
+      val r1 = IngestStream.applyBatch(spark,
+        spark.read.parquet(s"$srcDir/f1.parquet"), None, idxPrefix,
+        "doc_id", "text", 3, 0.5)
+      val r2 = IngestStream.applyBatch(spark,
+        spark.read.parquet(s"$srcDir/f2.parquet"), Some(r1), idxPrefix,
+        "doc_id", "text", 3, 0.5)
+      val replay = (r1.select($"doc_id").collect() ++
+        r2.select($"doc_id").collect()).map(_.getLong(0)).toSet
+      assert(replay === got)
+    } finally {
+      Seq("df", "prefix", "shingles").foreach { s =>
+        graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
+      }
+    }
+  }
 }

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Wall-clock for the CONTINUOUS ingest streams
+  * ([[graft.streaming.IngestStream]] text-side,
+  * [[graft.streaming.EmbedIngestStream]] vector-side) against their
+  * persisted indexes — the number that prices the always-on arrival
+  * pipeline: per-micro-batch wall through the REAL Structured
+  * Streaming engine (file source → foreachBatch → per-batch-dir sink),
+  * next to the same batches replayed sequentially WITHOUT the engine
+  * (applyBatch calls back-to-back). The difference is the engine's
+  * bookkeeping (checkpointing, file tracking, listing the accepted
+  * dirs), which must stay noise next to the probe cost itself.
+  *
+  * Usage: IngestStreamBench <sfStyleDir> [text|embed|both]
+  *   SPARK_GRAFT_BATCH_MOD  (default 10): id % MOD == 0 arrives, the
+  *                          rest is the frozen corpus (gate convention)
+  *   SPARK_GRAFT_N_BATCHES  (default 4): arrival micro-batches
+  * Emits one JSON line per mode.
+  */
+object IngestStreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = if (args.length > 1) args(1) else "both"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batchMod = sys.env.getOrElse("SPARK_GRAFT_BATCH_MOD", "10").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_N_BATCHES", "4").toInt
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      val docBytes = graft.operators.Tune.parquetBytes(s"$dir/documents.parquet")
+      if (docBytes > 0)
+        graft.operators.Tune.shufflePartitions(docBytes,
+          graft.operators.Tune.PpjoinShuffleExpansion,
+          floor = cpus.toInt).toString
+      else cpus
+    })
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        String.valueOf(64L * 1024 * 1024))
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_ingest_stream_bench").toString
+    System.err.println(s"[ingeststream] scratch=$scratch " +
+      s"shuffle.partitions=$shuffleParts mod=$batchMod batches=$nBatches")
+
+    /** Write each arrival slice as ONE parquet file with ascending mod
+      * times, so the file stream consumes them in slice order. */
+    def stageArrivals(src: org.apache.spark.sql.DataFrame, idCol: String,
+        subdir: String): String = {
+      val srcDir = s"$scratch/$subdir"
+      (0 until nBatches).foreach { i =>
+        val slice = src.filter(
+          pmod(col(idCol).divide(batchMod).cast("long"), lit(nBatches)) === i)
+        slice.coalesce(1).write.parquet(s"$srcDir/b$i")
+        val part = new java.io.File(s"$srcDir/b$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$srcDir/b$i.parquet")
+        require(part.renameTo(dst), s"rename failed for $subdir/b$i")
+        require(dst.setLastModified(
+          System.currentTimeMillis() - (nBatches - i) * 60000L))
+        new java.io.File(s"$srcDir/b$i").listFiles().foreach(_.delete())
+        new java.io.File(s"$srcDir/b$i").delete(): Unit
+      }
+      srcDir
+    }
+
+    /** Per-batch triggerExecution durations from the engine itself. */
+    class BatchTimes extends org.apache.spark.sql.streaming.StreamingQueryListener {
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.getOrDefault("triggerExecution", -1L)
+        if (e.progress.numInputRows > 0)
+          times.synchronized { times += ((e.progress.batchId, d)): Unit }
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+
+    def fmtBatches(ts: Seq[(Long, Long)]): String =
+      ts.sortBy(_._1).map(t => f"${t._2 / 1e3}%.1f").mkString("[", ",", "]")
+
+    if (mode == "text" || mode == "both") {
+      val d = Tables(spark, dir, "documents")
+      val corpus = d.filter(pmod($"doc_id", lit(batchMod)) =!= 0)
+      val arrivals = d.filter(pmod($"doc_id", lit(batchMod)) === 0)
+      val nC = corpus.count(); val nA = arrivals.count()
+      val idxPrefix = "ingest_stream_bench_idx"
+      val tb0 = System.nanoTime()
+      graft.operators.Dedup.writeNgramIndexBucketed(corpus, idxPrefix,
+        "doc_id", "text", n = 3, threshold = 0.5, buckets = cpus.toInt)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val srcDir = stageArrivals(arrivals, "doc_id", "text_src")
+      val lst = new BatchTimes
+      spark.streams.addListener(lst)
+      val t0 = System.nanoTime()
+      graft.streaming.IngestStream.run(spark, srcDir, idxPrefix,
+        indexBuckets = cpus.toInt, outDir = s"$scratch/text_out",
+        checkpointDir = s"$scratch/text_ckpt")
+      val streamSec = (System.nanoTime() - t0) / 1e9
+      spark.streams.removeListener(lst)
+      val accepted = graft.streaming.IngestStream
+        .accepted(spark, s"$scratch/text_out").map(_.count()).getOrElse(0L)
+      // sequential replay of the same slices, no streaming engine
+      val t1 = System.nanoTime()
+      var acc: Option[org.apache.spark.sql.DataFrame] = None
+      (0 until nBatches).foreach { i =>
+        val b = spark.read.parquet(s"$srcDir/b$i.parquet")
+        val r = graft.streaming.IngestStream.applyBatch(spark, b, acc,
+          idxPrefix, "doc_id", "text", 3, 0.5)
+        r.write.mode("overwrite").parquet(s"$scratch/text_replay/b$i")
+        val dirs = (0 to i).map(j => s"$scratch/text_replay/b$j")
+        acc = Some(spark.read.parquet(dirs: _*))
+      }
+      val replaySec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"mode":"text","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(lst.times.toSeq)}}""")
+      Seq("df", "prefix", "shingles").foreach { s =>
+        graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
+      }
+    }
+
+    if (mode == "embed" || mode == "both") {
+      val e = Tables(spark, dir, "embeddings")
+      val dims = e.select(size($"embedding")).head().getInt(0)
+      val corpus = e.filter(pmod($"vec_id", lit(batchMod)) =!= 0)
+      val arrivals = e.filter(pmod($"vec_id", lit(batchMod)) === 0)
+      val nC = corpus.count(); val nA = arrivals.count()
+      val idxPath = s"$scratch/sign_idx"
+      val tb0 = System.nanoTime()
+      graft.operators.Similarity.writeSignIndex(corpus, idxPath, dims,
+        numPlanes = 0, seed = 42L, knownCount = nC)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val srcDir = stageArrivals(arrivals, "vec_id", "embed_src")
+      val lst = new BatchTimes
+      spark.streams.addListener(lst)
+      val t0 = System.nanoTime()
+      graft.streaming.EmbedIngestStream.run(spark, srcDir, idxPath, dims,
+        outDir = s"$scratch/embed_out", checkpointDir = s"$scratch/embed_ckpt")
+      val streamSec = (System.nanoTime() - t0) / 1e9
+      spark.streams.removeListener(lst)
+      val accepted = graft.streaming.EmbedIngestStream
+        .accepted(spark, s"$scratch/embed_out").map(_.count()).getOrElse(0L)
+      val t1 = System.nanoTime()
+      var acc: Option[org.apache.spark.sql.DataFrame] = None
+      (0 until nBatches).foreach { i =>
+        val b = spark.read.parquet(s"$srcDir/b$i.parquet")
+        val r = graft.streaming.EmbedIngestStream.applyBatch(spark, b, acc,
+          idxPath, "vec_id", "embedding", dims, 0.4, 1, 42L)
+        r.write.mode("overwrite").parquet(s"$scratch/embed_replay/b$i")
+        val dirs = (0 to i).map(j => s"$scratch/embed_replay/b$j")
+        acc = Some(spark.read.parquet(dirs: _*))
+      }
+      val replaySec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"mode":"embed","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(lst.times.toSeq)}}""")
+    }
+
+    spark.stop()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(scratch))
+  }
+}

@@ -771,6 +771,31 @@ object PipelineQueries {
         "doc_id", "text", k = 3)
     },
 
+    // Corpus-level boilerplate removal: non-overlapping 10-token blocks
+    // occurring >= 3 times corpus-wide are dropped from every document
+    // (operators/TextQuality.removeFrequentBlocks — the block analogue
+    // of CCNet/RefinedWeb line dedup).
+    "text_boilerplate" -> { (s, dir) =>
+      TextQuality.removeFrequentBlocks(Tables(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 10, minFreq = 3)
+    },
+
+    // Cross-document duplicated 8-token spans with document frequency —
+    // the exact-substring-dedup discovery table (Lee et al. 2021) at
+    // word-window granularity (operators/TextQuality.duplicatedSpans).
+    "text_dup_spans" -> { (s, dir) =>
+      TextQuality.duplicatedSpans(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 8, minDocs = 2)
+    },
+
+    // Per-document duplicated-span contamination fractions — the
+    // doc-level filter signal over the duplicated-span table
+    // (operators/TextQuality.spanDupStats; dup table broadcasts back).
+    "text_span_stats" -> { (s, dir) =>
+      TextQuality.spanDupStats(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 8, minDocs = 2)
+    },
+
     // Benchmark decontamination: training docs sharing >= 3 distinct
     // word trigrams with the held-out "benchmark" split (doc_id % 23).
     // Benchmark shingles broadcast; the corpus never shuffles — only
@@ -960,6 +985,20 @@ object PipelineQueries {
       |  SELECT doc_id,
       |    list_distinct([lst[i]||' '||lst[i+1]||' '||lst[i+2]
       |                   FOR i IN range(1, len(lst)-1)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
+      |        FROM documents))""".stripMargin
+
+  /** Distinct overlapping 8-token spans per doc — the k=8 analogue of
+    * [[Shingles]] (mirrors the wordShingles kernel; the <8-token
+    * whole-doc branch is unreachable on the testdata, min 10 tokens).
+    */
+  private val Spans8 =
+    """WITH sp8 AS (
+      |  SELECT doc_id,
+      |    list_distinct([lst[i]||' '||lst[i+1]||' '||lst[i+2]||' '||
+      |                   lst[i+3]||' '||lst[i+4]||' '||lst[i+5]||' '||
+      |                   lst[i+6]||' '||lst[i+7]
+      |                   FOR i IN range(1, len(lst)-6)]) AS sp
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
       |        FROM documents))""".stripMargin
 
@@ -1802,6 +1841,39 @@ object PipelineQueries {
         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df
         |FROM u GROUP BY ngram
         |ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin),
+
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, (len(toks) + 9) // 10)) AS idx FROM t),
+        |ch AS (SELECT doc_id, idx,
+        |    array_to_string(toks[idx*10+1 : idx*10+10], ' ') AS blk FROM c),
+        |f AS (SELECT blk, count(*) AS cnt FROM ch GROUP BY blk)
+        |SELECT ch.doc_id,
+        |  coalesce(string_agg(ch.blk, ' ' ORDER BY ch.idx)
+        |    FILTER (WHERE f.cnt < 3), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (WHERE f.cnt >= 3) AS BIGINT) AS n_removed
+        |FROM ch JOIN f ON ch.blk = f.blk
+        |GROUP BY ch.doc_id""".stripMargin,
+
+    "text_dup_spans" -> (Spans8 +
+      """, u AS (SELECT unnest(sp) AS span FROM sp8)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM u GROUP BY span HAVING count(*) >= 2""".stripMargin),
+
+    "text_span_stats" -> (Spans8 +
+      """, e AS (SELECT doc_id, len(sp) AS n_sp, unnest(sp) AS span
+        |     FROM sp8),
+        |d AS (SELECT span FROM e GROUP BY span HAVING count(*) >= 2)
+        |SELECT e.doc_id, CAST(max(e.n_sp) AS BIGINT) AS n_spans,
+        |  CAST(count(d.span) AS BIGINT) AS n_dup_spans,
+        |  CAST(count(d.span) AS DOUBLE) / CAST(max(e.n_sp) AS DOUBLE)
+        |    AS dup_frac
+        |FROM e LEFT JOIN d ON e.span = d.span
+        |GROUP BY e.doc_id""".stripMargin),
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

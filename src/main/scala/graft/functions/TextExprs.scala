@@ -81,6 +81,34 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Non-overlapping c-token chunks in document order (last chunk may
+    * be short); empty/blank → empty array. Positional, NOT distinct —
+    * the same block twice in one doc is two chunks, so a corpus-wide
+    * `count(*)` over chunks is occurrence frequency, which is what
+    * boilerplate detection thresholds on.
+    */
+  def wordChunks(text: UTF8String, c: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val nChunks = (toks.length + c - 1) / c
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nChunks) {
+      sb.setLength(0)
+      var j = i * c
+      val end = math.min(j + c, toks.length)
+      while (j < end) {
+        if (j > i * c) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document repetition statistics (Gopher/MassiveText-style
     * quality rules, Rae et al. 2021 §A1.1, public): token count,
     * distinct tokens, and the multiplicity of the most-repeated
@@ -174,6 +202,21 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     TextOps.wordShingles(t.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordShingles($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** word_chunks(string, c) → non-overlapping c-token blocks in order —
+  * the unit of corpus-level boilerplate removal (frequency-thresholded
+  * block filtering; the block analogue of CCNet/RefinedWeb line-level
+  * dedup for corpora whose documents carry no line structure).
+  */
+case class WordChunksExpr(child: Expression, c: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.wordChunks(t.asInstanceOf[UTF8String], c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordChunks($t, $c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -364,6 +407,8 @@ case class LangIdExpr(child: Expression, langWords: Seq[(String, Seq[String])])
 object TextExprs {
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShinglesExpr(toExpr(text), n))
+  def wordChunks(text: Column, c: Int): Column =
+    toCol(WordChunksExpr(toExpr(text), c))
   def minhashOfText(text: Column, n: Int, k: Int, seed: Int = 0x7f4a7c15): Column =
     toCol(MinHashOfText(toExpr(text), n, k, seed))
   def jaccardSim(a: Column, b: Column): Column =

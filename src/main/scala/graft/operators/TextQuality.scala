@@ -129,4 +129,115 @@ object TextQuality {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
+
+  /** Corpus-level boilerplate removal: drop every non-overlapping
+    * `chunkTokens`-token block whose corpus-wide occurrence count is
+    * ≥ `minFreq` from every document — the block analogue of the
+    * line-level "remove lines duplicated across the crawl" pass of
+    * CCNet (Wenzek et al. 2019) / RefinedWeb (Penedo et al. 2023),
+    * for corpora whose documents carry no line structure. Repeated
+    * headers, footers, navigation chrome, and license blurbs are
+    * exactly the blocks that recur verbatim across documents.
+    *
+    * Output: (id, clean_text, n_blocks, n_removed) — `clean_text` is
+    * the surviving blocks re-joined in document order ("" when every
+    * block was boilerplate), so the operator composes directly with
+    * the rest of the curation pipeline.
+    *
+    * Shape: ONE shuffle wide in the corpus — chunks explode locally
+    * (document-local, so the per-block count partial-aggregates
+    * map-side), the occurrence count is a window count partitioned by
+    * the block text, and the per-document reassembly groups on the id.
+    * The shuffle rows carry (id, idx, block) where a block is bounded
+    * at `chunkTokens` tokens — never the document, never unbounded
+    * strings. At 100 TB scale substitute `xxhash64(block)` pairs for
+    * the partition key if block strings dominate the shuffle; the
+    * string key is kept here because it is engine-portable (the DuckDB
+    * oracle replays it verbatim).
+    *
+    * Token-less documents (empty/blank text) have no blocks and produce
+    * no output row — a blank document IS all boilerplate.
+    */
+  def removeFrequentBlocks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, minFreq: Long = 3): DataFrame = {
+    val ch = df.select(col(idCol),
+        posexplode(TextExprs.wordChunks(col(textCol), chunkTokens))
+          .as(Seq("idx", "blk")))
+    val byBlk = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+    ch.withColumn("keep", count(lit(1)).over(byBlk) < minFreq)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            filter(array_sort(collect_list(struct(col("idx"), col("keep"),
+              col("blk")))), x => x.getField("keep")),
+            x => x.getField("blk"))).as("clean_text"),
+        count(lit(1)).as("n_blocks"),
+        count(when(!col("keep"), lit(1))).as("n_removed"))
+  }
+
+  /** Cross-document duplicated k-token spans: every OVERLAPPING k-token
+    * window (distinct within a document) that appears in at least
+    * `minDocs` documents, with its document frequency. The span-level
+    * discovery half of exact-substring training-data dedup (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * public) at word-window granularity — a k-token window is the
+    * fixed-length proxy for "duplicated substring ≥ k tokens", which
+    * keeps the operator a hash aggregation instead of a suffix array.
+    * A document with 1..k-1 tokens contributes its whole text as one
+    * span (window semantics of
+    * [[graft.functions.TextExprs.wordShingles]]).
+    *
+    * Shape: ONE shuffle. [[graft.functions.TextExprs.wordShingles]] is
+    * per-document DISTINCT, so the per-span count after explode IS the
+    * document frequency — no count(DISTINCT id) double shuffle; the
+    * groupBy partial-aggregates map-side. Shuffle rows are (span,
+    * partial count): bounded at k tokens each, never the document.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Long = 2): DataFrame =
+    df.select(explode(TextExprs.wordShingles(col(textCol), k)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span contamination: how much of each
+    * document is verbatim-shared with at least `minDocs - 1` OTHER
+    * documents — the doc-level filter signal built on
+    * [[duplicatedSpans]] (drop or down-weight documents whose
+    * `dup_frac` exceeds a threshold; the MassiveText/RefinedWeb
+    * duplicate-content rule at span granularity).
+    *
+    * Output: (id, n_spans, n_dup_spans, dup_frac) where `n_spans`
+    * counts the document's distinct k-token windows. Window semantics
+    * follow [[graft.functions.TextExprs.wordShingles]]: a document with
+    * 1..k-1 tokens contributes its whole text as ONE span (two
+    * identical short documents ARE duplicated content), and a blank
+    * document has no spans (n_spans 0, NULL frac).
+    *
+    * Shape: two passes over the corpus, like [[corpusFrequencyScores]].
+    * Pass 1 builds the duplicated-span table — vocabulary-like (only
+    * spans crossing the `minDocs` bar; at 100 TB still tiny next to the
+    * corpus), so the join back in pass 2 is a BROADCAST. Pass 2 is ONE
+    * corpus-wide shuffle: the per-document aggregate, which
+    * partial-aggregates map-side because explode preserves document
+    * locality. `explode_outer` (not explode) keeps span-less documents
+    * in the output without a corpus-wide join-back.
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Long = 2): DataFrame = {
+    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .select(col("span"), lit(1L).as("is_dup"))
+    df.select(col(idCol), TextExprs.wordShingles(col(textCol), k).as("sp"))
+      .select(col(idCol), size(col("sp")).as("n_sp"),
+        explode_outer(col("sp")).as("span"))
+      .join(broadcast(dup), Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_sp")).cast("long").as("n_spans"),
+        count(col("is_dup")).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_frac"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{Dedup, Similarity}
+
+/** Continuous near-duplicate ingest for EMBEDDINGS — the vector-side
+  * mirror of [[IngestStream]], probing the persisted
+  * [[graft.operators.Similarity.writeSignIndex]] layout instead of the
+  * bucketed n-gram tables. Each micro-batch of arriving vectors is
+  *
+  *  1. exact-deduped WITHIN the batch (identical embedding arrays →
+  *     min-id keeper; re-emitted vectors from an upstream encoder),
+  *  2. probed against the PERSISTED sign index
+  *     ([[Dedup.incrementalNewNearDupEmbedDisk]] — directory-pruned
+  *     bucket equi-join, the corpus keeps ONE frozen signature per row
+  *     so the index is write-once/probe-many), and
+  *  3. near-dup probed against everything this stream has ALREADY
+  *     ACCEPTED ([[Dedup.incrementalNewNearDupEmbed]] with the SAME
+  *     plane count the index was written with, read from its sidecar),
+  *     so a near-dup arriving two batches after its original is caught
+  *     even though the frozen index has neither.
+  *
+  * Sink/replay semantics are [[IngestStream]]'s: survivors land in
+  * `outDir/batch=<id>/` written with overwrite, so a foreachBatch retry
+  * rewrites the same directory — append-exactly-once without a
+  * transaction log. The accepted-set probe grows with accepted arrivals
+  * only; periodic re-index ([[Similarity.writeSignIndex]] over corpus ∪
+  * accepted) folds it back to empty on the deployment's cadence.
+  */
+object EmbedIngestStream {
+
+  /** Rows of `batch` surviving the within-batch exact pass: the min-id
+    * keeper per identical embedding array (grouping on the float array
+    * is exact — same bytes, same vector).
+    */
+  private def exactWithinBatch(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    batch.join(
+      batch.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)),
+      Seq(idCol))
+
+  /** One micro-batch through the three dedup stages — factored out so
+    * tests and backfills can replay it batch-exactly. `accepted` is the
+    * already-ingested set (None for the first batch of a fresh out dir).
+    */
+  private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
+      accepted: Option[DataFrame], indexPath: String, idCol: String,
+      vecCol: String, dims: Int, threshold: Double, probeHamming: Int,
+      seed: Long): DataFrame = {
+    val b1 = exactWithinBatch(batch, idCol, vecCol)
+    val newVsCorpus = Dedup.incrementalNewNearDupEmbedDisk(spark,
+      indexPath, b1, idCol, vecCol, dims, numPlanes = 0,
+      threshold = threshold, probeHamming = probeHamming, seed = seed)
+    val b2 = b1.join(newVsCorpus, Seq(idCol))
+    accepted match {
+      case None => b2
+      case Some(acc) =>
+        // the accepted-set probe replays the index's own plane count so
+        // stage 2 and stage 3 share one signature definition
+        val planes = Similarity.signIndexMeta(spark, indexPath)
+          .map(_._1).getOrElse(throw new IllegalArgumentException(
+            s"no sign-index sidecar under $indexPath"))
+        val newVsAccepted = Dedup.incrementalNewNearDupEmbed(acc, b2,
+          idCol, vecCol, dims, numPlanes = planes, threshold = threshold,
+          probeHamming = probeHamming, seed = seed)
+        b2.join(newVsAccepted, Seq(idCol))
+    }
+  }
+
+  /** Drain `srcDir` through the ingest pipeline (AvailableNow trigger —
+    * swap for a processing-time trigger in an always-on deployment).
+    * `dims`/`seed` must match the index build; the plane count is read
+    * from the index sidecar. Restart-safe: the checkpoint tracks
+    * consumed files, per-batch overwrite makes replays idempotent.
+    */
+  def run(spark: SparkSession, srcDir: String, indexPath: String,
+      dims: Int, outDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.4, probeHamming: Int = 1, seed: Long = 42L,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    require(Similarity.signIndexMeta(spark, indexPath).isDefined,
+      s"no sign index (with sidecar) at $indexPath")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val acceptedDirs = Option(new java.io.File(outDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+          // a retry of batch N must not probe N's own half-written
+          // output: only strictly-older batches count as accepted
+          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.getAbsolutePath)
+        val accepted =
+          if (acceptedDirs.isEmpty) None
+          else Some(spark.read.parquet(acceptedDirs.toIndexedSeq: _*))
+        applyBatch(spark, batch, accepted, indexPath, idCol, vecCol,
+          dims, threshold, probeHamming, seed)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Everything the stream has accepted so far (shared layout with the
+    * text-side stream). */
+  def accepted(spark: SparkSession, outDir: String): Option[DataFrame] =
+    IngestStream.accepted(spark, outDir)
+}

@@ -194,4 +194,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(scd2Ex <= 2,
       s"mig_scd2: expected <=2 shuffles (agg + window sort), found $scd2Ex:\n$scd2")
   }
+
+  test("round-11 span gates: dup-span table BROADCASTS back, no product") {
+    // text_span_stats joins the exploded corpus spans against the
+    // duplicated-span table. That table is vocabulary-like (only spans
+    // crossing the minDocs bar) — the join must stay a broadcast; an
+    // SMJ here shuffles the full exploded corpus a second time, and a
+    // product plan is corpus x vocabulary.
+    val plan = finalPlan(SparkEntry.queries("text_span_stats")(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dup-span join-back stopped broadcasting:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"degraded to a product plan:\n$plan")
+    // text_boilerplate and text_dup_spans are window/agg shapes: no
+    // join anywhere, so nothing can degrade to a product
+    for (q <- Seq("text_boilerplate", "text_dup_spans")) {
+      val p = finalPlan(SparkEntry.queries(q)(spark, sf001))
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q: product plan appeared:\n$p")
+    }
+  }
 }

@@ -441,4 +441,84 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("embedding ingest stream: within-batch exact + vs-sign-index + " +
+      "vs-accepted dedup == the sequential batch replay") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.EmbedIngestStream
+    val dims = 64
+    val emb = Tables(spark, sf001, "embeddings")
+    val corpus = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val idxPath = tmpDir("embed-ingest-idx")
+    Similarity.writeSignIndex(corpus, idxPath, dims, numPlanes = 6,
+      seed = 42L)
+
+    // dup arrivals are EXACT copies (identical signature → always in
+    // the probed bucket, cosine 1 → always above threshold); fresh
+    // arrivals are seed-searched to have max |cosine| < 0.38 against
+    // the corpus AND each other (operator threshold 0.4; float-vs-
+    // double rounding is ~1e-7, nowhere near the 0.02 slack), so
+    // "fresh" is fresh by construction — deterministic for a given
+    // testdata generation, never flaky. 0.38 passes for ~half of all
+    // seeds vs 450 corpus vectors; a tighter margin is statistically
+    // unreachable (max of 450 ~N(0, 1/64) cosines).
+    val corpusVecs = corpus.select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def freshFrom(startSeed: Int, alsoFarFrom: Seq[Array[Float]]): Array[Float] =
+      Iterator.from(startSeed).map { s =>
+        val r = new scala.util.Random(s)
+        Array.fill(dims)(r.nextGaussian().toFloat)
+      }.find(v => (corpusVecs.iterator ++ alsoFarFrom.iterator)
+        .forall(c => math.abs(cos(v, c)) < 0.38)).get
+    val freshA = freshFrom(7, Nil)
+    val freshC = freshFrom(1007, Seq(freshA))
+    val corpusVec = corpusVecs.head
+    val srcDir = tmpDir("embed-ingest-src")
+    val f1 = Seq(
+      (1000001L, freshA),           // fresh -> accepted
+      (1000002L, corpusVec),        // exact corpus dup -> dropped
+      (1000003L, freshC), (1000004L, freshC) // exact pair -> min id kept
+    ).toDF("vec_id", "embedding")
+    val f2 = Seq(
+      (1000005L, freshA)            // dup of batch-1 ACCEPTED -> dropped
+    ).toDF("vec_id", "embedding")
+    f1.coalesce(1).write.parquet(s"$srcDir/f1")
+    f2.coalesce(1).write.parquet(s"$srcDir/f2")
+    def promote(sub: String, age: Long): Unit = {
+      val part = new java.io.File(s"$srcDir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$srcDir/$sub.parquet")
+      assert(part.renameTo(dst))
+      assert(dst.setLastModified(System.currentTimeMillis() - age))
+      new java.io.File(s"$srcDir/$sub").listFiles().foreach(_.delete())
+      new java.io.File(s"$srcDir/$sub").delete(): Unit
+    }
+    promote("f1", 60000); promote("f2", 30000)
+
+    val outDir = tmpDir("embed-ingest-out")
+    EmbedIngestStream.run(spark, srcDir, idxPath, dims,
+      outDir = outDir, checkpointDir = tmpDir("embed-ingest-ckpt"),
+      maxFilesPerTrigger = 1)
+    val got = EmbedIngestStream.accepted(spark, outDir).get
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1000001L, 1000003L), s"accepted set diverged: $got")
+
+    // stream run == sequential applyBatch replay
+    val r1 = EmbedIngestStream.applyBatch(spark,
+      spark.read.parquet(s"$srcDir/f1.parquet"), None, idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    val r2 = EmbedIngestStream.applyBatch(spark,
+      spark.read.parquet(s"$srcDir/f2.parquet"), Some(r1), idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    val replay = (r1.select($"vec_id").collect() ++
+      r2.select($"vec_id").collect()).map(_.getLong(0)).toSet
+    assert(replay === got)
+  }
 }

@@ -215,6 +215,82 @@ class TextQualitySpec extends SparkSpec {
     assert(got == Set(11L))
   }
 
+  test("wordChunks kernel: non-overlapping order-preserving blocks, short tail") {
+    val got = Seq(
+      (1L, "a b c d e"),   // c=2 → ["a b","c d","e"]
+      (2L, "  x  "),       // 1 token → ["x"]
+      (3L, " \t "),        // blank → []
+      (4L, "z z z z")      // repeated block kept positionally: ["z z","z z"]
+    ).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextExprs.wordChunks($"text", 2).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("a b", "c d", "e"))
+    assert(got(2L) == List("x"))
+    assert(got(3L) == Nil)
+    assert(got(4L) == List("z z", "z z"))
+  }
+
+  test("removeFrequentBlocks: corpus-frequent blocks drop, order survives") {
+    val docs = Seq(
+      (1L, "a b c d"),     // blocks: "a b","c d"
+      (2L, "a b x"),       // blocks: "a b","x"
+      (3L, "p q"),         // block:  "p q"
+      (4L, "a b"),         // block:  "a b"  → fully boilerplate
+      (5L, "z z z z")      // "z z"×2 WITHIN one doc counts twice
+    ).toDF("doc_id", "text")
+    // corpus counts: "a b"×3, "z z"×2, rest ×1 → minFreq=2 drops both
+    val got = TextQuality.removeFrequentBlocks(
+        docs, "doc_id", "text", chunkTokens = 2, minFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("c d", 2L, 1L)))
+    assert(got(2L) == (("x", 2L, 1L)))
+    assert(got(3L) == (("p q", 1L, 0L)))
+    assert(got(4L) == (("", 1L, 1L)))        // all blocks boilerplate → ""
+    assert(got(5L) == (("", 2L, 2L)))        // within-doc repetition counts
+    assert(got.size == 5)
+
+    // blank docs have no blocks and no output row
+    val blank = Seq((9L, "  ")).toDF("doc_id", "text")
+    assert(TextQuality.removeFrequentBlocks(
+      blank, "doc_id", "text", 2, 2).count() == 0)
+  }
+
+  test("duplicatedSpans: df counts documents once, short docs span whole text") {
+    val docs = Seq(
+      (1L, "a b c d"),     // spans k=2: "a b","b c","c d"
+      (2L, "b c e"),       // spans: "b c","c e"
+      (3L, "a b a b"),     // distinct-within-doc: "a b","b a" (once each)
+      (4L, "q")            // <k tokens → whole-doc span "q"
+    ).toDF("doc_id", "text")
+    val got = TextQuality.duplicatedSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b" in docs 1 and 3 (doc 3 counts ONCE despite two occurrences);
+    // "b c" in docs 1 and 2; nothing else crosses minDocs=2
+    assert(got == Map("a b" -> 2L, "b c" -> 2L))
+  }
+
+  test("spanDupStats: per-doc contamination fractions, edge docs kept") {
+    val docs = Seq(
+      (1L, "a b c d"),     // 3 spans, dup: "a b","b c" → 2/3
+      (2L, "b c e"),       // 2 spans, dup: "b c" → 1/2
+      (3L, "a b a b"),     // 2 distinct spans, dup: "a b" → 1/2
+      (4L, "q"),           // 1 whole-doc span, not duplicated → 0.0
+      (5L, " ")            // blank: 0 spans, NULL frac
+    ).toDF("doc_id", "text")
+    val rows = TextQuality.spanDupStats(docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(1L) == ((3L, 2L, Some(2.0 / 3))))
+    assert(rows(2L) == ((2L, 1L, Some(0.5))))
+    assert(rows(3L) == ((2L, 1L, Some(0.5))))
+    assert(rows(4L) == ((1L, 0L, Some(0.0))))
+    assert(rows(5L) == ((0L, 0L, None)))
+    assert(rows.size == 5)
+  }
+
   test("repetition plan: one scan, no explode, no shuffle before output") {
     val plan = TextQuality.repetition(
       Tables(spark, sf001, "documents"), "doc_id", "text")

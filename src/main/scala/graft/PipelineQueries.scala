@@ -796,6 +796,17 @@ object PipelineQueries {
         "doc_id", "text", k = 8, minDocs = 2)
     },
 
+    // Exact-substring REMOVAL (Lee et al. 2021) at 8-token window
+    // granularity: tokens covered by any cross-document duplicated
+    // window are dropped, survivors re-join in order
+    // (operators/TextQuality.removeDuplicatedSpans — codegen'd
+    // cover/rebuild kernel, dup table broadcasts onto the positional
+    // window explode).
+    "text_span_scrub" -> { (s, dir) =>
+      TextQuality.removeDuplicatedSpans(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 8, minDocs = 2)
+    },
+
     // Benchmark decontamination: training docs sharing >= 3 distinct
     // word trigrams with the held-out "benchmark" split (doc_id % 23).
     // Benchmark shingles broadcast; the corpus never shuffles — only
@@ -1874,6 +1885,33 @@ object PipelineQueries {
         |    AS dup_frac
         |FROM e LEFT JOIN d ON e.span = d.span
         |GROUP BY e.doc_id""".stripMargin),
+
+    // discovery CTE (distinct windows) shared with text_dup_spans; the
+    // scrub side replays POSITIONAL windows, merges covered offsets per
+    // doc, and rebuilds the token list around them
+    "text_span_scrub" -> (Spans8 +
+      """, u AS (SELECT unnest(sp) AS span FROM sp8),
+        |d AS (SELECT span FROM u GROUP BY span HAVING count(*) >= 2),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
+        |      FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, len(lst)-6)) AS i, lst FROM t),
+        |wp AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    lst[i]||' '||lst[i+1]||' '||lst[i+2]||' '||lst[i+3]||' '||
+        |    lst[i+4]||' '||lst[i+5]||' '||lst[i+6]||' '||lst[i+7] AS span
+        |  FROM w),
+        |cov AS (SELECT doc_id, list(pos) AS starts
+        |        FROM wp JOIN d USING (span) GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, t.lst, coalesce(cov.starts, []) AS st
+        |      FROM t LEFT JOIN cov USING (doc_id)),
+        |kf AS (SELECT doc_id, lst,
+        |    [lst[p+1] FOR p IN range(0, len(lst))
+        |     IF len(list_filter(st, s -> p >= s AND p < s + 8)) = 0] AS keep
+        |  FROM j)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(keep, ' '), '') AS clean_text,
+        |  CAST(len(lst) AS BIGINT) AS n_tokens,
+        |  CAST(len(lst) - len(keep) AS BIGINT) AS n_removed
+        |FROM kf""".stripMargin),
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -109,6 +109,69 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Positional (NON-distinct) overlapping k-token windows in document
+    * order — entry i is the window starting at token i, so
+    * `posexplode` yields (start, span) pairs. Unlike [[wordShingles]]
+    * there is NO whole-doc fallback: <k tokens → empty array (a short
+    * document has no k-window to scrub; whole-document duplication is
+    * exact dedup's job).
+    */
+  def wordSpansPos(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = toks.length - k + 1
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rebuild a document with the k-token windows starting at `starts`
+    * removed: tokens covered by ANY listed window are dropped,
+    * survivors re-join in order (single-space normalized, the
+    * [[wordChunks]] reassembly convention). One pass, overlapping
+    * windows merge for free via the boolean cover array. Returns
+    * (clean_text, n_tokens, n_removed).
+    */
+  def scrubCovered(text: UTF8String, starts: ArrayData, k: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    val n = toks.length
+    val covered = new Array[Boolean](n)
+    var si = 0
+    while (si < starts.numElements()) {
+      val s = starts.getInt(si)
+      var p = math.max(s, 0)
+      val end = math.min(s.toLong + k, n.toLong).toInt
+      while (p < end) { covered(p) = true; p += 1 }
+      si += 1
+    }
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), n, n - kept))
+  }
+
   /** Per-document repetition statistics (Gopher/MassiveText-style
     * quality rules, Rae et al. 2021 §A1.1, public): token count,
     * distinct tokens, and the multiplicity of the most-repeated
@@ -219,6 +282,40 @@ case class WordChunksExpr(child: Expression, c: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordChunks($t, $c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** word_spans_pos(string, k) → positional overlapping k-token windows
+  * (index in the array IS the start token offset) — the candidate side
+  * of exact-substring span removal.
+  */
+case class WordSpansPosExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.wordSpansPos(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordSpansPos($t, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** scrub_covered(string, array<int>) → (clean_text, n_tokens,
+  * n_removed): drop every token covered by a k-window starting at any
+  * of the listed offsets, re-join the rest in order.
+  */
+case class ScrubCoveredExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    TextOps.scrubCovered(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.TextOps.scrubCovered($t, $s, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** deletion_variants(string, k) → all DISTINCT strings obtainable by
@@ -409,6 +506,10 @@ object TextExprs {
     toCol(WordShinglesExpr(toExpr(text), n))
   def wordChunks(text: Column, c: Int): Column =
     toCol(WordChunksExpr(toExpr(text), c))
+  def wordSpansPos(text: Column, k: Int): Column =
+    toCol(WordSpansPosExpr(toExpr(text), k))
+  def scrubCovered(text: Column, starts: Column, k: Int): Column =
+    toCol(ScrubCoveredExpr(toExpr(text), toExpr(starts), k))
   def minhashOfText(text: Column, n: Int, k: Int, seed: Int = 0x7f4a7c15): Column =
     toCol(MinHashOfText(toExpr(text), n, k, seed))
   def jaccardSim(a: Column, b: Column): Column =

@@ -224,6 +224,51 @@ object TextQuality {
     * locality. `explode_outer` (not explode) keeps span-less documents
     * in the output without a corpus-wide join-back.
     */
+  /** The REMOVAL half of exact-substring dedup (Lee et al. 2021) at
+    * word-window granularity: every token covered by a k-token window
+    * that appears in ≥ `minDocs` documents is dropped from every
+    * document; survivors re-join in order. Overlapping duplicated
+    * windows merge into one removed region, so a long shared passage
+    * disappears wholesale — the substring-level complement of document
+    * dedup (near-identical DOCUMENTS are dedup's job; long shared
+    * PASSAGES inside otherwise-distinct documents are this operator's).
+    *
+    * Output: (id, clean_text, n_tokens, n_removed) — every input
+    * document appears, untouched documents with n_removed 0.
+    * Cross-document only: a span repeated many times WITHIN one
+    * document but nowhere else is repetition ([[repetition]]), not
+    * duplication. Documents shorter than k tokens have no k-window and
+    * pass through unchanged.
+    *
+    * Shape: discovery is [[duplicatedSpans]] (one shuffle over distinct
+    * windows); the duplicated-span table broadcasts back onto the
+    * POSITIONAL window explode (non-distinct — every occurrence must be
+    * scrubbed), which therefore never shuffles; the per-document
+    * covered-start list is one id-keyed aggregate over MATCHED
+    * positions only (documents with no duplicated span contribute
+    * nothing), and the rebuild is a single codegen'd kernel pass
+    * ([[graft.functions.TextExprs.scrubCovered]]).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Long = 2): DataFrame = {
+    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .select(col("span"))
+    val starts = df.select(col(idCol),
+        posexplode(TextExprs.wordSpansPos(col(textCol), k))
+          .as(Seq("pos", "span")))
+      .join(broadcast(dup), Seq("span"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("starts"))
+    df.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        TextExprs.scrubCovered(col(textCol),
+          coalesce(col("starts"), array().cast("array<int>")), k).as("r"))
+      .select(col(idCol),
+        col("r.clean_text").as("clean_text"),
+        col("r.n_tokens").cast("long").as("n_tokens"),
+        col("r.n_removed").cast("long").as("n_removed"))
+  }
+
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Long = 2): DataFrame = {
     val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)

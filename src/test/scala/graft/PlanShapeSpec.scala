@@ -206,6 +206,13 @@ class PlanShapeSpec extends SparkSpec {
       s"dup-span join-back stopped broadcasting:\n$plan")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"degraded to a product plan:\n$plan")
+    // text_span_scrub: the dup table must broadcast onto the POSITIONAL
+    // window explode (the non-distinct side never shuffles)
+    val scrub = finalPlan(SparkEntry.queries("text_span_scrub")(spark, sf001))
+    assert(scrub.contains("BroadcastHashJoin"),
+      s"scrub candidate join stopped broadcasting:\n$scrub")
+    assert(!scrub.contains("NestedLoop") && !scrub.contains("Cartesian"),
+      s"scrub degraded to a product plan:\n$scrub")
     // text_boilerplate and text_dup_spans are window/agg shapes: no
     // join anywhere, so nothing can degrade to a product
     for (q <- Seq("text_boilerplate", "text_dup_spans")) {

@@ -271,6 +271,46 @@ class TextQualitySpec extends SparkSpec {
     assert(got == Map("a b" -> 2L, "b c" -> 2L))
   }
 
+  test("removeDuplicatedSpans: covered tokens drop, overlaps merge, " +
+      "short docs pass through") {
+    val docs = Seq(
+      (1L, "a b c d"),     // "a b" dup (docs 1,2,6) covers 0,1; "b c"
+                           // dup (docs 1,6,7) covers 1,2 → "d"
+      (2L, "x a b y"),     // start 1 → covers 1,2 → "x y"
+      (3L, "q"),           // <k tokens: no window, unchanged
+      (4L, "m n m n m"),   // "m n" dup with doc 5 at starts 0,2 → covers
+                           // 0..3 → "m"
+      (5L, "m n"),         // 2 tokens = k → one window → covered → ""
+      (6L, "a b c"),       // "a b"(0) + "b c"(1) both dup → overlap merge
+      (7L, "b c z")        // "b c"(0) → "z"
+    ).toDF("doc_id", "text")
+    val got = TextQuality.removeDuplicatedSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("d", 4L, 3L)))
+    assert(got(2L) == (("x y", 4L, 2L)))
+    assert(got(3L) == (("q", 1L, 0L)))       // short doc untouched
+    assert(got(4L) == (("m", 5L, 4L)))       // every occurrence scrubbed
+    assert(got(5L) == (("", 2L, 2L)))
+    assert(got(6L) == (("", 3L, 3L)))        // overlapping spans merge
+    assert(got(7L) == (("z", 3L, 2L)))
+    assert(got.size == 7)
+  }
+
+  test("removeDuplicatedSpans on real docs: removal == spanDupStats flags") {
+    // a doc loses tokens iff spanDupStats says it carries a duplicated
+    // span; the two operators share one discovery definition for
+    // k-window docs (whole-doc spans of <k-token docs are stats-only)
+    val docs = Tables(spark, sf001, "documents")
+    val removed = TextQuality.removeDuplicatedSpans(docs, "doc_id", "text")
+      .filter($"n_removed" > 0).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = TextQuality.spanDupStats(docs, "doc_id", "text")
+      .filter($"n_dup_spans" > 0).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == flagged && removed.nonEmpty)
+  }
+
   test("spanDupStats: per-doc contamination fractions, edge docs kept") {
     val docs = Seq(
       (1L, "a b c d"),     // 3 spans, dup: "a b","b c" → 2/3

@@ -90,6 +90,25 @@ object GraftFunctions {
           "fuzzy-join index keys); arg2 = k"),
       (es: Seq[Expression]) => DeletionVariantsExpr(es(0),
         es(1).eval().asInstanceOf[Int])),
+    ("graft_word_chunks",
+      info("graft_word_chunks",
+        "non-overlapping c-token blocks of a string in document order " +
+          "(boilerplate-removal unit); arg2 = c"),
+      (es: Seq[Expression]) => WordChunksExpr(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_word_spans",
+      info("graft_word_spans",
+        "positional overlapping k-token windows of a string (array " +
+          "index = start token offset); arg2 = k"),
+      (es: Seq[Expression]) => WordSpansPosExpr(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_scrub_spans",
+      info("graft_scrub_spans",
+        "struct(clean_text, n_tokens, n_removed): drop tokens covered " +
+          "by k-windows starting at the given offsets; args: text, " +
+          "array<int> starts, k"),
+      (es: Seq[Expression]) => ScrubCoveredExpr(es(0), es(1),
+        es(2).eval().asInstanceOf[Int])),
     ("graft_repetition",
       info("graft_repetition",
         "struct(n_tokens, distinct_tokens, top_token_count, " +

@@ -43,6 +43,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r3.getInt(0) == 2)
     assert(r3.getString(1) == "mail [EMAIL] now")
     assert(r3.getSeq[String](2) == Seq("ab", "b", "a"))
+    // round-11 kernels through SQL
+    val r11 = spark.sql(
+      "SELECT graft_word_chunks('a b c', 2) AS ch, " +
+        "graft_word_spans('a b c', 2) AS sp, " +
+        "graft_scrub_spans('a b c d', array(1), 2) AS sc").head()
+    assert(r11.getSeq[String](0) == Seq("a b", "c"))
+    assert(r11.getSeq[String](1) == Seq("a b", "b c"))
+    val sc = r11.getStruct(2)
+    assert(sc.getString(0) == "a d" && sc.getInt(1) == 4 && sc.getInt(2) == 2)
   }
 
   test("array<double> inputs are coerced, not misread (inputTypes)") {

@@ -18,9 +18,11 @@ object TextScaleBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle.partitions deliberately NOT set: the corpus-wide text
+    // operators carry the Tune.ensureShufflePartitions guard, and this
+    // bench exercises that library-default path at each decade
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -160,6 +160,7 @@ object TextQuality {
     */
   def removeFrequentBlocks(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10, minFreq: Long = 3): DataFrame = {
+    Tune.ensureShufflePartitions(df, Tune.TextSpanShuffleExpansion)
     val ch = df.select(col(idCol),
         posexplode(TextExprs.wordChunks(col(textCol), chunkTokens))
           .as(Seq("idx", "blk")))
@@ -195,11 +196,13 @@ object TextQuality {
     * partial count): bounded at k tokens each, never the document.
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Long = 2): DataFrame =
+      k: Int = 8, minDocs: Long = 2): DataFrame = {
+    Tune.ensureShufflePartitions(df, Tune.TextSpanShuffleExpansion)
     df.select(explode(TextExprs.wordShingles(col(textCol), k)).as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+  }
 
   /** Per-document duplicated-span contamination: how much of each
     * document is verbatim-shared with at least `minDocs - 1` OTHER
@@ -216,9 +219,18 @@ object TextQuality {
     * document has no spans (n_spans 0, NULL frac).
     *
     * Shape: two passes over the corpus, like [[corpusFrequencyScores]].
-    * Pass 1 builds the duplicated-span table — vocabulary-like (only
-    * spans crossing the `minDocs` bar; at 100 TB still tiny next to the
-    * corpus), so the join back in pass 2 is a BROADCAST. Pass 2 is ONE
+    * Pass 1 builds the duplicated-span table — it grows with the
+    * corpus's DUPLICATED content, not the corpus — and pass 2 joins it
+    * back with an EXPLICIT broadcast hint: the hint is measured policy,
+    * not an assumption (70 MB of dup table at 500k docs already exceeds
+    * AQE's default threshold, and letting it fall to a sort-merge join
+    * re-shuffles the 46M-row exploded side — 1.8× slower in the
+    * same-session A/B at 500k, a gap that grows with the corpus since
+    * the avoided shuffle is corpus-sized while the broadcast is only
+    * duplicated-content-sized; BASELINE.md round-11). The hint holds to
+    * Spark's 8 GB broadcast cap, which fails LOUDLY; a corpus whose
+    * duplicated content overflows that drops the hint and eats the
+    * shuffle. Pass 2 is ONE
     * corpus-wide shuffle: the per-document aggregate, which
     * partial-aggregates map-side because explode preserves document
     * locality. `explode_outer` (not explode) keeps span-less documents
@@ -241,13 +253,17 @@ object TextQuality {
     * pass through unchanged.
     *
     * Shape: discovery is [[duplicatedSpans]] (one shuffle over distinct
-    * windows); the duplicated-span table broadcasts back onto the
-    * POSITIONAL window explode (non-distinct — every occurrence must be
-    * scrubbed), which therefore never shuffles; the per-document
-    * covered-start list is one id-keyed aggregate over MATCHED
-    * positions only (documents with no duplicated span contribute
-    * nothing), and the rebuild is a single codegen'd kernel pass
-    * ([[graft.functions.TextExprs.scrubCovered]]).
+    * windows); the duplicated-span table broadcasts onto the POSITIONAL
+    * window explode (non-distinct — every occurrence must be scrubbed),
+    * which therefore never shuffles. The explicit hint is measured
+    * policy (see [[spanDupStats]]: un-hinted SMJ re-shuffles the
+    * exploded corpus, 2.9× slower in the same-session A/B at 500k
+    * docs) and holds to Spark's 8 GB broadcast cap, which fails loudly
+    * rather than degrading. The
+    * per-document covered-start list is one id-keyed aggregate over
+    * MATCHED positions only (documents with no duplicated span
+    * contribute nothing), and the rebuild is a single codegen'd kernel
+    * pass ([[graft.functions.TextExprs.scrubCovered]]).
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Long = 2): DataFrame = {

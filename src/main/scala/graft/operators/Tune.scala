@@ -38,6 +38,14 @@ object Tune {
     */
   val PpjoinShuffleExpansion: Double = 75.0
 
+  /** The corpus-wide TEXT family's widest shuffle (k-token span /
+    * c-token block explode feeding a count or per-doc aggregate): one
+    * bounded string per token, no join amplification — roughly the
+    * k-times token bytes the PPJoin stage pays WITHOUT its prefix-join
+    * widening, so a third of its factor.
+    */
+  val TextSpanShuffleExpansion: Double = 25.0
+
   /** Partition count for an estimated `inputBytes * expansion` shuffle,
     * floored at `floor` (use the core count — fewer partitions than
     * cores idles the cluster) and targeting `targetPartitionBytes` per

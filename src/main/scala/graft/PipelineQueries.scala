@@ -780,6 +780,16 @@ object PipelineQueries {
         "doc_id", "text", chunkTokens = 10, minFreq = 3)
     },
 
+    // The same operator in the 100 TB shuffle layout: the frequency
+    // pass shuffles xxhash64(block) instead of the block string, docs
+    // rebuild locally from removed chunk indexes. Output is identical
+    // absent hash collisions, so it shares text_boilerplate's oracle
+    // byte for byte (the incremental-near/disk gate-pair precedent).
+    "text_boilerplate_hashed" -> { (s, dir) =>
+      TextQuality.removeFrequentBlocksHashed(Tables(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 10, minFreq = 3)
+    },
+
     // Cross-document duplicated 8-token spans with document frequency —
     // the exact-substring-dedup discovery table (Lee et al. 2021) at
     // word-window granularity (operators/TextQuality.duplicatedSpans).
@@ -998,6 +1008,27 @@ object PipelineQueries {
       |                   FOR i IN range(1, len(lst)-1)]) AS sh
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS lst
       |        FROM documents))""".stripMargin
+
+  /** Boilerplate-removal oracle — shared byte-identical by the
+    * string-keyed (`text_boilerplate`) and hash-keyed
+    * (`text_boilerplate_hashed`) layouts: both promise the same output.
+    */
+  private val BoilerplateOracle =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text),'\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |c AS (SELECT doc_id, toks,
+      |    unnest(range(0, (len(toks) + 9) // 10)) AS idx FROM t),
+      |ch AS (SELECT doc_id, idx,
+      |    array_to_string(toks[idx*10+1 : idx*10+10], ' ') AS blk FROM c),
+      |f AS (SELECT blk, count(*) AS cnt FROM ch GROUP BY blk)
+      |SELECT ch.doc_id,
+      |  coalesce(string_agg(ch.blk, ' ' ORDER BY ch.idx)
+      |    FILTER (WHERE f.cnt < 3), '') AS clean_text,
+      |  CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(count(*) FILTER (WHERE f.cnt >= 3) AS BIGINT) AS n_removed
+      |FROM ch JOIN f ON ch.blk = f.blk
+      |GROUP BY ch.doc_id""".stripMargin
 
   /** Distinct overlapping 8-token spans per doc — the k=8 analogue of
     * [[Shingles]] (mirrors the wordShingles kernel; the <8-token
@@ -1853,22 +1884,12 @@ object PipelineQueries {
         |FROM u GROUP BY ngram
         |ORDER BY df DESC, ngram ASC LIMIT 20""".stripMargin),
 
-    "text_boilerplate" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text),'\s+') AS toks
-        |  FROM documents WHERE trim(text) <> ''),
-        |c AS (SELECT doc_id, toks,
-        |    unnest(range(0, (len(toks) + 9) // 10)) AS idx FROM t),
-        |ch AS (SELECT doc_id, idx,
-        |    array_to_string(toks[idx*10+1 : idx*10+10], ' ') AS blk FROM c),
-        |f AS (SELECT blk, count(*) AS cnt FROM ch GROUP BY blk)
-        |SELECT ch.doc_id,
-        |  coalesce(string_agg(ch.blk, ' ' ORDER BY ch.idx)
-        |    FILTER (WHERE f.cnt < 3), '') AS clean_text,
-        |  CAST(count(*) AS BIGINT) AS n_blocks,
-        |  CAST(count(*) FILTER (WHERE f.cnt >= 3) AS BIGINT) AS n_removed
-        |FROM ch JOIN f ON ch.blk = f.blk
-        |GROUP BY ch.doc_id""".stripMargin,
+    "text_boilerplate" -> BoilerplateOracle,
+
+    // the hashed layout promises the SAME output (absent xxhash64
+    // collisions, which the gate corpus has none of) — one oracle,
+    // byte-identical, for both layouts
+    "text_boilerplate_hashed" -> BoilerplateOracle,
 
     "text_dup_spans" -> (Spans8 +
       """, u AS (SELECT unnest(sp) AS span FROM sp8)

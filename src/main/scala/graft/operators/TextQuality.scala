@@ -177,6 +177,51 @@ object TextQuality {
         count(when(!col("keep"), lit(1))).as("n_removed"))
   }
 
+  /** [[removeFrequentBlocks]] with the 100 TB shuffle layout: the
+    * corpus-wide frequency pass shuffles `xxhash64(block)` (8 bytes)
+    * instead of the block string (~6 bytes/token), and documents are
+    * rebuilt locally by the [[graft.functions.TextExprs.scrubCovered]]
+    * kernel from the removed CHUNK indexes (chunk i covers tokens
+    * [i*c, i*c+c) — exactly a scrub window start at i*c with k = c).
+    * Only documents that LOSE a block travel through the second
+    * shuffle; untouched documents never leave their partition.
+    *
+    * Identical output to the string-keyed operator unless two distinct
+    * blocks collide in xxhash64 (collision mass ~(distinct blocks)²/2⁶⁴
+    * — at 10¹⁰ blocks that is ~0.005 expected false merges, each of
+    * which only costs over-removal of one block occurrence set). The
+    * string-keyed form remains the reference semantics; this is the
+    * shape to run when block strings dominate the shuffle.
+    */
+  def removeFrequentBlocksHashed(df: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int = 10, minFreq: Long = 3): DataFrame = {
+    Tune.ensureShufflePartitions(df, Tune.TextSpanShuffleExpansion)
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val removed = df.select(col(idCol),
+        posexplode(TextExprs.wordChunks(col(textCol), chunkTokens))
+          .as(Seq("idx", "blk")))
+      .select(col(idCol), col("idx"), xxhash64(col("blk")).as("h"))
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .filter(col("cnt") >= minFreq)
+      .groupBy(col(idCol))
+      .agg(collect_list((col("idx") * chunkTokens).cast("int")).as("starts"))
+    df.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        TextExprs.scrubCovered(col(textCol),
+          coalesce(col("starts"), array().cast("array<int>")), chunkTokens)
+          .as("r"),
+        coalesce(size(col("starts")), lit(0)).cast("long").as("n_removed"))
+      // block count from the token count: ceil(n_tokens / c)
+      .select(col(idCol),
+        col("r.clean_text").as("clean_text"),
+        ((col("r.n_tokens") + chunkTokens - 1) / chunkTokens)
+          .cast("long").as("n_blocks"),
+        col("n_removed"))
+      // string-operator parity: token-less documents have no blocks
+      // and no output row there either
+      .filter(col("n_blocks") > 0)
+  }
+
   /** Cross-document duplicated k-token spans: every OVERLAPPING k-token
     * window (distinct within a document) that appears in at least
     * `minDocs` documents, with its document frequency. The span-level

@@ -257,6 +257,35 @@ class TextQualitySpec extends SparkSpec {
       blank, "doc_id", "text", 2, 2).count() == 0)
   }
 
+  test("removeFrequentBlocksHashed == string-keyed operator (known answers + real docs)") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x"), (3L, "p q"), (4L, "a b"),
+      (5L, "z z z z")
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val viaHash = asMap(TextQuality.removeFrequentBlocksHashed(
+      docs, "doc_id", "text", chunkTokens = 2, minFreq = 2))
+    val viaString = asMap(TextQuality.removeFrequentBlocks(
+      docs, "doc_id", "text", chunkTokens = 2, minFreq = 2))
+    assert(viaHash == viaString && viaHash.size == 5)
+
+    // and on the real corpus at the gate configuration (collision-free
+    // there, so the two layouts must agree row for row)
+    val real = Tables(spark, sf001, "documents")
+    val h = asMap(TextQuality.removeFrequentBlocksHashed(
+      real, "doc_id", "text", 10, 3))
+    val s = asMap(TextQuality.removeFrequentBlocks(
+      real, "doc_id", "text", 10, 3))
+    assert(h == s && h.nonEmpty)
+
+    // blank docs drop in both layouts
+    val blank = Seq((9L, " ")).toDF("doc_id", "text")
+    assert(TextQuality.removeFrequentBlocksHashed(
+      blank, "doc_id", "text", 2, 2).count() == 0)
+  }
+
   test("duplicatedSpans: df counts documents once, short docs span whole text") {
     val docs = Seq(
       (1L, "a b c d"),     // spans k=2: "a b","b c","c d"

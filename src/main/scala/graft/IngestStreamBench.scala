@@ -28,10 +28,19 @@ object IngestStreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batchMod = sys.env.getOrElse("SPARK_GRAFT_BATCH_MOD", "10").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_N_BATCHES", "4").toInt
+    // size the shuffle from the LARGER table a mode can touch: an
+    // embed-only run over a big embeddings table must not inherit a
+    // width derived from a small documents file (and vice versa)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
-      val docBytes = graft.operators.Tune.parquetBytes(s"$dir/documents.parquet")
-      if (docBytes > 0)
-        graft.operators.Tune.shufflePartitions(docBytes,
+      val docBytes =
+        if (mode == "embed") 0L
+        else graft.operators.Tune.parquetBytes(s"$dir/documents.parquet")
+      val embBytes =
+        if (mode == "text") 0L
+        else graft.operators.Tune.parquetBytes(s"$dir/embeddings.parquet")
+      val inBytes = math.max(docBytes, embBytes)
+      if (inBytes > 0)
+        graft.operators.Tune.shufflePartitions(inBytes,
           graft.operators.Tune.PpjoinShuffleExpansion,
           floor = cpus.toInt).toString
       else cpus
@@ -75,9 +84,14 @@ object IngestStreamBench {
       srcDir
     }
 
-    /** Per-batch triggerExecution durations from the engine itself. */
+    /** Per-batch triggerExecution durations from the engine itself.
+      * Progress events arrive asynchronously on the listener bus, so
+      * [[drain]] polls until the expected batch count has landed (or a
+      * bounded timeout) BEFORE the listener is removed — without it the
+      * final micro-batch's row can be lost to the remove race.
+      */
     class BatchTimes extends org.apache.spark.sql.streaming.StreamingQueryListener {
-      val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      private val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
@@ -88,6 +102,12 @@ object IngestStreamBench {
       }
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      def drain(expected: Int, timeoutMs: Long = 10000L): Seq[(Long, Long)] = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (times.synchronized(times.size) < expected &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        times.synchronized(times.toList)
+      }
     }
 
     def fmtBatches(ts: Seq[(Long, Long)]): String =
@@ -111,6 +131,7 @@ object IngestStreamBench {
         indexBuckets = cpus.toInt, outDir = s"$scratch/text_out",
         checkpointDir = s"$scratch/text_ckpt")
       val streamSec = (System.nanoTime() - t0) / 1e9
+      val batchTimes = lst.drain(nBatches)
       spark.streams.removeListener(lst)
       val accepted = graft.streaming.IngestStream
         .accepted(spark, s"$scratch/text_out").map(_.count()).getOrElse(0L)
@@ -126,7 +147,7 @@ object IngestStreamBench {
         acc = Some(spark.read.parquet(dirs: _*))
       }
       val replaySec = (System.nanoTime() - t1) / 1e9
-      println(f"""{"mode":"text","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(lst.times.toSeq)}}""")
+      println(f"""{"mode":"text","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(batchTimes)}}""")
       Seq("df", "prefix", "shingles").foreach { s =>
         graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
       }
@@ -150,6 +171,7 @@ object IngestStreamBench {
       graft.streaming.EmbedIngestStream.run(spark, srcDir, idxPath, dims,
         outDir = s"$scratch/embed_out", checkpointDir = s"$scratch/embed_ckpt")
       val streamSec = (System.nanoTime() - t0) / 1e9
+      val batchTimes = lst.drain(nBatches)
       spark.streams.removeListener(lst)
       val accepted = graft.streaming.EmbedIngestStream
         .accepted(spark, s"$scratch/embed_out").map(_.count()).getOrElse(0L)
@@ -164,7 +186,7 @@ object IngestStreamBench {
         acc = Some(spark.read.parquet(dirs: _*))
       }
       val replaySec = (System.nanoTime() - t1) / 1e9
-      println(f"""{"mode":"embed","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(lst.times.toSeq)}}""")
+      println(f"""{"mode":"embed","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(batchTimes)}}""")
     }
 
     spark.stop()

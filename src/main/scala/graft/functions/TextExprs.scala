@@ -151,10 +151,12 @@ object TextOps {
     val covered = new Array[Boolean](n)
     var si = 0
     while (si < starts.numElements()) {
-      val s = starts.getInt(si)
-      var p = math.max(s, 0)
-      val end = math.min(s.toLong + k, n.toLong).toInt
-      while (p < end) { covered(p) = true; p += 1 }
+      if (!starts.isNullAt(si)) {
+        val s = starts.getInt(si)
+        var p = math.max(s, 0)
+        val end = math.min(s.toLong + k, n.toLong).toInt
+        while (p < end) { covered(p) = true; p += 1 }
+      }
       si += 1
     }
     val sb = new java.lang.StringBuilder(text.numBytes())
@@ -275,6 +277,7 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   * dedup for corpora whose documents carry no line structure).
   */
 case class WordChunksExpr(child: Expression, c: Int) extends UnaryExpression {
+  require(c >= 1, s"word_chunks: chunk size must be >= 1, got $c")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     TextOps.wordChunks(t.asInstanceOf[UTF8String], c)
@@ -289,6 +292,7 @@ case class WordChunksExpr(child: Expression, c: Int) extends UnaryExpression {
   * of exact-substring span removal.
   */
 case class WordSpansPosExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word_spans_pos: window size must be >= 1, got $k")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     TextOps.wordSpansPos(t.asInstanceOf[UTF8String], k)
@@ -303,7 +307,14 @@ case class WordSpansPosExpr(child: Expression, k: Int) extends UnaryExpression {
   * of the listed offsets, re-join the rest in order.
   */
 case class ScrubCoveredExpr(left: Expression, right: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(k >= 1, s"scrub_covered: window size must be >= 1, got $k")
+  // declaring inputTypes makes the analyzer COERCE an array<bigint> /
+  // array<double> starts argument (SQL array literals default to
+  // bigint) instead of starts.getInt misreading the backing array
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(StringType, ArrayType(IntegerType))
   override def dataType: DataType = StructType(Seq(
     StructField("clean_text", StringType, nullable = false),
     StructField("n_tokens", IntegerType, nullable = false),

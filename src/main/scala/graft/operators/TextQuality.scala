@@ -144,16 +144,20 @@ object TextQuality {
     * block was boilerplate), so the operator composes directly with
     * the rest of the curation pipeline.
     *
-    * Shape: ONE shuffle wide in the corpus — chunks explode locally
-    * (document-local, so the per-block count partial-aggregates
-    * map-side), the occurrence count is a window count partitioned by
-    * the block text, and the per-document reassembly groups on the id.
-    * The shuffle rows carry (id, idx, block) where a block is bounded
-    * at `chunkTokens` tokens — never the document, never unbounded
-    * strings. At 100 TB scale substitute `xxhash64(block)` pairs for
-    * the partition key if block strings dominate the shuffle; the
-    * string key is kept here because it is engine-portable (the DuckDB
-    * oracle replays it verbatim).
+    * Shape: two-pass, like [[corpusFrequencyScores]]. Pass 1 counts
+    * block occurrences with a hash AGGREGATE (map-side partial — NOT a
+    * window partitioned by block, which would concentrate every copy
+    * of a hot block into one task: boilerplate blocks are hot by
+    * definition, so the window form is a guaranteed straggler at
+    * scale); only blocks crossing `minFreq` survive, a
+    * boilerplate-mass-sized table that BROADCASTS back onto the chunk
+    * explode (the span-family measured-policy hint). Pass 2 reassembles
+    * per document — one id-keyed shuffle whose rows carry (idx, keep,
+    * block) with the block bounded at `chunkTokens` tokens — never the
+    * document, never unbounded strings. When block strings dominate
+    * that shuffle, use [[removeFrequentBlocksHashed]]; the string key
+    * is kept here because it is engine-portable (the DuckDB oracle
+    * replays it verbatim).
     *
     * Token-less documents (empty/blank text) have no blocks and produce
     * no output row — a blank document IS all boilerplate.
@@ -164,8 +168,12 @@ object TextQuality {
     val ch = df.select(col(idCol),
         posexplode(TextExprs.wordChunks(col(textCol), chunkTokens))
           .as(Seq("idx", "blk")))
-    val byBlk = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
-    ch.withColumn("keep", count(lit(1)).over(byBlk) < minFreq)
+    val frequent = ch.groupBy(col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+      .select(col("blk"), lit(true).as("freq"))
+    ch.join(broadcast(frequent), Seq("blk"), "left")
+      .withColumn("keep", col("freq").isNull)
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ",
@@ -183,8 +191,10 @@ object TextQuality {
     * rebuilt locally by the [[graft.functions.TextExprs.scrubCovered]]
     * kernel from the removed CHUNK indexes (chunk i covers tokens
     * [i*c, i*c+c) — exactly a scrub window start at i*c with k = c).
-    * Only documents that LOSE a block travel through the second
-    * shuffle; untouched documents never leave their partition.
+    * Only documents that LOSE a block appear on the probe side of the
+    * final id equi-join (a heavy-boilerplate corpus makes that side
+    * corpus-sized, so it is NOT broadcast-hinted — an id-keyed shuffle
+    * join is the honest worst case, never a product).
     *
     * Identical output to the string-keyed operator unless two distinct
     * blocks collide in xxhash64 (collision mass ~(distinct blocks)²/2⁶⁴
@@ -196,13 +206,15 @@ object TextQuality {
   def removeFrequentBlocksHashed(df: DataFrame, idCol: String,
       textCol: String, chunkTokens: Int = 10, minFreq: Long = 3): DataFrame = {
     Tune.ensureShufflePartitions(df, Tune.TextSpanShuffleExpansion)
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val removed = df.select(col(idCol),
+    val ch = df.select(col(idCol),
         posexplode(TextExprs.wordChunks(col(textCol), chunkTokens))
           .as(Seq("idx", "blk")))
       .select(col(idCol), col("idx"), xxhash64(col("blk")).as("h"))
-      .withColumn("cnt", count(lit(1)).over(byH))
+    val frequent = ch.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minFreq)
+      .select(col("h"))
+    val removed = ch.join(broadcast(frequent), Seq("h"))
       .groupBy(col(idCol))
       .agg(collect_list((col("idx") * chunkTokens).cast("int")).as("starts"))
     df.join(removed, Seq(idCol), "left")
@@ -281,6 +293,23 @@ object TextQuality {
     * locality. `explode_outer` (not explode) keeps span-less documents
     * in the output without a corpus-wide join-back.
     */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Long = 2): DataFrame = {
+    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .select(col("span"), lit(1L).as("is_dup"))
+    df.select(col(idCol), TextExprs.wordShingles(col(textCol), k).as("sp"))
+      .select(col(idCol), size(col("sp")).as("n_sp"),
+        explode_outer(col("sp")).as("span"))
+      .join(broadcast(dup), Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_sp")).cast("long").as("n_spans"),
+        count(col("is_dup")).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** The REMOVAL half of exact-substring dedup (Lee et al. 2021) at
     * word-window granularity: every token covered by a k-token window
     * that appears in ≥ `minDocs` documents is dropped from every
@@ -330,20 +359,4 @@ object TextQuality {
         col("r.n_removed").cast("long").as("n_removed"))
   }
 
-  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Long = 2): DataFrame = {
-    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)
-      .select(col("span"), lit(1L).as("is_dup"))
-    df.select(col(idCol), TextExprs.wordShingles(col(textCol), k).as("sp"))
-      .select(col(idCol), size(col("sp")).as("n_sp"),
-        explode_outer(col("sp")).as("span"))
-      .join(broadcast(dup), Seq("span"), "left")
-      .groupBy(col(idCol))
-      .agg(max(col("n_sp")).cast("long").as("n_spans"),
-        count(col("is_dup")).as("n_dup_spans"))
-      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
-        when(col("n_spans") > 0,
-          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
-          .as("dup_frac"))
-  }
 }

@@ -52,6 +52,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(r11.getSeq[String](1) == Seq("a b", "b c"))
     val sc = r11.getStruct(2)
     assert(sc.getString(0) == "a d" && sc.getInt(1) == 4 && sc.getInt(2) == 2)
+    // starts coerce (SQL integer literals/arrays often type as BIGINT);
+    // inputTypes must coerce rather than misread the backing array
+    val scL = spark.sql(
+      "SELECT graft_scrub_spans('a b c d', array(CAST(1 AS BIGINT)), 2)")
+      .head().getStruct(0)
+    assert(scL.getString(0) == "a d" && scL.getInt(2) == 2)
   }
 
   test("array<double> inputs are coerced, not misread (inputTypes)") {

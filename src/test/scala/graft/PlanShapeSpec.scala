@@ -213,12 +213,22 @@ class PlanShapeSpec extends SparkSpec {
       s"scrub candidate join stopped broadcasting:\n$scrub")
     assert(!scrub.contains("NestedLoop") && !scrub.contains("Cartesian"),
       s"scrub degraded to a product plan:\n$scrub")
-    // text_boilerplate and text_dup_spans are window/agg shapes: no
-    // join anywhere, so nothing can degrade to a product
-    for (q <- Seq("text_boilerplate", "text_dup_spans")) {
+    // boilerplate: the frequent-block set (string and hashed layouts)
+    // must broadcast back onto the chunk explode — an SMJ re-shuffles
+    // the exploded corpus; the frequency pass must be an AGGREGATE,
+    // never a window partitioned by the (hot by definition) block key
+    for (q <- Seq("text_boilerplate", "text_boilerplate_hashed")) {
       val p = finalPlan(SparkEntry.queries(q)(spark, sf001))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: frequent-set join stopped broadcasting:\n$p")
+      assert(!p.contains("Window"),
+        s"$q: hot-key window crept back into the frequency pass:\n$p")
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"$q: product plan appeared:\n$p")
     }
+    // dup-span discovery is a pure agg shape: no join anywhere
+    val p = finalPlan(SparkEntry.queries("text_dup_spans")(spark, sf001))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"text_dup_spans: product plan appeared:\n$p")
   }
 }

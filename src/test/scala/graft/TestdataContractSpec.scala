@@ -61,6 +61,25 @@ class TestdataContractSpec extends SparkSpec {
       s"embedding must be an array column, got ${e("embedding").dataType}")
   }
 
+  test("documents carry >= 8 tokens — the span-gate oracle contract") {
+    // the text_dup_spans / text_span_stats / text_span_scrub DuckDB
+    // oracles replay only the k=8-WINDOW branch (the operators' short-
+    // doc whole-span and blank-doc semantics diverge from the SQL by
+    // design, spec-covered Spark-side). A generator drift to shorter
+    // documents must fail HERE, loudly, not as a silent gate hash
+    // mismatch — the round-7 NTZ lesson applied to token counts.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01")) {
+      val short = Tables(spark, dir, "documents")
+        .filter(size(split(trim(col("text")), "\\s+")) < 8 ||
+          trim(col("text")) === "")
+        .count()
+      assert(short == 0,
+        s"$dir: $short documents under 8 tokens — span-gate oracles " +
+          "no longer match the operator semantics for them")
+    }
+  }
+
   test("every registered query ANALYZES against the real testdata schema") {
     // .schema forces analysis (resolution + type checking) without
     // running a job — exactly where unguarded unix_micros-on-NTZ died

@@ -795,7 +795,7 @@ object PipelineQueries {
     // word-window granularity (operators/TextQuality.duplicatedSpans).
     "text_dup_spans" -> { (s, dir) =>
       TextQuality.duplicatedSpans(Tables(s, dir, "documents"),
-        "doc_id", "text", k = 8, minDocs = 2)
+        "text", k = 8, minDocs = 2)
     },
 
     // Per-document duplicated-span contamination fractions — the

@@ -46,7 +46,7 @@ object TextScaleBench {
       TextQuality.removeFrequentBlocksHashed(d, "doc_id", "text", 10, 3)
         .count())
     val (tSpans, rSpans) = time(
-      TextQuality.duplicatedSpans(d, "doc_id", "text", 8, 2).count())
+      TextQuality.duplicatedSpans(d, "text", 8, 2).count())
     val (tStats, rStats) = time(
       TextQuality.spanDupStats(d, "doc_id", "text", 8, 2)
         .filter(col("n_dup_spans") > 0).count())

@@ -20,9 +20,33 @@ object Bucketed {
     * but its managed-table directory survives in the warehouse path,
     * and saveAsTable then fails with LOCATION_ALREADY_EXISTS — so the
     * stale location is removed explicitly before the write.
+    *
+    * The bucket count and key are recorded in a `_graft_buckets.json`
+    * sidecar inside the table directory: a bucketed layout whose reader
+    * guesses the bucket count wrong produces silently-empty bucket
+    * joins (rows hashed mod N_old read as if placed mod N_new), so the
+    * layout carries its own configuration and [[registerBucketed]]
+    * refuses a mismatch — the sign-index sidecar contract applied to
+    * bucketed tables.
+    *
+    * `filesPerBucket` trades probe-side open cost for build-side
+    * parallelism. 1 (default) repartitions to exactly `buckets` tasks
+    * so each bucket is ONE file — the probe-optimal layout, but the
+    * whole upstream plan funnels into `buckets` tasks (measured: the
+    * one-file-per-bucket write pushed a 450k-doc index build 30.6→185 s
+    * at 16 buckets, BASELINE.md round-11). m > 1 repartitions to
+    * m×buckets tasks: `buckets` divides the task count and both
+    * repartition and the bucket id use the same Murmur3-mod hash, so
+    * every task still holds rows of exactly ONE bucket and writes ONE
+    * file — m files per bucket, m× the build parallelism, and reads
+    * stay Exchange-free (Spark only loses the pre-SORTED property,
+    * re-sorting per partition without a shuffle when a join needs it).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int, filesPerBucket: Int = 1): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(filesPerBucket > 0,
+      s"filesPerBucket must be positive, got $filesPerBucket")
     val spark = df.sparkSession
     // parse FIRST, then quote each part: backticking the whole name
     // would treat "db.t" as a single-part identifier, dropping a
@@ -39,19 +63,66 @@ object Bucketed {
     if (fs.exists(loc)) fs.delete(loc, true)
     // repartition by the bucket key FIRST: Spark's bucket id and
     // repartition(n, col) both use Murmur3 hash mod n, so after this
-    // exchange every task holds exactly one bucket's rows and writes
-    // ONE file per bucket. Without it each upstream task writes its own
-    // slice of every bucket — shufflePartitions × buckets small files
-    // (measured at 5M docs: ~4,900 files across the index tables, and a
-    // fresh-JVM cold probe dominated by per-file open/footer cost, not
-    // bytes). One write-side exchange buys list+scan cost proportional
-    // to buckets forever after.
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    // exchange every task holds rows of exactly one bucket and writes
+    // ONE file. Without it each upstream task writes its own slice of
+    // every bucket — shufflePartitions × buckets small files (measured
+    // at 5M docs: ~4,900 files across the index tables, and a fresh-JVM
+    // cold probe dominated by per-file open/footer cost, not bytes).
+    df.repartition(buckets * filesPerBucket,
+        org.apache.spark.sql.functions.col(key))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+    writeBucketSidecar(spark, loc, buckets, key)
+  }
+
+  private val BucketMetaFile = "_graft_buckets.json"
+
+  private def writeBucketSidecar(spark: SparkSession,
+      loc: org.apache.hadoop.fs.Path, buckets: Int, key: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(loc, BucketMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"buckets":$buckets,"key":"$key"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The (buckets, key) a [[writeBucketed]] table was written with, from
+    * its sidecar — None when the directory is missing or pre-sidecar. */
+  def bucketMeta(spark: SparkSession, table: String): Option[(Int, String)] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val p = new org.apache.hadoop.fs.Path(loc, BucketMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"buckets":(\d+),"key":"([^"]*)"""".r
+      re.findFirstMatchIn(txt).map(m => (m.group(1).toInt, m.group(2)))
+    }
+  }
+
+  /** Largest bucket id encoded in the surviving data file names
+    * (`part-…_00007.c000…` → 7), or -1 when no bucketed file is found —
+    * the sidecar-less fallback evidence for the real bucket count.
+    * Only a LOWER bound (trailing buckets can be empty), so it can
+    * refute a too-small declared count but never confirm one.
+    */
+  private def maxBucketIdInFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Int = {
+    val re = """_(\d{5})(?:\.c\d+)?\.""".r
+    fs.listStatus(loc).iterator
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toInt))
+      .foldLeft(-1)(math.max)
   }
 
   /** Re-attach a session to a bucketed table written by
@@ -66,18 +137,49 @@ object Bucketed {
     * joins on `key` stay Exchange-free, same as the writing session.
     * Returns true when the table is usable afterwards (already in the
     * catalog, or attached here); false when no data exists to attach.
+    *
+    * `buckets` ≤ 0 self-configures from the sidecar the write recorded
+    * — the safe default. An EXPLICIT count is validated against the
+    * sidecar (and, for pre-sidecar layouts, against the max bucket id
+    * in the surviving file names) and REFUSED on mismatch: declaring
+    * the wrong count makes Spark read rows hashed mod N_old as if
+    * placed mod N_new, so bucket-aware joins silently drop matches
+    * while staying Exchange-free — the worst failure mode a layout can
+    * have, converted here into a loud error.
     */
   def registerBucketed(spark: SparkSession, table: String, key: String,
-      buckets: Int): Boolean = {
+      buckets: Int = 0): Boolean = {
     if (spark.catalog.tableExists(table)) return true
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc)) return false
+    val meta = bucketMeta(spark, table)
+    meta.foreach { case (mb, mk) =>
+      require(mk.equalsIgnoreCase(key),
+        s"bucketed table $table was written bucketed by `$mk`; " +
+          s"register called with key `$key`")
+      if (buckets > 0) require(mb == buckets,
+        s"bucketed table $table was written with $mb buckets; " +
+          s"register called with $buckets — a mismatched count reads " +
+          "rows placed mod " + mb + " as if placed mod " + buckets +
+          " and silently drops join matches")
+    }
+    val effective = if (buckets > 0) buckets
+      else meta.map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"no $BucketMetaFile under $loc — pass buckets explicitly"))
+    if (meta.isEmpty) {
+      // pre-sidecar layout: the file names are the only evidence; a max
+      // bucket id at or past the declared count refutes it outright
+      val maxId = maxBucketIdInFiles(fs, loc)
+      require(maxId < effective,
+        s"bucketed table $table has a data file for bucket id $maxId " +
+          s"but register was called with $effective buckets")
+    }
     val ddl = spark.read.parquet(loc.toString).schema.toDDL
     spark.sql(s"CREATE TABLE ${ident.quotedString} ($ddl) USING parquet " +
-      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $effective BUCKETS " +
       s"LOCATION '${loc.toString}'")
     true
   }

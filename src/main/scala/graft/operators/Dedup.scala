@@ -327,26 +327,53 @@ object Dedup {
     * a probe's joins read the index WITHOUT re-shuffling it — only the
     * (small) arriving batch moves. This is the 100 TB layout; the plain
     * parquet variant exists for catalog-less portability.
+    *
+    * `buckets` ≤ 0 (the default) derives the count from the corpus size
+    * ([[Tune.scaledBuckets]]: ~one bucket per 50k docs, floored at the
+    * core count — `knownCount` skips the count job when the caller
+    * already has the row count). A FIXED count tuned at one corpus size
+    * caps build and probe parallelism a decade later; the count
+    * actually used is recorded per table in a `_graft_buckets.json`
+    * sidecar ([[Bucketed.writeBucketed]]) that attach/probe sessions
+    * self-configure from and refuse to mismatch — the sign-index
+    * sidecar contract applied to the text-side index.
+    *
+    * `filesPerBucket` > 1 restores build parallelism for build-heavy
+    * deployments: the one-file-per-bucket write funnels the shingle
+    * explode into ≤ buckets tasks (measured 6× build wall at 450k docs,
+    * BASELINE.md round-11); m files per bucket runs m× the write tasks
+    * while reads stay Exchange-free ([[Bucketed.writeBucketed]]).
     */
   def writeNgramIndexBucketed(corpus: DataFrame, tablePrefix: String,
       idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5, buckets: Int = 64): Unit = {
+      threshold: Double = 0.5, buckets: Int = 0,
+      filesPerBucket: Int = 1, knownCount: Long = -1L): Unit = {
+    val b =
+      if (buckets > 0) buckets
+      else Tune.scaledBuckets(
+        if (knownCount >= 0) knownCount else corpus.count(),
+        math.max(1, corpus.sparkSession.sparkContext.defaultParallelism))
     val (dfC, prefix, shC) = ngramIndexFrames(corpus, idCol, textCol, n,
       threshold)
-    Bucketed.writeBucketed(dfC, s"${tablePrefix}_df", "h", buckets)
-    Bucketed.writeBucketed(prefix, s"${tablePrefix}_prefix", "h", buckets)
-    Bucketed.writeBucketed(shC, s"${tablePrefix}_shingles", "id", buckets)
+    Bucketed.writeBucketed(dfC, s"${tablePrefix}_df", "h", b, filesPerBucket)
+    Bucketed.writeBucketed(prefix, s"${tablePrefix}_prefix", "h", b,
+      filesPerBucket)
+    Bucketed.writeBucketed(shC, s"${tablePrefix}_shingles", "id", b,
+      filesPerBucket)
   }
 
   /** Attach a session to a [[writeNgramIndexBucketed]] index built by
     * an earlier session (in-memory catalog: the entries died with that
-    * JVM, the bucketed warehouse data did not). Metadata-only; `buckets`
-    * must match the build. True iff all three tables are usable —
-    * partial indexes (a build that died between table writes) attach
-    * nothing and return false so the caller rebuilds.
+    * JVM, the bucketed warehouse data did not). Metadata-only. `buckets`
+    * ≤ 0 (the default) self-configures each table from its sidecar; an
+    * explicit count is validated against the sidecars and refused on
+    * mismatch ([[Bucketed.registerBucketed]]). True iff all three
+    * tables are usable — partial indexes (a build that died between
+    * table writes) attach nothing and return false so the caller
+    * rebuilds.
     */
   def attachNgramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, buckets: Int): Boolean = {
+      tablePrefix: String, buckets: Int = 0): Boolean = {
     val ok =
       Bucketed.registerBucketed(spark, s"${tablePrefix}_df", "h", buckets) &&
       Bucketed.registerBucketed(spark, s"${tablePrefix}_prefix", "h", buckets) &&

@@ -247,12 +247,18 @@ object TextQuality {
     * [[graft.functions.TextExprs.wordShingles]]).
     *
     * Shape: ONE shuffle. [[graft.functions.TextExprs.wordShingles]] is
-    * per-document DISTINCT, so the per-span count after explode IS the
-    * document frequency — no count(DISTINCT id) double shuffle; the
-    * groupBy partial-aggregates map-side. Shuffle rows are (span,
+    * per-ROW distinct, so the per-span count after explode is row
+    * frequency — equal to document frequency under this operator's
+    * input contract of ONE ROW PER DOCUMENT (the documents-table shape
+    * every caller here feeds). An input carrying the same document as
+    * several rows counts each row; de-duplicate rows first if that is
+    * not the intent. The contract is what keeps the operator one
+    * map-side-combinable shuffle — a true count(DISTINCT id) would
+    * shuffle (span, id) pairs before counting, doubling the pass for an
+    * input shape the pipeline never produces. Shuffle rows are (span,
     * partial count): bounded at k tokens each, never the document.
     */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+  def duplicatedSpans(df: DataFrame, textCol: String,
       k: Int = 8, minDocs: Long = 2): DataFrame = {
     Tune.ensureShufflePartitions(df, Tune.TextSpanShuffleExpansion)
     df.select(explode(TextExprs.wordShingles(col(textCol), k)).as("span"))
@@ -295,7 +301,7 @@ object TextQuality {
     */
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Long = 2): DataFrame = {
-    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)
+    val dup = duplicatedSpans(df, textCol, k, minDocs)
       .select(col("span"), lit(1L).as("is_dup"))
     df.select(col(idCol), TextExprs.wordShingles(col(textCol), k).as("sp"))
       .select(col(idCol), size(col("sp")).as("n_sp"),
@@ -341,7 +347,7 @@ object TextQuality {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Long = 2): DataFrame = {
-    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs)
+    val dup = duplicatedSpans(df, textCol, k, minDocs)
       .select(col("span"))
     val starts = df.select(col(idCol),
         posexplode(TextExprs.wordSpansPos(col(textCol), k))

@@ -118,6 +118,32 @@ object Tune {
     }
   }
 
+  /** Documents per bucket for a persisted bucketed n-gram index: at
+    * ~50k docs a bucket's prefix/shingle slice stays well inside one
+    * task's memory (the measured 5M-doc build ran 96 buckets ≈ 52k
+    * docs/bucket through the formerly sandbox-killing action,
+    * BASELINE.md round-11), and the resulting file count stays
+    * proportional to corpus size instead of fixed.
+    */
+  val DocsPerIndexBucket: Long = 50000L
+
+  /** Corpus-size-derived bucket count for a persisted bucketed index —
+    * the self-scaling rule behind `writeNgramIndexBucketed(buckets ≤ 0)`.
+    * A FIXED bucket count is a scale footgun in both directions: too
+    * few caps build parallelism and probe-side scan parallelism at the
+    * next corpus decade (a 96-way ceiling is real at 100 TB); too many
+    * at a small corpus pays file-count overhead for nothing. Floored at
+    * `floor` (use the core count — fewer buckets than cores idles the
+    * cluster on every probe) and capped at 65536 — beyond that,
+    * per-bucket file handles dominate and a deployment should shard by
+    * a higher-level partition first.
+    */
+  def scaledBuckets(rows: Long, floor: Int): Int = {
+    require(rows >= 0 && floor >= 1, "invalid Tune.scaledBuckets args")
+    val derived = math.ceil(rows.toDouble / DocsPerIndexBucket.toDouble)
+    math.max(floor, math.min(derived, 65536.0).toInt)
+  }
+
   /** On-disk bytes of a parquet table path (a single file or a
     * directory of part files) — plain java.io so it can run BEFORE the
     * SparkSession exists, which is when shuffle.partitions must be set.

@@ -76,6 +76,8 @@ object EmbedIngestStream {
     * `dims`/`seed` must match the index build; the plane count is read
     * from the index sidecar. Restart-safe: the checkpoint tracks
     * consumed files, per-batch overwrite makes replays idempotent.
+    * Restarting over an existing `outDir` with a FRESH checkpoint is
+    * refused, same contract (and same guard) as [[IngestStream.run]].
     */
   def run(spark: SparkSession, srcDir: String, indexPath: String,
       dims: Int, outDir: String, checkpointDir: String,
@@ -84,22 +86,27 @@ object EmbedIngestStream {
       maxFilesPerTrigger: Int = 1): Unit = {
     require(Similarity.signIndexMeta(spark, indexPath).isDefined,
       s"no sign index (with sidecar) at $indexPath")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val next = IngestStream.nextBatchId(spark, checkpointDir)
+    val stale = IngestStream.batchDirs(spark, outDir).filter(_._1 >= next)
+    require(stale.isEmpty,
+      s"output dir $outDir already holds batches " +
+        s"${stale.map(_._1).sorted.mkString(",")} at or past this " +
+        s"checkpoint's next batch id $next — restarting would bypass " +
+        "them for dedup and overwrite them; resume with the original " +
+        "checkpoint dir or use a fresh output dir")
+    IngestStream.mkdirs(spark, outDir)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val acceptedDirs = Option(new java.io.File(outDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-          // a retry of batch N must not probe N's own half-written
-          // output: only strictly-older batches count as accepted
-          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-          .map(_.getAbsolutePath)
+        // a retry of batch N must not probe N's own half-written
+        // output: only strictly-older batches count as accepted
+        val acceptedDirs = IngestStream.batchDirs(spark, outDir)
+          .filter(_._1 < batchId).map(_._2)
         val accepted =
           if (acceptedDirs.isEmpty) None
-          else Some(spark.read.parquet(acceptedDirs.toIndexedSeq: _*))
+          else Some(spark.read.parquet(acceptedDirs: _*))
         applyBatch(spark, batch, accepted, indexPath, idCol, vecCol,
           dims, threshold, probeHamming, seed)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
@@ -114,4 +121,43 @@ object EmbedIngestStream {
     * text-side stream). */
   def accepted(spark: SparkSession, outDir: String): Option[DataFrame] =
     IngestStream.accepted(spark, outDir)
+
+  /** Fold the accepted vectors into the next version of the sign index
+    * — the vector-side mirror of [[IngestStream.compact]], same
+    * crash-safe order (archive → rebuild from the archive → clear
+    * batch dirs) and same contract: after compaction the rebuilt INDEX
+    * catches what the accepted-set probe was catching, and stage 3
+    * restarts empty. Dims and seed come from the current index's
+    * sidecar (the probe side must match the write side bit-for-bit);
+    * the plane count re-derives from the GROWN corpus size
+    * ([[Similarity.writeSignIndex]] auto mode). `newIndexPath` empty =
+    * rebuild in place. Returns the max batch id folded, or -1 when
+    * there was nothing to compact.
+    */
+  def compact(spark: SparkSession, corpus: DataFrame, indexPath: String,
+      outDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", newIndexPath: String = ""): Long = {
+    val (_, dims, seed) = Similarity.signIndexMeta(spark, indexPath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sign index (with sidecar) at $indexPath"))
+    val dirs = IngestStream.batchDirs(spark, outDir)
+    if (dirs.isEmpty) return -1L
+    val maxId = dirs.map(_._1).max
+    val archive = s"$outDir/compacted/upto=$maxId"
+    spark.read.parquet(dirs.map(_._2): _*)
+      .select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(archive)
+    val target = if (newIndexPath.nonEmpty) newIndexPath else indexPath
+    Similarity.writeSignIndex(
+      corpus.select(col(idCol), col(vecCol))
+        .unionByName(spark.read.parquet(archive)),
+      target, dims, numPlanes = 0, seed = seed,
+      idCol = idCol, vecCol = vecCol)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
+    }
+    maxId
+  }
 }

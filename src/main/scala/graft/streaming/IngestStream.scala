@@ -76,34 +76,45 @@ object IngestStream {
     * (AvailableNow — the drain-the-backlog trigger; swap for a
     * processing-time trigger in an always-on deployment). The bucketed
     * index tables are attached on entry when this session doesn't know
-    * them yet ([[Dedup.attachNgramIndexBucketed]] — `indexBuckets` must
-    * match the build). Restart-safe: checkpoint tracks consumed files,
-    * per-batch overwrite makes replays idempotent.
+    * them yet ([[Dedup.attachNgramIndexBucketed]]; `indexBuckets` ≤ 0
+    * self-configures from the index sidecars). Restart-safe: checkpoint
+    * tracks consumed files, per-batch overwrite makes replays
+    * idempotent. Restarting over an existing `outDir` with a FRESH
+    * checkpoint is refused: batch ids would restart at 0, so prior
+    * accepted batches would be both bypassed for dedup (nothing is
+    * "strictly older" than batch 0) and clobbered by the per-batch
+    * overwrite — resume with the original checkpoint, or point the
+    * restart at an empty output dir.
     */
   def run(spark: SparkSession, srcDir: String, indexTablePrefix: String,
-      indexBuckets: Int, outDir: String, checkpointDir: String,
+      indexBuckets: Int = 0, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.5, maxFilesPerTrigger: Int = 1): Unit = {
     require(
       Dedup.attachNgramIndexBucketed(spark, indexTablePrefix, indexBuckets),
       s"no bucketed n-gram index under table prefix $indexTablePrefix")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val next = nextBatchId(spark, checkpointDir)
+    val stale = batchDirs(spark, outDir).filter(_._1 >= next)
+    require(stale.isEmpty,
+      s"output dir $outDir already holds batches " +
+        s"${stale.map(_._1).sorted.mkString(",")} at or past this " +
+        s"checkpoint's next batch id $next — restarting would bypass " +
+        "them for dedup and overwrite them; resume with the original " +
+        "checkpoint dir or use a fresh output dir")
+    mkdirs(spark, outDir)
     val schema = graft.Tables.read(spark, srcDir).schema
     val stream = graft.Tables.normalize(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val acceptedDirs = Option(new java.io.File(outDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-          // a retry of batch N must not probe N's own half-written
-          // output: only strictly-older batches count as accepted
-          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-          .map(_.getAbsolutePath)
+        // a retry of batch N must not probe N's own half-written
+        // output: only strictly-older batches count as accepted
+        val acceptedDirs =
+          batchDirs(spark, outDir).filter(_._1 < batchId).map(_._2)
         val accepted =
           if (acceptedDirs.isEmpty) None
-          else Some(spark.read.parquet(acceptedDirs.toIndexedSeq: _*))
+          else Some(spark.read.parquet(acceptedDirs: _*))
         applyBatch(spark, batch, accepted, indexTablePrefix,
           idCol, textCol, n, threshold)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
@@ -116,11 +127,105 @@ object IngestStream {
 
   /** Everything the stream has accepted so far. */
   def accepted(spark: SparkSession, outDir: String): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getAbsolutePath)
+    val dirs = batchDirs(spark, outDir).map(_._2)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Fold everything the stream has ACCEPTED into the next corpus
+    * version of the persisted index — the periodic re-index the stream
+    * docs promise, as an operator instead of a doc comment. The
+    * accepted-set probe (stage 3) grows with every accepted arrival;
+    * without this fold it grows without bound. After compaction the
+    * duplicates it was catching are caught one stage earlier, by the
+    * rebuilt INDEX (stage 2), and stage 3 restarts empty.
+    *
+    * `corpus` is the frozen corpus the current index was built over
+    * (the caller's corpus store — the index tables hold shingle
+    * structures, not raw text, so the fold needs the source rows).
+    * Steps, in crash-safe order:
+    *
+    *  1. archive the accepted rows under
+    *     `outDir/compacted/upto=<maxBatchId>` — they are corpus version
+    *     N+1's delta; deleting them unarchived would lose the stream's
+    *     output (re-running after a crash here overwrites the same
+    *     archive dir — idempotent);
+    *  2. rebuild the bucketed n-gram index over corpus ∪ accepted
+    *     (reading the ARCHIVED copy, so the rebuild never races the
+    *     deletion) under `newIndexPrefix`, or in place when it is empty
+    *     — the bucket count re-derives from the GROWN corpus size
+    *     ([[Dedup.writeNgramIndexBucketed]] auto mode) unless pinned;
+    *  3. remove the `batch=` dirs, so [[accepted]] and the stage-3
+    *     probe restart empty. A crash between 2 and 3 leaves both
+    *     defenses active (index AND accepted set catch the same dups) —
+    *     redundant, never wrong.
+    *
+    * A restarted stream keeps its checkpoint, so batch ids continue
+    * past the compaction point and the [[run]]-entry guard stays
+    * satisfied. Returns the max batch id folded, or -1 when there was
+    * nothing to compact.
+    */
+  def compact(spark: SparkSession, corpus: DataFrame,
+      indexTablePrefix: String, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      threshold: Double = 0.5, buckets: Int = 0, filesPerBucket: Int = 1,
+      newIndexPrefix: String = ""): Long = {
+    val dirs = batchDirs(spark, outDir)
+    if (dirs.isEmpty) return -1L
+    val maxId = dirs.map(_._1).max
+    val archive = s"$outDir/compacted/upto=$maxId"
+    spark.read.parquet(dirs.map(_._2): _*)
+      .select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(archive)
+    val target =
+      if (newIndexPrefix.nonEmpty) newIndexPrefix else indexTablePrefix
+    Dedup.writeNgramIndexBucketed(
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(spark.read.parquet(archive)),
+      target, idCol, textCol, n, threshold, buckets, filesPerBucket)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
+    }
+    maxId
+  }
+
+  /** The `batch=<id>` output dirs under `outDir` as (id, path), through
+    * the HADOOP filesystem API — `java.io.File` only sees the local
+    * disk, so on HDFS/S3 (the 100 TB deployment) it would resolve the
+    * accepted set to empty and silently skip cross-batch dedup.
+    */
+  private[streaming] def batchDirs(spark: SparkSession,
+      outDir: String): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st =>
+        (st.getPath.getName.stripPrefix("batch=").toLong,
+          st.getPath.toString))
+  }
+
+  private[streaming] def mkdirs(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p): Unit
+  }
+
+  /** The batch id the stream engine will assign next under this
+    * checkpoint: max committed-offset id + 1, or 0 for a fresh/absent
+    * checkpoint — the run()-entry guard's reference point.
+    */
+  private[streaming] def nextBatchId(spark: SparkSession,
+      checkpointDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max) + 1L
   }
 }

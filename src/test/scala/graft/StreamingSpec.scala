@@ -416,8 +416,9 @@ class StreamingSpec extends SparkSpec {
       promote("f1", 60000); promote("f2", 30000)
 
       val outDir = tmpDir("ingest-out")
+      val ckptDir = tmpDir("ingest-ckpt")
       IngestStream.run(spark, srcDir, idxPrefix, indexBuckets = 4,
-        outDir = outDir, checkpointDir = tmpDir("ingest-ckpt"),
+        outDir = outDir, checkpointDir = ckptDir,
         maxFilesPerTrigger = 1)
       val got = IngestStream.accepted(spark, outDir).get
         .select($"doc_id").collect().map(_.getLong(0)).toSet
@@ -435,6 +436,50 @@ class StreamingSpec extends SparkSpec {
       val replay = (r1.select($"doc_id").collect() ++
         r2.select($"doc_id").collect()).map(_.getLong(0)).toSet
       assert(replay === got)
+
+      // restarting over the existing outDir with a FRESH checkpoint is
+      // refused: batch ids would restart at 0, bypassing AND clobbering
+      // the accepted batches
+      val guard = intercept[IllegalArgumentException] {
+        IngestStream.run(spark, srcDir, idxPrefix, indexBuckets = 4,
+          outDir = outDir, checkpointDir = tmpDir("ingest-ckpt-fresh"),
+          maxFilesPerTrigger = 1)
+      }
+      assert(guard.getMessage.contains("next batch id"))
+
+      // COMPACTION: fold the accepted set into index version N+1.
+      // After it, the accepted-set probe restarts empty and the dups it
+      // was catching are caught one stage earlier, by the INDEX.
+      val folded = IngestStream.compact(spark, corpus, idxPrefix, outDir,
+        buckets = 4)
+      assert(folded >= 0L)
+      assert(IngestStream.accepted(spark, outDir).isEmpty,
+        "accepted-set probe must be empty after compaction")
+      // the folded rows are archived, not lost
+      val archived = spark.read.parquet(s"$outDir/compacted")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(archived === got)
+      // a dup of a PRE-compaction acceptance is caught by the index
+      // alone (applyBatch with NO accepted set = stage 2 only)
+      val d = synthText("delta")
+      val f3 = Seq(
+        (1000007L, a),  // dup of compacted acceptance -> index drops it
+        (1000008L, d)   // fresh -> accepted
+      ).toDF("doc_id", "text")
+      val r3 = IngestStream.applyBatch(spark, f3, None, idxPrefix,
+        "doc_id", "text", 3, 0.5)
+      assert(r3.select($"doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1000008L), "rebuilt index must catch the compacted dup")
+      // and through the ENGINE: resume with the ORIGINAL checkpoint —
+      // batch ids continue past the compaction point, the run() guard
+      // stays satisfied, and only the fresh doc lands
+      f3.coalesce(1).write.parquet(s"$srcDir/f3")
+      promote("f3", 1000)
+      IngestStream.run(spark, srcDir, idxPrefix, indexBuckets = 4,
+        outDir = outDir, checkpointDir = ckptDir, maxFilesPerTrigger = 1)
+      val got3 = IngestStream.accepted(spark, outDir).get
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got3 === Set(1000008L), s"post-compaction ingest: $got3")
     } finally {
       Seq("df", "prefix", "shingles").foreach { s =>
         graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
@@ -520,5 +565,25 @@ class StreamingSpec extends SparkSpec {
     val replay = (r1.select($"vec_id").collect() ++
       r2.select($"vec_id").collect()).map(_.getLong(0)).toSet
     assert(replay === got)
+
+    // COMPACTION, vector side: fold accepted vectors into the sign
+    // index (planes re-derive, dims/seed from the sidecar), accepted
+    // set resets, and the dup of a pre-compaction acceptance is caught
+    // by the INDEX alone
+    val folded = EmbedIngestStream.compact(spark, corpus, idxPath, outDir)
+    assert(folded >= 0L)
+    assert(EmbedIngestStream.accepted(spark, outDir).isEmpty,
+      "accepted-set probe must be empty after compaction")
+    assert(spark.read.parquet(s"$outDir/compacted")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet === got)
+    val freshD = freshFrom(2007, Seq(freshA, freshC))
+    val f3 = Seq(
+      (1000006L, freshA), // dup of compacted acceptance -> index drops it
+      (1000007L, freshD)  // fresh -> accepted
+    ).toDF("vec_id", "embedding")
+    val r3 = EmbedIngestStream.applyBatch(spark, f3, None, idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    assert(r3.select($"vec_id").collect().map(_.getLong(0)).toSet ===
+      Set(1000007L), "rebuilt sign index must catch the compacted dup")
   }
 }

@@ -286,14 +286,14 @@ class TextQualitySpec extends SparkSpec {
       blank, "doc_id", "text", 2, 2).count() == 0)
   }
 
-  test("duplicatedSpans: df counts documents once, short docs span whole text") {
+  test("duplicatedSpans: row frequency, short docs span whole text") {
     val docs = Seq(
       (1L, "a b c d"),     // spans k=2: "a b","b c","c d"
       (2L, "b c e"),       // spans: "b c","c e"
       (3L, "a b a b"),     // distinct-within-doc: "a b","b a" (once each)
       (4L, "q")            // <k tokens → whole-doc span "q"
     ).toDF("doc_id", "text")
-    val got = TextQuality.duplicatedSpans(docs, "doc_id", "text", k = 2)
+    val got = TextQuality.duplicatedSpans(docs, "text", k = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // "a b" in docs 1 and 3 (doc 3 counts ONCE despite two occurrences);
     // "b c" in docs 1 and 2; nothing else crosses minDocs=2

@@ -83,6 +83,23 @@ class TuneSpec extends AnyFunSuite {
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 
+  test("scaledBuckets: decade points, floor, cap") {
+    // the measured 5M-doc build point (96 buckets ~ 52k docs/bucket)
+    // is what the rule reproduces: 5M docs -> 100 buckets at 50k each
+    assert(Tune.scaledBuckets(5000000L, 32) === 100)
+    // small corpora floor at the core count, never below it
+    assert(Tune.scaledBuckets(4500L, 32) === 32)
+    assert(Tune.scaledBuckets(0L, 16) === 16)
+    // the 500k decade sits at the floor on a 32-core box...
+    assert(Tune.scaledBuckets(500000L, 32) === 32)
+    // ...and above it on a smaller one
+    assert(Tune.scaledBuckets(500000L, 8) === 10)
+    // cap: beyond 65536 buckets, shard higher first
+    assert(Tune.scaledBuckets(100L * 1000 * 1000 * 1000, 32) === 65536)
+    intercept[IllegalArgumentException] { Tune.scaledBuckets(-1L, 32) }
+    intercept[IllegalArgumentException] { Tune.scaledBuckets(1L, 0) }
+  }
+
   test("parquetBytes sums part files, skips markers, 0 for missing") {
     val dir = java.nio.file.Files.createTempDirectory("tune_spec").toFile
     try {

@@ -790,6 +790,19 @@ object PipelineQueries {
         "doc_id", "text", chunkTokens = 10, minFreq = 3)
     },
 
+    // The SHIFT-ROBUST boilerplate layout: chunk boundaries are
+    // content-defined (cut after tokens whose md5-prefix hash is = 0
+    // mod 10, max 20 tokens/chunk), so a block repeated at different
+    // offsets still aligns — the fixed-grid operators above only match
+    // copies on the same grid phase. Fully oracled: the cut rule is
+    // the SQL-replicable md5-prefix hash, and the grid decomposes into
+    // two window functions (cumulative cut count -> sub-split)
+    // (operators/TextQuality.removeFrequentBlocksCDC).
+    "text_boilerplate_cdc" -> { (s, dir) =>
+      TextQuality.removeFrequentBlocksCDC(Tables(s, dir, "documents"),
+        "doc_id", "text", p = 10, maxTokens = 20, minFreq = 3)
+    },
+
     // Cross-document duplicated 8-token spans with document frequency —
     // the exact-substring-dedup discovery table (Lee et al. 2021) at
     // word-window granularity (operators/TextQuality.duplicatedSpans).
@@ -1024,6 +1037,43 @@ object PipelineQueries {
       |f AS (SELECT blk, count(*) AS cnt FROM ch GROUP BY blk)
       |SELECT ch.doc_id,
       |  coalesce(string_agg(ch.blk, ' ' ORDER BY ch.idx)
+      |    FILTER (WHERE f.cnt < 3), '') AS clean_text,
+      |  CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(count(*) FILTER (WHERE f.cnt >= 3) AS BIGINT) AS n_removed
+      |FROM ch JOIN f ON ch.blk = f.blk
+      |GROUP BY ch.doc_id""".stripMargin
+
+  /** Content-defined-chunking boilerplate oracle: replays the
+    * wordChunksCDC grid exactly — cut AFTER any token whose 60-bit
+    * md5-prefix is ≡ 0 mod 10, forced sub-split every 20 tokens since
+    * the last cut. The sequential kernel decomposes into two window
+    * passes: natural group = cumulative count of cut tokens STRICTLY
+    * before i (a cut token is the last token of its own group), and
+    * the forced splits within a group land every 20 tokens from the
+    * group's first token — (i - min(i) over group) // 20.
+    */
+  private val CdcBoilerplateOracle =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text),'\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |tk AS (SELECT doc_id, toks,
+      |    unnest(range(1, len(toks) + 1)) AS i FROM t),
+      |w AS (SELECT doc_id, i, toks[i] AS w,
+      |    CASE WHEN ('0x'||substr(md5(toks[i]),1,15))::BIGINT % 10 = 0
+      |         THEN 1 ELSE 0 END AS cut FROM tk),
+      |g AS (SELECT doc_id, i, w,
+      |    coalesce(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+      |  FROM w),
+      |gs AS (SELECT doc_id, i, w, grp,
+      |    (i - MIN(i) OVER (PARTITION BY doc_id, grp)) // 20 AS sub
+      |  FROM g),
+      |ch AS (SELECT doc_id, grp, sub, min(i) AS ord,
+      |    string_agg(w, ' ' ORDER BY i) AS blk
+      |  FROM gs GROUP BY doc_id, grp, sub),
+      |f AS (SELECT blk, count(*) AS cnt FROM ch GROUP BY blk)
+      |SELECT ch.doc_id,
+      |  coalesce(string_agg(ch.blk, ' ' ORDER BY ch.ord)
       |    FILTER (WHERE f.cnt < 3), '') AS clean_text,
       |  CAST(count(*) AS BIGINT) AS n_blocks,
       |  CAST(count(*) FILTER (WHERE f.cnt >= 3) AS BIGINT) AS n_removed
@@ -1890,6 +1940,10 @@ object PipelineQueries {
     // collisions, which the gate corpus has none of) — one oracle,
     // byte-identical, for both layouts
     "text_boilerplate_hashed" -> BoilerplateOracle,
+
+    // content-defined chunking: its own oracle — the cut rule is the
+    // SQL-replicable md5-prefix hash, so the grid replays exactly
+    "text_boilerplate_cdc" -> CdcBoilerplateOracle,
 
     "text_dup_spans" -> (Spans8 +
       """, u AS (SELECT unnest(sp) AS span FROM sp8)

@@ -109,6 +109,47 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** CONTENT-DEFINED chunks in document order: a chunk closes after any
+    * token whose 60-bit md5 prefix ([[VecOps.md5Base60]] — the
+    * SQL-replicable base hash every signature here uses) is ≡ 0 mod
+    * `p`, or after `maxLen` tokens since the last cut, whichever comes
+    * first. Cut points depend on CONTENT, not position — the
+    * LBFS/rsync chunking idea (Muthitacharoen et al. 2001, public) at
+    * token granularity — so a block repeated at DIFFERENT offsets in
+    * different documents still yields identical interior chunks, where
+    * the fixed i·c grid of [[wordChunks]] only aligns copies that land
+    * on the same grid phase. Expected chunk length is ~min(p, maxLen)
+    * tokens; `maxLen` bounds the no-cut-token worst case (and splits
+    * long boundary-free runs on a fixed sub-grid anchored at the last
+    * content cut — still shift-invariant, because the anchor is).
+    * No minimum length: a cut token always closes its chunk, so a hot
+    * cut token yields short chunks — acceptable for frequency
+    * thresholding, and what keeps the definition stateless enough for
+    * a SQL engine to replay with two window functions.
+    */
+  def wordChunksCDC(text: UTF8String, p: Int, maxLen: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](toks.length / math.min(p, maxLen) + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var curLen = 0
+    var i = 0
+    while (i < toks.length) {
+      if (curLen > 0) sb.append(' ')
+      sb.append(toks(i))
+      curLen += 1
+      if (curLen >= maxLen ||
+          VecOps.md5Base60(UTF8String.fromString(toks(i))) % p == 0L) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+        curLen = 0
+      }
+      i += 1
+    }
+    if (curLen > 0) out.add(UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Positional (NON-distinct) overlapping k-token windows in document
     * order — entry i is the window starting at token i, so
     * `posexplode` yields (start, span) pairs. Unlike [[wordShingles]]
@@ -283,6 +324,24 @@ case class WordChunksExpr(child: Expression, c: Int) extends UnaryExpression {
     TextOps.wordChunks(t.asInstanceOf[UTF8String], c)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.wordChunks($t, $c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** word_chunks_cdc(string, p, maxLen) → content-defined token blocks —
+  * the shift-robust unit of boilerplate removal ([[TextOps.wordChunksCDC]]).
+  */
+case class WordChunksCDCExpr(child: Expression, p: Int, maxLen: Int)
+    extends UnaryExpression {
+  require(p >= 1, s"word_chunks_cdc: cut modulus must be >= 1, got $p")
+  require(maxLen >= 1,
+    s"word_chunks_cdc: max chunk length must be >= 1, got $maxLen")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.wordChunksCDC(t.asInstanceOf[UTF8String], p, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextOps.wordChunksCDC($t, $p, $maxLen)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -517,6 +576,8 @@ object TextExprs {
     toCol(WordShinglesExpr(toExpr(text), n))
   def wordChunks(text: Column, c: Int): Column =
     toCol(WordChunksExpr(toExpr(text), c))
+  def wordChunksCDC(text: Column, p: Int, maxLen: Int): Column =
+    toCol(WordChunksCDCExpr(toExpr(text), p, maxLen))
   def wordSpansPos(text: Column, k: Int): Column =
     toCol(WordSpansPosExpr(toExpr(text), k))
   def scrubCovered(text: Column, starts: Column, k: Int): Column =

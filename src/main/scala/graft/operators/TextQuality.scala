@@ -161,6 +161,17 @@ object TextQuality {
     *
     * Token-less documents (empty/blank text) have no blocks and produce
     * no output row — a blank document IS all boilerplate.
+    *
+    * ALIGNMENT ASSUMPTION: blocks are counted on the fixed i·c token
+    * grid, so two copies of the same boilerplate block only match when
+    * they sit at the same phase of that grid — a copy preceded by a
+    * different-length prefix lands off-grid and escapes the frequency
+    * count. The overlapping-window span family
+    * ([[removeDuplicatedSpans]]) catches shifted copies at k-window
+    * granularity, and [[removeFrequentBlocksCDC]] is the block-level
+    * operator whose chunk boundaries are content-defined and therefore
+    * shift-invariant — use one of those when copies aren't
+    * grid-aligned (e.g. headers after variable-length titles).
     */
   def removeFrequentBlocks(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10, minFreq: Long = 3): DataFrame = {
@@ -232,6 +243,54 @@ object TextQuality {
       // string-operator parity: token-less documents have no blocks
       // and no output row there either
       .filter(col("n_blocks") > 0)
+  }
+
+  /** [[removeFrequentBlocks]] with CONTENT-DEFINED chunk boundaries —
+    * the shift-robust layout: a chunk closes after any token whose
+    * md5-prefix hash is ≡ 0 mod `p` (or after `maxTokens`, the bound on
+    * cut-free runs; [[graft.functions.TextExprs.wordChunksCDC]]), so a
+    * boilerplate block repeated at DIFFERENT token offsets across
+    * documents still yields identical interior chunks and crosses the
+    * frequency threshold. The fixed-grid operator misses exactly those
+    * copies (its doc states the alignment assumption); this is the
+    * variant to run on corpora where boilerplate follows
+    * variable-length content — headers after titles, footers after
+    * bodies. The junction chunks (prefix tail + block head up to the
+    * first in-block cut, and symmetric at the tail) differ per
+    * document and are correctly kept: content-defined removal recovers
+    * the block's interior, not its first few tokens — the standard CDC
+    * trade (Muthitacharoen et al. 2001).
+    *
+    * Same two-pass shape, same output contract, same
+    * empty-document semantics as [[removeFrequentBlocks]]: (id,
+    * clean_text, n_blocks, n_removed), no row for token-less docs.
+    * Expected chunk length ~min(p, maxTokens) tokens; frequency pass is
+    * the map-side-combinable hash aggregate, frequent set broadcasts
+    * back, one id-keyed reassembly shuffle with rows bounded at
+    * `maxTokens` tokens.
+    */
+  def removeFrequentBlocksCDC(df: DataFrame, idCol: String,
+      textCol: String, p: Int = 10, maxTokens: Int = 20,
+      minFreq: Long = 3): DataFrame = {
+    Tune.ensureShufflePartitions(df, Tune.TextSpanShuffleExpansion)
+    val ch = df.select(col(idCol),
+        posexplode(TextExprs.wordChunksCDC(col(textCol), p, maxTokens))
+          .as(Seq("idx", "blk")))
+    val frequent = ch.groupBy(col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+      .select(col("blk"), lit(true).as("freq"))
+    ch.join(broadcast(frequent), Seq("blk"), "left")
+      .withColumn("keep", col("freq").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            filter(array_sort(collect_list(struct(col("idx"), col("keep"),
+              col("blk")))), x => x.getField("keep")),
+            x => x.getField("blk"))).as("clean_text"),
+        count(lit(1)).as("n_blocks"),
+        count(when(!col("keep"), lit(1))).as("n_removed"))
   }
 
   /** Cross-document duplicated k-token spans: every OVERLAPPING k-token

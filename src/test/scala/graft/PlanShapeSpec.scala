@@ -217,7 +217,8 @@ class PlanShapeSpec extends SparkSpec {
     // must broadcast back onto the chunk explode — an SMJ re-shuffles
     // the exploded corpus; the frequency pass must be an AGGREGATE,
     // never a window partitioned by the (hot by definition) block key
-    for (q <- Seq("text_boilerplate", "text_boilerplate_hashed")) {
+    for (q <- Seq("text_boilerplate", "text_boilerplate_hashed",
+        "text_boilerplate_cdc")) {
       val p = finalPlan(SparkEntry.queries(q)(spark, sf001))
       assert(p.contains("BroadcastHashJoin"),
         s"$q: frequent-set join stopped broadcasting:\n$p")

@@ -286,6 +286,59 @@ class TextQualitySpec extends SparkSpec {
       blank, "doc_id", "text", 2, 2).count() == 0)
   }
 
+  test("removeFrequentBlocksCDC: shifted copies align and drop; " +
+      "fixed grid misses them; maxLen bounds cut-free runs") {
+    import graft.functions.{TextOps, VecOps}
+    import org.apache.spark.unsafe.types.UTF8String
+    def isCut(w: String): Boolean =
+      VecOps.md5Base60(UTF8String.fromString(w)) % 10 == 0L
+    val cut = Iterator.from(0).map(i => s"cut$i").find(isCut).get
+    val fill = Iterator.from(0).map(i => s"w$i").filterNot(isCut)
+      .take(9).toVector
+    // block = head cut + interior + tail cut: every chunk after the
+    // first in-block cut is fully interior and offset-independent
+    val block = s"$cut ${fill(0)} ${fill(1)} ${fill(2)} $cut"
+    // the same block after DIFFERENT-length prefixes — off-phase for
+    // any fixed grid
+    val p1 = fill(3)
+    val p2 = s"${fill(4)} ${fill(5)}"
+    val p3 = s"${fill(6)} ${fill(7)} ${fill(8)}"
+    val docs = Seq(
+      (1L, s"$p1 $block"), (2L, s"$p2 $block"), (3L, s"$p3 $block")
+    ).toDF("doc_id", "text")
+    val cdc = TextQuality.removeFrequentBlocksCDC(
+        docs, "doc_id", "text", p = 10, maxTokens = 20, minFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // interior chunk "<fill0 fill1 fill2 cut>" recurs in all 3 docs →
+    // removed everywhere; the junction chunk "<prefix> cut" is unique
+    // per doc → kept (the documented CDC trade)
+    assert(cdc(1L) == ((s"$p1 $cut", 2L, 1L)))
+    assert(cdc(2L) == ((s"$p2 $cut", 2L, 1L)))
+    assert(cdc(3L) == ((s"$p3 $cut", 2L, 1L)))
+    // the fixed 10-token grid sees three distinct whole-doc chunks —
+    // nothing crosses the threshold, the shifted copies escape
+    val grid = TextQuality.removeFrequentBlocks(
+      docs, "doc_id", "text", chunkTokens = 10, minFreq = 3)
+    assert(grid.collect().forall(_.getLong(3) == 0L),
+      "fixed grid should miss off-grid copies (that is the point)")
+
+    // kernel: a cut-free run splits on the maxLen sub-grid anchored at
+    // the run start, and chunks concatenate back to the document
+    val many = Iterator.from(100).map(i => s"m$i").filterNot(isCut)
+      .take(45).toVector
+    val chunks = {
+      val a = TextOps.wordChunksCDC(
+        UTF8String.fromString(many.mkString(" ")), 10, 20)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(chunks.map(_.split(" ").length) == Seq(20, 20, 5))
+    assert(chunks.mkString(" ") == many.mkString(" "))
+    // blank docs have no blocks and no output row, same as the grid op
+    assert(TextQuality.removeFrequentBlocksCDC(
+      Seq((9L, " ")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("duplicatedSpans: row frequency, short docs span whole text") {
     val docs = Seq(
       (1L, "a b c d"),     // spans k=2: "a b","b c","c d"

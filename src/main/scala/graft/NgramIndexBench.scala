@@ -96,14 +96,25 @@ object NgramIndexBench {
       // attachNgramIndexBucketed re-creates the catalog entries over
       // the surviving warehouse data (in-memory catalog = entries die
       // with the builder JVM; a persistent metastore would keep them)
+      // bucket count: the operator's corpus-derived default
+      // (Tune.scaledBuckets — recorded in the layout's sidecar, so the
+      // reuse path self-configures and can never mis-declare it);
+      // filesPerBucket lifts the write parallelism back to the shuffle
+      // width (buckets × m write tasks, reads stay Exchange-free) —
+      // the knob that un-does the 6× build-wall regression the
+      // one-file-per-bucket layout measured at 450k docs.
+      val autoBuckets = graft.operators.Tune.scaledBuckets(nC, cpus.toInt)
+      val fpb = sys.env.get("SPARK_GRAFT_FILES_PER_BUCKET").map(_.toInt)
+        .getOrElse(math.max(1,
+          (shuffleParts.toString.toInt + autoBuckets - 1) / autoBuckets))
       val reuseBkt = args.length > 2 && args(2) == "reuse" &&
         graft.operators.Dedup.attachNgramIndexBucketed(spark,
-          "bench_ngram_idx", buckets = cpus.toInt)
+          "bench_ngram_idx")
       val buildBkt = if (reuseBkt) 0.0 else {
         val tb = System.nanoTime()
         graft.operators.Dedup.writeNgramIndexBucketed(corpus,
           "bench_ngram_idx", "doc_id", "text", n = 3, threshold = 0.5,
-          buckets = cpus.toInt)
+          filesPerBucket = fpb, knownCount = nC)
         (System.nanoTime() - tb) / 1e9
       }
       def probeBkt(): (Double, Long) = {
@@ -124,7 +135,7 @@ object NgramIndexBench {
               .parseTableIdentifier(s"bench_ngram_idx_$s")).toString)
           .getPath)
       }.sum
-      println(f"""{"dir":"$dir","layout":"bucketed","n_corpus":$nC,"n_batch":$nB,"build_sec":$buildBkt%.1f,"probe_cold_sec":$bCold%.1f,"probe_warm_sec":${math.min(bw1, bw2)}%.1f,"pairs":$bRows,"index_bytes":$whBytes}""")
+      println(f"""{"dir":"$dir","layout":"bucketed","n_corpus":$nC,"n_batch":$nB,"buckets":$autoBuckets,"files_per_bucket":$fpb,"build_sec":$buildBkt%.1f,"probe_cold_sec":$bCold%.1f,"probe_warm_sec":${math.min(bw1, bw2)}%.1f,"pairs":$bRows,"index_bytes":$whBytes}""")
     }
 
     // cleanup: repeated runs must not accumulate state. Drop the

@@ -648,8 +648,11 @@ object PipelineQueries {
       val corpus = d.filter(pmod($"doc_id", lit(10)) =!= 0)
       val batch = d.filter(pmod($"doc_id", lit(10)) === 0)
       val prefix = bucketedIndexName(dir)
+      // bucket count: the corpus-derived production default
+      // (Tune.scaledBuckets, recorded in the layout sidecar — the gate
+      // exercises the same self-describing path a deployment runs)
       Dedup.writeNgramIndexBucketed(corpus, prefix, "doc_id", "text",
-        n = 3, threshold = 0.5, buckets = 16)
+        n = 3, threshold = 0.5)
       val dup = Dedup.probeNgramIndexBucketed(s, prefix, batch,
           "doc_id", "text", n = 3, threshold = 0.5)
         .select($"id_batch".as("doc_id")).distinct()
@@ -682,6 +685,48 @@ object PipelineQueries {
       Dedup.incrementalNewNearDupEmbedDisk(s, path, batch,
         "vec_id", "embedding", dims = 64, numPlanes = 6,
         threshold = 0.4, probeHamming = 1, seed = 42L)
+    },
+
+    // Ingest COMPACTION end-to-end — the re-index operator the ingest
+    // streams rely on, gated: index(C0) → batch B1 probes it and its
+    // survivors are accepted as batch=0 → IngestStream.compact folds
+    // them into index version 2 (C0 ∪ accepted) and clears the batch
+    // dirs (require()d inside the gate) → batch B2 probes the COMPACTED
+    // index with an EMPTY accepted set. A near-dup of an accepted B1
+    // doc arriving in B2 is caught by the INDEX alone — the compaction
+    // claim — and the oracle replays both generations with exact
+    // pairwise shingle Jaccard + the normalized exact-fingerprint
+    // within-batch pass. Split: C0 = doc_id%10 ∉ {0,5}, B1 = %10=5,
+    // B2 = %10=0.
+    "dedup_compaction" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val m10 = pmod($"doc_id", lit(10))
+      val c0 = d.filter(m10 =!= 0 && m10 =!= 5).select($"doc_id", $"text")
+      val b1 = d.filter(m10 === 5)
+      val b2 = d.filter(m10 === 0)
+      val prefix = bucketedIndexName(dir) + "_cmp"
+      val outDir = tmpIndexPath(dir, "graft_compact_out")
+      Dedup.writeNgramIndexBucketed(c0, prefix, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val a1 = graft.streaming.IngestStream.applyBatch(s, b1, None,
+        prefix, "doc_id", "text", 3, 0.5)
+      a1.select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(s"$outDir/batch=0")
+      graft.streaming.IngestStream.compact(s, c0, prefix, outDir)
+      val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .count(_.getPath.getName.startsWith("batch="))
+      require(leftover == 0,
+        s"compact left $leftover accepted batch dirs behind")
+      val res = graft.streaming.IngestStream.applyBatch(s, b2, None,
+        prefix, "doc_id", "text", 3, 0.5)
+        .select($"doc_id").localCheckpoint(true)
+      Seq("df", "prefix", "shingles").foreach { sfx =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_$sfx"): Unit
+      }
+      res
     },
 
     // Z-order (Morton) values over two key columns — the clustering key
@@ -898,6 +943,24 @@ object PipelineQueries {
         n = 3, threshold = 0.5)
       Sampling.leakageSafeSplit(docs, "doc_id", pairs)
         .select($"doc_id", $"grp", $"split")
+    },
+
+    // Token-budget corpus assembly (exact path): per language, take
+    // documents in deterministic idScore order until the cumulative
+    // whitespace-token count reaches the budget — the "assemble N
+    // tokens per source" operator. Prefix rule: a doc is kept iff the
+    // running sum INCLUDING it fits, so budgets are hard caps and the
+    // selection nests across budget changes. The thresholded 100 TB
+    // variant (no per-group sort) is spec-pinned as a subset of this
+    // output (operators/Sampling.tokenBudgetThresholded).
+    "pipeline_token_budget" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      Sampling.tokenBudget(
+          d.select($"doc_id", $"lang",
+            graft.functions.TextFunctions.tokenCount($"text").as("n_tokens")),
+          "lang", "doc_id", $"n_tokens", Map.empty, defaultBudget = 4000L)
+        .select($"doc_id", $"lang", $"cum_tokens")
     },
 
     // Per-group winsorization + equi-depth deciles: clamp the raw
@@ -1607,6 +1670,40 @@ object PipelineQueries {
     // the persisted path promises the same rows as the recompute path.
     "dedup_incremental_near" -> IncrementalNearOracle,
     "dedup_incremental_disk" -> IncrementalNearOracle,
+
+    // Two-generation compaction replay: A1 = B1 survivors vs C0 (exact
+    // fingerprint within the batch, then pairwise Jaccard vs the
+    // corpus); the compacted corpus is C0 ∪ A1; the result is B2's
+    // survivors against it under the same two stages.
+    "dedup_compaction" -> (Shingles +
+      """,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
+        |b1x AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id % 10 = 5
+        |  GROUP BY md5(lower(regexp_replace(trim(text),'\s+',' ','g')))),
+        |a1 AS (
+        |  SELECT doc_id FROM b1x WHERE doc_id NOT IN (
+        |    SELECT id_a FROM pairs
+        |    WHERE id_a % 10 = 5 AND id_b % 10 NOT IN (0, 5)
+        |    UNION
+        |    SELECT id_b FROM pairs
+        |    WHERE id_b % 10 = 5 AND id_a % 10 NOT IN (0, 5))),
+        |cset AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (0, 5)
+        |  UNION ALL SELECT doc_id FROM a1),
+        |b2x AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id % 10 = 0
+        |  GROUP BY md5(lower(regexp_replace(trim(text),'\s+',' ','g'))))
+        |SELECT doc_id FROM b2x WHERE doc_id NOT IN (
+        |  SELECT p.id_a FROM pairs p JOIN cset c ON p.id_b = c.doc_id
+        |  WHERE p.id_a % 10 = 0
+        |  UNION
+        |  SELECT p.id_b FROM pairs p JOIN cset c ON p.id_a = c.doc_id
+        |  WHERE p.id_b % 10 = 0)""".stripMargin),
     "dedup_incremental_bucketed" -> IncrementalNearOracle,
 
     "dedup_degree" -> (Shingles +
@@ -2042,6 +2139,26 @@ object PipelineQueries {
           |    WHEN ((grp % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'val'
           |    ELSE 'test' END AS split
           |FROM g""".stripMargin),
+
+    // idScore replay: ((id % 1000003) * 2654435761) % 1000003 — exact
+    // BIGINT arithmetic in both engines; SUM cast to BIGINT (house
+    // rule: DuckDB SUM(int) is HUGEINT).
+    "pipeline_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text)='' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text),'\s+')) END
+        |      AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY score, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, cum_tokens FROM c
+        |WHERE cum_tokens <= 4000""".stripMargin,
 
     "pipeline_winsorize" ->
       """WITH ranked AS (

@@ -35,6 +35,13 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *     claim — eviction deliberately resets long-idle users
   *     (the documented bounded-state tradeoff).
   *
+  * Rounds 11-12 added phases 4-7: payload-fingerprint dedup (retain-all
+  * equality row + 2 h watermark bounded-state row), the stream-stream
+  * click→purchase join (watermarked AND row-for-row equal to batch),
+  * and the tumbling/sliding watermarked window aggregates (append-mode
+  * emission row-for-row equal to the batch aggregate over closed
+  * windows; open-tail windows counted).
+  *
   * Usage: StreamScaleBench <sfStyleDir> [maxFilesPerTrigger]
   * `<sfStyleDir>` must contain `events.parquet/` as a DIRECTORY of part
   * files (the ReplicaGen layout) — a single-file table cannot feed the
@@ -268,6 +275,41 @@ object StreamScaleBench {
       batchJoin.exceptAll(streamJoin).count()
     val jEmitted = streamJoin.count()
     println(f"""{"phase":"join_stream_watermark","state_store":"$stateStore","src":"$chronoDir","n_events":$nEvents,"wall_sec":$jWall%.1f,"batches":$jBatches,"state_rows":$jRows,"state_mem_bytes":$jMem,"emitted":$jEmitted,"mismatch_rows_vs_batch":$jDiff}""")
+
+    // ---- phases 6-7: watermarked windowed aggregation (tumbling +
+    // sliding) through the engine — the last two operators whose gates
+    // were batch-equivalent-only. Append mode emits a window exactly
+    // once, when the 2 h watermark passes its end; chronological
+    // delivery makes emission monotone in window start, so the emitted
+    // set must be row-for-row EQUAL to the batch aggregate restricted
+    // to windows at or before the last emitted one, and the only batch
+    // rows missing are the watermark-open tail (counted, and checked
+    // to start strictly after the last emitted window). State rows =
+    // open (window, event_type) groups, NOT history — the bounded-state
+    // evidence for the windowed family.
+    def windowedPhase(name: String, startCol: String,
+        xform: DataFrame => DataFrame): Unit = {
+      val out = s"$scratch/$name"
+      val (wWall2, wBatches2, wRows2, wMem2) =
+        appendStream(chronoDir, out, s"$scratch/ckpt_$name", chronoMax)(xform)
+      val streamed = spark.read.parquet(out)
+      val batch = xform(ev)
+      val maxEmitted = streamed.agg(max(col(startCol))).collect()(0)
+      if (maxEmitted.isNullAt(0)) {
+        println(f"""{"phase":"$name","state_store":"$stateStore","src":"$chronoDir","n_events":$nEvents,"wall_sec":$wWall2%.1f,"batches":$wBatches2,"emitted":0,"note":"nothing emitted — watermark never passed a window end"}""")
+      } else {
+        val cutoff = maxEmitted.getTimestamp(0)
+        val closed = batch.filter(col(startCol) <= lit(cutoff))
+        val mismatch = closed.exceptAll(streamed).count() +
+          streamed.exceptAll(closed).count()
+        val tail = batch.filter(col(startCol) > lit(cutoff)).count()
+        println(f"""{"phase":"$name","state_store":"$stateStore","src":"$chronoDir","n_events":$nEvents,"wall_sec":$wWall2%.1f,"batches":$wBatches2,"state_rows":$wRows2,"state_mem_bytes":$wMem2,"emitted":${streamed.count()},"mismatch_vs_batch_closed_windows":$mismatch,"open_tail_windows":$tail}""")
+      }
+    }
+    windowedPhase("hourly_agg_stream", "hour_start",
+      ev0 => graft.streaming.EventStreams.hourlyAgg(ev0))
+    windowedPhase("sliding_agg_stream", "win_start",
+      ev0 => graft.streaming.EventStreams.slidingAgg(ev0))
 
     spark.stop()
   }

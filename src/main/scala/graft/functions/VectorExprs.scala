@@ -39,6 +39,27 @@ object VecOps {
     s
   }
 
+  /** True iff ANY aligned position of the two long arrays differs by at
+    * most `h` bits (popcount of the XOR). The min-band dedup test for
+    * banded LSH candidate generation: a (probe, corpus) pair colliding
+    * in band b is kept only when no band b' < b already collided — each
+    * side carries the PREFIX of its band signatures, and this kernel
+    * answers "did an earlier band collide?" per row, so each candidate
+    * pair survives exactly once WITHOUT a corpus-wide distinct
+    * ([[graft.operators.Similarity.knnJoin]]). Tight primitive loop,
+    * no allocation; an empty prefix (band 0) returns false.
+    */
+  def anyBandCollides(a: ArrayData, b: ArrayData, h: Int): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)) <= h)
+        return true
+      i += 1
+    }
+    false
+  }
+
   /** 64-bit hash of a UTF8String via 2×murmur3 (lo/hi with different
     * seeds) — deterministic across JVMs, no allocation.
     */
@@ -417,6 +438,27 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** any_band_collides(array<long>, array<long>) → boolean, codegen'd:
+  * true iff any aligned pair of longs is within hamming distance `h`.
+  * See [[VecOps.anyBandCollides]] for the min-band dedup role.
+  */
+case class AnyBandCollides(left: Expression, right: Expression, h: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(h >= 0, s"hamming radius must be >= 0: $h")
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.anyBandCollides(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecOps.anyBandCollides($a, $b, $h)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(array<string>) → long, codegen'd. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -581,6 +623,8 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def anyBandCollides(a: Column, b: Column, h: Int): Column =
+    toCol(AnyBandCollides(toExpr(a), toExpr(b), h))
 
   /** Cross-engine-replicable sign-projection signature (exact integer
     * arithmetic; see [[RademacherSig]]).

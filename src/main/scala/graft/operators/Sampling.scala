@@ -120,6 +120,79 @@ object Sampling {
     df.filter(pm < thresh)
   }
 
+  /** Token-budget corpus assembly: per group, take documents in the
+    * deterministic [[idScore]] order until the group's cumulative
+    * token count reaches its budget — "30B tokens of web, 3B of code"
+    * as one operator. A document is kept iff the running token sum
+    * INCLUDING it stays ≤ the budget (prefix rule): the output never
+    * exceeds a budget, the selection is reproducible, and it is NESTED
+    * — raising a budget only ever adds documents, so two corpus
+    * versions cut at different budgets share their prefix.
+    *
+    * This is the EXACT path: the running sum is a per-group window,
+    * which sorts each group in one task — correct at any size, but a
+    * single hot group (all-of-web under one "en" label) serializes.
+    * [[tokenBudgetThresholded]] is the 100 TB shape.
+    *
+    * Output: input columns + `cum_tokens` (the running sum, ≤ budget).
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokens: Column, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0),
+      "budgets must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idScore(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Thresholded token budget — the scale path: instead of sorting each
+    * group, ONE aggregation pass computes the token mass per
+    * (group, [[idScore]] value) — at most 1,000,003 score values per
+    * group regardless of corpus size, so the cumulative scan runs over
+    * the bounded aggregate, never the documents — and each group keeps
+    * the full score buckets whose running mass fits the budget. The
+    * corpus-side selection is then a narrow semi-join on (group,
+    * score-cutoff): no document ever crosses a shuffle wider than the
+    * (group, score) aggregate.
+    *
+    * Approximation contract (spec-pinned): the kept set is a SUBSET of
+    * [[tokenBudget]]'s for the same budgets — it stops one PARTIAL
+    * score bucket earlier, so the shortfall is bounded by the heaviest
+    * single (group, score) bucket (~corpus_mass/1e6 under hash
+    * uniformity). Same nesting property as the exact rule.
+    */
+  def tokenBudgetThresholded(df: DataFrame, groupCol: String,
+      idCol: String, tokens: Column, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0),
+      "budgets must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val mass = df
+      .select(col(groupCol).as("grp"), idScore(col(idCol)).as("score"),
+        tokens.cast("long").as("tk"))
+      .groupBy(col("grp"), col("score"))
+      .agg(sum(col("tk")).as("bucket_tokens"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // last fully-kept score per group; -1 when not even bucket 0 fits
+    val cut = mass.withColumn("cum", sum(col("bucket_tokens")).over(w))
+      .filter(col("cum") <=
+        budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+          case (acc, (g, b)) => when(col("grp") === g, lit(b)).otherwise(acc)
+        })
+      .groupBy(col("grp")).agg(max(col("score")).as("cut_score"))
+    df.join(cut.withColumnRenamed("grp", groupCol), Seq(groupCol))
+      .filter(idScore(col(idCol)) <= col("cut_score"))
+      .drop("cut_score")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: near-duplicate documents must
     * land in the SAME split — a near-dup pair straddling train and
     * test is evaluation leakage ([[hashSplit]] alone cannot see it).

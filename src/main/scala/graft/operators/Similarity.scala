@@ -137,10 +137,12 @@ object Similarity {
     * forces:
     *  - the bucket match is a SHUFFLE equi-join, not `broadcast(q)`;
     *  - candidate generation moves only (qid, bucket) / (id, bucket) —
-    *    vectors join back AFTER the candidate distinct (the
+    *    vectors join back AFTER candidates are deduped (the
     *    slim-candidates split the banded dedup uses), so the probe
     *    multi-probe expansion (×flips) never multiplies vector bytes
-    *    on the wide shuffle.
+    *    on the wide shuffle. Cross-band dedup is a shuffle-free
+    *    min-band filter (each pair survives only in its FIRST colliding
+    *    band), not a corpus-wide distinct — see the inline comment.
     *
     * `numPlanes` defaults to AUTO (≤ 0: [[Dedup.scaledPlanes]] over the
     * corpus count): total candidate mass is ~|probes|·flips·n/2^planes
@@ -183,26 +185,69 @@ object Similarity {
       else if (numPlanes > 0) 1
       else 16
     // candidate generation moves ONLY (band, bucket, id) rows — the
-    // band explode multiplies slim rows, never vector bytes
+    // band explode multiplies slim rows, never vector bytes.
+    //
+    // Cross-band dedup is a MIN-BAND FILTER, not a distinct: within a
+    // band each pair matches at most one flip (the flip is forced to
+    // qsig XOR csig), so duplicates arise only across bands, and a pair
+    // colliding in band b is kept exactly when no band b' < b collided.
+    // Each exploded row therefore carries the PREFIX of its side's band
+    // signatures (bands 0..band-1; band 0 carries none, avg (bands-1)/2
+    // longs) and a codegen'd per-row kernel (AnyBandCollides) drops the
+    // later-band copies locally. The former `.distinct()` over the full
+    // candidate set was the single largest stage of the banded join —
+    // a double hash aggregate + exchange over ~|probes|·flips·bands·
+    // occupancy rows (~1e9 at 200k probes × 16 bands) — and is now zero
+    // shuffles (BASELINE.md round-12 kNN table).
     val bandSig = (v: org.apache.spark.sql.Column, bnd: Int) =>
       VectorFunctions.rademacherSig(v, planes, dims, seed + bnd * 7919L)
-    val cb = corpus.select(col(idCol).as("id"),
-        explode(array((0 until bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            bandSig(col(vecCol), bnd).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val withPrefix = bands > 1
+    // one struct per band: (band, that band's signature, the prefix of
+    // earlier-band signatures when bands > 1)
+    def bandStructs(sigs: org.apache.spark.sql.Column) =
+      array((0 until bands).map { bnd =>
+        if (withPrefix)
+          struct(lit(bnd).as("band"), sigs(bnd).as("sig"),
+            slice(sigs, 1, bnd).as("prefix"))
+        else struct(lit(bnd).as("band"), sigs(bnd).as("sig"))
+      }: _*)
+    def explodeBands(df: DataFrame, keyIn: String, keyOut: String,
+        prefixOut: String): DataFrame = {
+      val base = df
+        .select(col(keyIn).as(keyOut),
+          array((0 until bands).map(bnd => bandSig(col(vecCol), bnd)): _*)
+            .as("sigs"))
+        .select(col(keyOut), explode(bandStructs(col("sigs"))).as("bb"))
+      val cols = Seq(col(keyOut), col("bb.band").as("band"),
+        col("bb.sig").as("sig")) ++
+        (if (withPrefix) Seq(col("bb.prefix").as(prefixOut)) else Nil)
+      base.select(cols: _*)
+    }
+    val cb = explodeBands(corpus, idCol, "id", "cprefix")
+      .withColumnRenamed("sig", "bucket")
     val flips: Seq[Long] = hammingFlips(planes, probeHamming)
-    val qb = probes.select(col(qidCol).as("qid"),
-        explode(array((0 until bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            bandSig(col(vecCol), bnd).as("qsig"))): _*)).as("bb"))
-      .select(col("qid"), col("bb.band").as("band"), col("bb.qsig").as("qsig"))
+    val qbCols = Seq(col("qid"), col("band"),
+      col("sig").bitwiseXOR(col("flip")).as("bucket")) ++
+      (if (withPrefix) Seq(col("qprefix")) else Nil)
+    val qb = explodeBands(probes, qidCol, "qid", "qprefix")
       .withColumn("flip", explode(lit(flips.toArray)))
-      .select(col("qid"), col("band"),
-        col("qsig").bitwiseXOR(col("flip")).as("bucket"))
-    val cand = cb.join(qb, Seq("band", "bucket"))
+      .select(qbCols: _*)
+    // the bucket match is pinned SHUFFLE HASH: parquet-scan → explode
+    // chains make Catalyst underestimate both exploded sides (Generate
+    // keeps the child's size estimate), so the planner would otherwise
+    // try to BROADCAST the probe side — |probes|·bands·flips rows,
+    // measured 8.5 GiB at the 200k decade, i.e. a driver OOM at any
+    // real scale. Neither side of this join is ever broadcastable by
+    // this operator's contract; hash (not sort-merge) because the
+    // corpus side builds a small per-partition table and neither side
+    // benefits from a sort.
+    val joined = cb.hint("shuffle_hash").join(qb, Seq("band", "bucket"))
       .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id")).distinct()
+    val cand = (if (withPrefix)
+        joined.filter(!VectorFunctions.anyBandCollides(
+          col("qprefix"), col("cprefix"), probeHamming))
+      else joined)
+      .select(col("qid"), col("id"))
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
     val qv = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
     val scored = cand.join(cv, "id").join(qv, "qid")

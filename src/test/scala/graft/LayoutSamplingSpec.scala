@@ -209,4 +209,71 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(drifted === 0)
     pairs.unpersist(); split.unpersist()
   }
+
+  test("tokenBudget: prefix rule known answer, hard cap, nesting, " +
+      "per-group budgets") {
+    // ids chosen so the idScore order within each group is NOT the id
+    // order (scores: pseudo-random) — the spec recomputes the expected
+    // prefix independently
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + (i % 7) * 5L))
+    val df = rows.toDF("doc_id", "grp", "tk")
+    def scoreOf(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000003L
+    def expected(budget: Map[String, Long]): Set[Long] =
+      rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r => (scoreOf(r._1), r._1))
+        val cum = sorted.scanLeft(0L)(_ + _._3).tail
+        sorted.zip(cum).takeWhile(_._2 <= budget(g)).map(_._1._1)
+      }.toSet
+    val budgets = Map("a" -> 120L, "b" -> 200L)
+    val got = Sampling.tokenBudget(df, "grp", "doc_id", $"tk", budgets)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === expected(budgets))
+    // hard cap: per-group kept token mass never exceeds its budget
+    val mass = Sampling.tokenBudget(df, "grp", "doc_id", $"tk", budgets)
+      .groupBy($"grp").agg(sum($"tk").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mass.foreach { case (g, m) => assert(m <= budgets(g), s"$g over budget") }
+    // nesting: smaller budget selects a strict prefix of the larger
+    val small = Sampling.tokenBudget(df, "grp", "doc_id", $"tk",
+      Map("a" -> 60L, "b" -> 90L)).select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(got))
+  }
+
+  test("tokenBudgetThresholded: subset of exact, hard cap, shortfall " +
+      "bounded by one score bucket, full-budget identity") {
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "x" else "y", 5L + (i % 11) * 3L))
+    val df = rows.toDF("doc_id", "grp", "tk")
+    val budgets = Map("x" -> 100L, "y" -> 250L)
+    val exact = Sampling.tokenBudget(df, "grp", "doc_id", $"tk", budgets)
+    val thresh = Sampling.tokenBudgetThresholded(df, "grp", "doc_id",
+      $"tk", budgets)
+    val exactIds = exact.select($"doc_id").as[Long].collect().toSet
+    val threshIds = thresh.select($"doc_id").as[Long].collect().toSet
+    assert(threshIds.subsetOf(exactIds))
+    // hard cap holds for the thresholded path too
+    val tMass = thresh.groupBy($"grp").agg(sum($"tk").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tMass.foreach { case (g, m) => assert(m <= budgets(g)) }
+    // shortfall vs exact bounded by the heaviest (grp, score) bucket
+    val eMass = exact.groupBy($"grp").agg(sum($"tk").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxBucket = df
+      .groupBy($"grp", Sampling.idScore($"doc_id").as("s"))
+      .agg(sum($"tk").as("bm"))
+      .groupBy($"grp").agg(max($"bm").as("mb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    eMass.foreach { case (g, em) =>
+      assert(em - tMass.getOrElse(g, 0L) <= maxBucket(g),
+        s"$g shortfall ${em - tMass.getOrElse(g, 0L)} > bucket ${maxBucket(g)}")
+    }
+    // budget >= total mass: both paths keep every row
+    val total = rows.map(_._3).sum
+    val all = Map("x" -> total, "y" -> total)
+    assert(Sampling.tokenBudgetThresholded(df, "grp", "doc_id", $"tk", all)
+      .count() === rows.size.toLong)
+    assert(Sampling.tokenBudget(df, "grp", "doc_id", $"tk", all)
+      .count() === rows.size.toLong)
+  }
 }

@@ -322,6 +322,61 @@ class PipelineSpec extends SparkSpec {
       dims = 64, knownCount = n)))
   }
 
+  test("kNN join banded: min-band dedup == global-distinct construction; " +
+      "no pair-level aggregate left in the plan") {
+    import graft.operators.Similarity
+    val probes = embeddings.filter($"vec_id" < 40)
+      .select($"vec_id".as("qid"), $"embedding")
+    val n = embeddings.count()
+    val planes = Dedup.scaledPlanes(n)
+    val bands = 8
+    // reference construction = the pre-round-12 shape: band explode on
+    // both sides, candidate set deduped with a corpus-wide DISTINCT,
+    // then the same slim-candidate score + rank path. The operator's
+    // min-band filter must reproduce it row-for-row — same pairs, same
+    // ranks — while never shuffling the candidate set for dedup.
+    val bandSig = (v: org.apache.spark.sql.Column, bnd: Int) =>
+      VF.rademacherSig(v, planes, 64, 42L + bnd * 7919L)
+    val cb = embeddings.select($"vec_id".as("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            bandSig($"embedding", b).as("bucket"))): _*)).as("bb"))
+      .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val flips = Similarity.hammingFlips(planes, 1)
+    val qb = probes.select($"qid",
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            bandSig($"embedding", b).as("qsig"))): _*)).as("bb"))
+      .select($"qid", $"bb.band".as("band"), $"bb.qsig".as("qsig"))
+      .withColumn("flip", explode(lit(flips.toArray)))
+      .select($"qid", $"band", $"qsig".bitwiseXOR($"flip").as("bucket"))
+    val cand = cb.join(qb, Seq("band", "bucket"))
+      .filter($"qid" =!= $"id").select($"qid", $"id").distinct()
+    val cv = embeddings.select($"vec_id".as("id"), $"embedding".as("cvec"))
+    val qv = probes.select($"qid", $"embedding".as("qvec"))
+    val scored = cand.join(cv, "id").join(qv, "qid")
+      .select($"qid", $"id", VF.cosineSim($"cvec", $"qvec").as("cosine"))
+    val expected = Similarity.topKRank(scored, 3, "cosine")
+      .select($"qid", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val actual = Similarity.knnJoin(embeddings, probes, k = 3, dims = 64,
+      numPlanes = planes, probeHamming = 1, numBands = bands)
+    val got = actual.select($"qid", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // plan pin: candidate dedup is the shuffle-free min-band filter —
+    // the optimized plan may contain NO two-key aggregate (the old
+    // global distinct on (qid, id)); the only aggregate left is the
+    // per-qid bounded-heap top-k
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggKeys = actual.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a.groupingExpressions.length
+    }
+    assert(aggKeys.nonEmpty && aggKeys.forall(_ <= 1),
+      s"pair-level aggregate crept back into the banded plan: $aggKeys")
+  }
+
   test("LSH top-k recall against brute force (random vectors, lenient)") {
     val queries = embeddings.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding")

@@ -98,15 +98,17 @@ object NgramIndexBench {
       // with the builder JVM; a persistent metastore would keep them)
       // bucket count: the operator's corpus-derived default
       // (Tune.scaledBuckets — recorded in the layout's sidecar, so the
-      // reuse path self-configures and can never mis-declare it);
-      // filesPerBucket lifts the write parallelism back to the shuffle
-      // width (buckets × m write tasks, reads stay Exchange-free) —
-      // the knob that un-does the 6× build-wall regression the
-      // one-file-per-bucket layout measured at 450k docs.
+      // reuse path self-configures and can never mis-declare it).
+      // filesPerBucket default 1: the measured round-12 A/B at 5M docs
+      // (BASELINE.md) prices m=3 at −19% build wall (write tasks no
+      // longer funneled below the Tune shuffle width) but +100% cold
+      // probe (3× the files opened per probed bucket) — for a
+      // build-once / probe-many layout the probe side wins, so the
+      // multi-file build stays an explicit knob for build-bound
+      // deployments.
       val autoBuckets = graft.operators.Tune.scaledBuckets(nC, cpus.toInt)
       val fpb = sys.env.get("SPARK_GRAFT_FILES_PER_BUCKET").map(_.toInt)
-        .getOrElse(math.max(1,
-          (shuffleParts.toString.toInt + autoBuckets - 1) / autoBuckets))
+        .getOrElse(1)
       val reuseBkt = args.length > 2 && args(2) == "reuse" &&
         graft.operators.Dedup.attachNgramIndexBucketed(spark,
           "bench_ngram_idx")

@@ -963,6 +963,23 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // Token-budget corpus assembly, THRESHOLDED scale path: no
+    // per-group sort — token mass per (group, idScore value) is a
+    // bounded aggregate (≤ 1,000,003 score values per group at any
+    // corpus size), the budget picks a score cutoff per group, and the
+    // corpus-side selection is a narrow cutoff filter. Deterministic,
+    // so it gets its own full oracle (the window cumsum runs over the
+    // AGGREGATED buckets in both engines).
+    "pipeline_token_budget_approx" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      Sampling.tokenBudgetThresholded(
+          d.select($"doc_id", $"lang",
+            graft.functions.TextFunctions.tokenCount($"text").as("n_tokens")),
+          "lang", "doc_id", $"n_tokens", Map.empty, defaultBudget = 4000L)
+        .select($"doc_id", $"lang")
+    },
+
     // Per-group winsorization + equi-depth deciles: clamp the raw
     // length signal at exact percentile-disc p10/p90 (integer-rank
     // bounds, no interpolation floats) and bucket by ntile — the
@@ -2159,6 +2176,31 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 4000""".stripMargin,
+
+    // Same idScore/token CTE as the exact gate; the cumsum runs over
+    // the (lang, score) bucket aggregate, the cutoff is the last fully
+    // fitting score, and the selection filters on it.
+    "pipeline_token_budget_approx" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text)='' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text),'\s+')) END
+        |      AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS score
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, score, CAST(SUM(n_tokens) AS BIGINT) AS bm
+        |  FROM t GROUP BY lang, score),
+        |c AS (
+        |  SELECT lang, score,
+        |    CAST(SUM(bm) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM m),
+        |cut AS (
+        |  SELECT lang, MAX(score) AS cut_score FROM c
+        |  WHERE cum <= 4000 GROUP BY lang)
+        |SELECT t.doc_id, t.lang FROM t
+        |JOIN cut ON t.lang = cut.lang AND t.score <= cut.cut_score""".stripMargin,
 
     "pipeline_winsorize" ->
       """WITH ranked AS (

@@ -45,6 +45,9 @@ object TextScaleBench {
     val (tBoilerH, _) = time(
       TextQuality.removeFrequentBlocksHashed(d, "doc_id", "text", 10, 3)
         .count())
+    val (tBoilerCdc, _) = time(
+      TextQuality.removeFrequentBlocksCDC(d, "doc_id", "text",
+        p = 10, maxTokens = 20, minFreq = 3).count())
     val (tSpans, rSpans) = time(
       TextQuality.duplicatedSpans(d, "text", 8, 2).count())
     val (tStats, rStats) = time(
@@ -53,7 +56,7 @@ object TextScaleBench {
     val (tScrub, rScrub) = time(
       TextQuality.removeDuplicatedSpans(d, "doc_id", "text", 8, 2)
         .agg(sum(col("n_removed"))).head().getLong(0))
-    println(f"""{"dir":"$dir","n_docs":$n,"boilerplate_sec":$tBoiler%.1f,"boilerplate_hashed_sec":$tBoilerH%.1f,"boilerplate_rows":$rBoiler,"dup_spans_sec":$tSpans%.1f,"dup_spans":$rSpans,"span_stats_sec":$tStats%.1f,"docs_flagged":$rStats,"span_scrub_sec":$tScrub%.1f,"tokens_removed":$rScrub}""")
+    println(f"""{"dir":"$dir","n_docs":$n,"boilerplate_sec":$tBoiler%.1f,"boilerplate_hashed_sec":$tBoilerH%.1f,"boilerplate_cdc_sec":$tBoilerCdc%.1f,"boilerplate_rows":$rBoiler,"dup_spans_sec":$tSpans%.1f,"dup_spans":$rSpans,"span_stats_sec":$tStats%.1f,"docs_flagged":$rStats,"span_scrub_sec":$tScrub%.1f,"tokens_removed":$rScrub}""")
     spark.stop()
   }
 }

@@ -687,6 +687,46 @@ object PipelineQueries {
         threshold = 0.4, probeHamming = 1, seed = 42L)
     },
 
+    // EMBEDDING-side ingest compaction end-to-end (the vector mirror of
+    // dedup_compaction): sign-index(C0, 6 planes) → batch B1 (vec_id
+    // %10=5) probes it, survivors accepted as batch=0 →
+    // EmbedIngestStream.compact folds C0 ∪ accepted into the next index
+    // version (planes re-derived from the GROWN corpus by the
+    // scaledPlanes integer rule — the oracle replays that rule) and
+    // clears the batch dirs → batch B2 (%10=0) probes the compacted
+    // index with an EMPTY accepted set. Both generations replayed
+    // bit-exact in SQL: md5 Rademacher signs, round(x*1e7) integer
+    // quantization, hamming≤1 flips, cosine ≥ 0.4 verify.
+    "dedup_compaction_embed" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val m10 = pmod($"vec_id", lit(10))
+      val c0 = e.filter(m10 =!= 0 && m10 =!= 5)
+        .select($"vec_id", $"embedding")
+      val b1 = e.filter(m10 === 5)
+      val b2 = e.filter(m10 === 0)
+      val path = tmpIndexPath(dir, "graft_embed_cmp")
+      val outDir = tmpIndexPath(dir, "graft_embed_cmp_out")
+      Similarity.writeSignIndex(c0, path, dims = 64, numPlanes = 6,
+        seed = 42L)
+      val a1 = graft.streaming.EmbedIngestStream.applyBatch(s, b1, None,
+        path, "vec_id", "embedding", dims = 64, threshold = 0.4,
+        probeHamming = 1, seed = 42L)
+      a1.select($"vec_id", $"embedding")
+        .write.mode("overwrite").parquet(s"$outDir/batch=0")
+      graft.streaming.EmbedIngestStream.compact(s, c0, path, outDir)
+      val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .count(_.getPath.getName.startsWith("batch="))
+      require(leftover == 0,
+        s"embed compact left $leftover accepted batch dirs behind")
+      graft.streaming.EmbedIngestStream.applyBatch(s, b2, None, path,
+          "vec_id", "embedding", dims = 64, threshold = 0.4,
+          probeHamming = 1, seed = 42L)
+        .select($"vec_id").localCheckpoint(true)
+    },
+
     // Ingest COMPACTION end-to-end — the re-index operator the ingest
     // streams rely on, gated: index(C0) → batch B1 probes it and its
     // survivors are accepted as batch=0 → IngestStream.compact folds
@@ -1687,6 +1727,84 @@ object PipelineQueries {
     // the persisted path promises the same rows as the recompute path.
     "dedup_incremental_near" -> IncrementalNearOracle,
     "dedup_incremental_disk" -> IncrementalNearOracle,
+
+    // Embedding compaction replay, two sign-index generations: gen-1 at
+    // the written 6 planes; gen-2 at the plane count the compact
+    // re-derives from |C0 ∪ A1| (the scaledPlanes integer rule — same
+    // COALESCE(MIN(...)) replay as dedup_embed_auto). Within-batch
+    // exact pass groups on the embedding list (identical arrays →
+    // min id), matching the stream's exactWithinBatch.
+    "dedup_compaction_embed" ->
+      """WITH b1x AS (
+        |  SELECT min(vec_id) AS vec_id FROM embeddings
+        |  WHERE vec_id % 10 = 5 GROUP BY embedding),
+        |b2x AS (
+        |  SELECT min(vec_id) AS vec_id FROM embeddings
+        |  WHERE vec_id % 10 = 0 GROUP BY embedding),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |signs1 AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(6) p(i), range(64) d(i)),
+        |sigs1 AS (
+        |  SELECT dd.vec_id,
+        |    CAST(SUM(CASE WHEN dd.d > 0 THEN (1::BIGINT << dd.p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM (SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |        FROM quant q JOIN signs1 s ON q.dim = s.dim
+        |        GROUP BY q.vec_id, s.p) dd
+        |  GROUP BY dd.vec_id),
+        |flips1 AS (
+        |  SELECT 0::BIGINT AS f
+        |  UNION ALL SELECT (1::BIGINT << i) FROM range(6) t(i)),
+        |a1 AS (
+        |  SELECT b.vec_id FROM b1x b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sigs1 bs, flips1 f, sigs1 cs,
+        |      embeddings be, embeddings ce
+        |    WHERE bs.vec_id = b.vec_id
+        |      AND cs.sig = xor(bs.sig, f.f)
+        |      AND cs.vec_id % 10 NOT IN (0, 5)
+        |      AND be.vec_id = bs.vec_id AND ce.vec_id = cs.vec_id
+        |      AND list_cosine_similarity(be.embedding, ce.embedding) >= 0.4)),
+        |cset AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 10 NOT IN (0, 5)
+        |  UNION ALL SELECT vec_id FROM a1),
+        |pl AS (
+        |  SELECT COALESCE(MIN(p.i), 48) AS planes FROM range(4, 49) p(i)
+        |  WHERE (1::BIGINT << p.i) * 30 >= (SELECT count(*) FROM cset)),
+        |signs2 AS (
+        |  SELECT p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5('42:'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(48) p(i), range(64) d(i)
+        |  WHERE p.i < (SELECT planes FROM pl)),
+        |sigs2 AS (
+        |  SELECT dd.vec_id,
+        |    CAST(SUM(CASE WHEN dd.d > 0 THEN (1::BIGINT << dd.p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM (SELECT q.vec_id, s.p, SUM(q.t * s.s) AS d
+        |        FROM quant q JOIN signs2 s ON q.dim = s.dim
+        |        GROUP BY q.vec_id, s.p) dd
+        |  GROUP BY dd.vec_id),
+        |flips2 AS (
+        |  SELECT 0::BIGINT AS f
+        |  UNION ALL SELECT (1::BIGINT << t.i) FROM range(48) t(i)
+        |  WHERE t.i < (SELECT planes FROM pl))
+        |SELECT b.vec_id FROM b2x b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sigs2 bs, flips2 f, sigs2 cs, cset c,
+        |    embeddings be, embeddings ce
+        |  WHERE bs.vec_id = b.vec_id
+        |    AND cs.sig = xor(bs.sig, f.f)
+        |    AND cs.vec_id = c.vec_id
+        |    AND be.vec_id = bs.vec_id AND ce.vec_id = cs.vec_id
+        |    AND list_cosine_similarity(be.embedding, ce.embedding) >= 0.4)""".stripMargin,
 
     // Two-generation compaction replay: A1 = B1 survivors vs C0 (exact
     // fingerprint within the batch, then pairwise Jaccard vs the

@@ -275,5 +275,17 @@ class LayoutSamplingSpec extends SparkSpec {
       .count() === rows.size.toLong)
     assert(Sampling.tokenBudget(df, "grp", "doc_id", $"tk", all)
       .count() === rows.size.toLong)
+    // plan pin — the variant's reason to exist: its Window runs over
+    // the (group, score) AGGREGATE, never the documents (the exact
+    // path's per-group sort is what it avoids)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = thresh.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        "thresholded window must sort the bucket aggregate, not the corpus")
+    }
   }
 }

@@ -1003,6 +1003,18 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // Deterministic global training-order shuffle: rank 1..n in
+    // idScore order, composed from bucketed score ranges so no single
+    // task ever sorts the corpus (operators/Sampling.shuffleRank).
+    // The oracle is the naive single-window formulation — the
+    // composition must equal it exactly.
+    "pipeline_shuffle_order" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.shuffleRank(
+          Tables(s, dir, "documents").select($"doc_id"), "doc_id")
+        .select($"doc_id", $"shuffle_rank")
+    },
+
     // Token-budget corpus assembly, THRESHOLDED scale path: no
     // per-group sort — token mass per (group, idScore value) is a
     // bounded aggregate (≤ 1,000,003 score values per group at any
@@ -2294,6 +2306,15 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 4000""".stripMargin,
+
+    // The naive global row_number over the idScore order — what the
+    // bucketed composition must reproduce exactly.
+    "pipeline_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id)
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     // Same idScore/token CTE as the exact gate; the cumsum runs over
     // the (lang, score) bucket aggregate, the cutoff is the last fully

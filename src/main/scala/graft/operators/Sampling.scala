@@ -193,6 +193,50 @@ object Sampling {
       .drop("cut_score")
   }
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * unique rank 1..n in [[idScore]] order (ties by id) — "shuffle the
+    * corpus once, reproducibly" for training-data serialization, where
+    * a re-run or a resumed job must regenerate the SAME order without
+    * storing a permutation table.
+    *
+    * The naive formulation is one `row_number()` window over the whole
+    * corpus — a SINGLE task sorting everything (the same trap the
+    * winsorize/token-budget scale paths avoid). This operator composes
+    * the rank from `buckets` contiguous score ranges instead:
+    * per-bucket counts (one agg) → running offsets (a window over ≤
+    * `buckets` rows) → rank = bucket offset + row_number within the
+    * bucket. The per-bucket windows partition on the bucket id and run
+    * in parallel, each sorting ~n/buckets rows; the only global window
+    * orders the bucket-count aggregate. Because buckets are contiguous
+    * score ranges, the composed rank equals the naive one exactly.
+    *
+    * Output: input columns + `shuffle_rank` (1..n, a bijection for
+    * unique ids). Requires unique `idCol` values for a deterministic
+    * total order (ties between equal (score, id) pairs would be
+    * interchangeable).
+    */
+  def shuffleRank(df: DataFrame, idCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000003,
+      s"buckets must be in 1..1000003: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = (1000003L + buckets - 1) / buckets
+    val s = idScore(col(idCol))
+    val withB = df.withColumn("__sbkt", (s / lit(width)).cast("long"))
+    val offsets = withB.groupBy(col("__sbkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__sbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    val w = Window.partitionBy(col("__sbkt")).orderBy(s, col(idCol))
+    withB.join(broadcast(offsets), Seq("__sbkt"))
+      .withColumn("shuffle_rank",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .drop("__sbkt", "__off")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: near-duplicate documents must
     * land in the SAME split — a near-dup pair straddling train and
     * test is evaluation leakage ([[hashSplit]] alone cannot see it).

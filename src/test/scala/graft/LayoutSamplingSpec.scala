@@ -288,4 +288,42 @@ class LayoutSamplingSpec extends SparkSpec {
         "thresholded window must sort the bucket aggregate, not the corpus")
     }
   }
+
+  test("shuffleRank: permutation 1..n equal to the naive global window; " +
+      "bucket-count invariant; no global corpus window in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val ids = (1L to 5000L).filter(_ % 7 != 0) // gaps: ids ≠ ranks
+    val df = ids.toDF("doc_id").repartition(8)
+    val got = Sampling.shuffleRank(df, "doc_id", buckets = 64)
+      .select($"doc_id", $"shuffle_rank")
+    // equality with the naive single-window formulation
+    val naive = df.withColumn("shuffle_rank",
+      row_number().over(Window.orderBy(
+        Sampling.idScore($"doc_id"), $"doc_id")).cast("long"))
+    assert(got.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(got).count() === 0L)
+    // permutation: ranks are exactly 1..n
+    val ranks = got.select($"shuffle_rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to ids.size.toLong))
+    // bucket count cannot move results (contiguous ranges compose)
+    val one = Sampling.shuffleRank(df, "doc_id", buckets = 1)
+      .select($"doc_id", $"shuffle_rank")
+    assert(got.exceptAll(one).count() === 0L)
+    val many = Sampling.shuffleRank(df, "doc_id", buckets = 100000)
+      .select($"doc_id", $"shuffle_rank")
+    assert(got.exceptAll(many).count() === 0L)
+    // plan pin: at the default bucket count, every UNPARTITIONED window
+    // orders an aggregate (the ≤buckets offset rows), never the corpus;
+    // the per-row rank window is partitioned (parallel)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Sampling.shuffleRank(df, "doc_id").queryExecution.optimizedPlan
+    val ws = plan.collect { case w: LWindow => w }
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        "global window must order the bucket-count aggregate, not rows")
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the per-row rank window must be partitioned")
+  }
 }

@@ -1003,6 +1003,19 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // Weighted source interleave: exact-integer stride keys (lcm 6;
+    // en weight 3 → stride 2, zh weight 2 → stride 3, others 1 →
+    // stride 6) over deterministic per-language ranks — sorting by
+    // (interleave_key, lang, doc_id) serializes "3 parts en, 2 parts
+    // zh, 1 part everything else" (operators/Sampling).
+    "pipeline_interleave" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.interleaveByWeight(
+          Tables(s, dir, "documents").select($"doc_id", $"lang"),
+          "lang", "doc_id", Map("en" -> 3, "zh" -> 2), defaultWeight = 1)
+        .select($"doc_id", $"lang", $"src_rank", $"interleave_key")
+    },
+
     // Deterministic global training-order shuffle: rank 1..n in
     // idScore order, composed from bucketed score ranges so no single
     // task ever sorts the corpus (operators/Sampling.shuffleRank).
@@ -2306,6 +2319,25 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 4000""".stripMargin,
+
+    // Per-language naive rank + the same integer stride arithmetic
+    // (lcm 6 over weights {en:3, zh:2, default 1}).
+    "pipeline_interleave" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY score, doc_id) AS BIGINT)
+        |      AS src_rank
+        |  FROM t)
+        |SELECT doc_id, lang, src_rank,
+        |  src_rank * (CASE WHEN lang = 'en' THEN 2
+        |                   WHEN lang = 'zh' THEN 3
+        |                   ELSE 6 END) AS interleave_key
+        |FROM r""".stripMargin,
 
     // The naive global row_number over the idScore order — what the
     // bucketed composition must reproduce exactly.

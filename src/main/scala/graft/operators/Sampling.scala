@@ -237,6 +237,60 @@ object Sampling {
       .drop("__sbkt", "__off")
   }
 
+  /** Weighted source interleave — the serialization ORDER companion to
+    * [[weightedKeep]]'s sampling: each group's documents get a
+    * deterministic per-group rank (same bucketed composition as
+    * [[shuffleRank]], partitioned by group — no single-task sort), and
+    * an exact-integer `interleave_key = src_rank · (L / w_group)`
+    * (stride scheduling, L = lcm of the weights). Sorting the corpus by
+    * (interleave_key, group, id) yields an order where any prefix cut
+    * at key ≤ t contains EXACTLY floor(t·w/L) documents of each
+    * group — "2 parts web to 1 part code, interleaved" for curriculum
+    * serialization, reproducible on re-run with no stored permutation.
+    *
+    * The operator emits the key rather than a global position: the key
+    * defines the total order (ties across groups break by (group, id)),
+    * so the writer's range-partitioned sort is the only global step —
+    * same scale shape as [[shuffleRank]].
+    *
+    * Output: input columns + `src_rank` (1..n within group) +
+    * `interleave_key` (BIGINT, exact).
+    */
+  def interleaveByWeight(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Int], defaultWeight: Int = 1,
+      buckets: Int = 1024): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 1),
+      "weights must be >= 1")
+    require(buckets >= 1 && buckets <= 1000003, s"buckets: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val big = (weights.values.toSet + defaultWeight)
+      .foldLeft(1L)((l, w) => l / gcd(l, w) * w)
+    val width = (1000003L + buckets - 1) / buckets
+    val s = idScore(col(idCol))
+    val withB = df.withColumn("__sbkt", (s / lit(width)).cast("long"))
+    val offsets = withB.groupBy(col(groupCol), col("__sbkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__sbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    val w = Window.partitionBy(col(groupCol), col("__sbkt"))
+      .orderBy(s, col(idCol))
+    // strides computed in Scala integer math (L divides each weight's
+    // stride exactly) — no float division anywhere
+    val stride = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(big / defaultWeight)) { case (acc, (g, p)) =>
+        when(col(groupCol) === g, lit(big / p)).otherwise(acc)
+      }
+    withB.join(broadcast(offsets), Seq(groupCol, "__sbkt"))
+      .withColumn("src_rank",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .withColumn("interleave_key", col("src_rank") * stride)
+      .drop("__sbkt", "__off")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: near-duplicate documents must
     * land in the SAME split — a near-dup pair straddling train and
     * test is evaluation leakage ([[hashSplit]] alone cannot see it).

@@ -326,4 +326,44 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(ws.exists(_.partitionSpec.nonEmpty),
       "the per-row rank window must be partitioned")
   }
+
+  test("interleaveByWeight: exact prefix fairness, per-group rank " +
+      "equals naive window, key monotone in rank, no float division") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 3000L).map(i =>
+      (i, Seq("web", "code", "math")((i % 3).toInt)))
+    val df = rows.toDF("doc_id", "src").repartition(8)
+    val weights = Map("web" -> 3, "code" -> 2) // math gets default 1
+    val out = Sampling.interleaveByWeight(df, "src", "doc_id", weights)
+      .select($"doc_id", $"src", $"src_rank", $"interleave_key")
+    // per-group rank == naive per-group window
+    val naive = df.withColumn("src_rank",
+      row_number().over(Window.partitionBy($"src")
+        .orderBy(Sampling.idScore($"doc_id"), $"doc_id")).cast("long"))
+    assert(out.select($"doc_id", $"src_rank")
+      .exceptAll(naive.select($"doc_id", $"src_rank")).count() === 0L)
+    // exact prefix fairness: a cut at key <= t holds floor(t*w/L) docs
+    // of each group (L = lcm(3,2,1) = 6), until a group runs dry
+    val collected = out.collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    val perGroup = collected.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nPer = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for (t <- Seq(6L, 60L, 600L, 1200L)) {
+      for ((g, wgt) <- Map("web" -> 3L, "code" -> 2L, "math" -> 1L)) {
+        val got = perGroup(g).count(_ <= t).toLong
+        val want = math.min(t * wgt / 6L, nPer(g))
+        assert(got === want, s"group $g at cut $t: $got != $want")
+      }
+    }
+    // key strictly monotone in src_rank within a group (order preserved)
+    val viol = out.groupBy($"src").agg(
+      max($"interleave_key" / $"src_rank").as("hi"),
+      min($"interleave_key" / $"src_rank").as("lo"))
+      .filter($"hi" =!= $"lo").count()
+    assert(viol === 0L, "stride must be constant per group")
+    // integer exactness: every key is rank * stride with stride in
+    // {2, 3, 6}
+    assert(collected.forall { case (g, k) =>
+      k % Map("web" -> 2L, "code" -> 3L, "math" -> 6L)(g) == 0L })
+  }
 }

@@ -148,6 +148,36 @@ object IngestStreamBench {
       }
       val replaySec = (System.nanoTime() - t1) / 1e9
       println(f"""{"mode":"text","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(batchTimes)}}""")
+
+      // A/B the compaction COUNT JOB (VERDICT r12 #7): auto bucket
+      // sizing re-counts corpus ∪ archive (a full text scan);
+      // corpusCount makes it a parquet-footer count over the archive
+      // only. Same accepted set staged into two out dirs, explicit
+      // newIndexPrefix so both builds are input-identical. knowncount
+      // runs FIRST: the second run inherits a warm page cache, so the
+      // measured saving is a LOWER bound on the count job's cost.
+      def stageOut(sub: String): String = {
+        val o = s"$scratch/$sub"
+        spark.read.parquet(
+            (0 until nBatches).map(j => s"$scratch/text_replay/b$j"): _*)
+          .write.mode("overwrite").parquet(s"$o/batch=0")
+        o
+      }
+      val outB = stageOut("cmp_known"); val outA = stageOut("cmp_auto")
+      val tKnown = System.nanoTime()
+      graft.streaming.IngestStream.compact(spark, corpus, idxPrefix, outB,
+        newIndexPrefix = "ingest_bench_cmp_known", corpusCount = nC)
+      val cmpKnownSec = (System.nanoTime() - tKnown) / 1e9
+      val tAuto = System.nanoTime()
+      graft.streaming.IngestStream.compact(spark, corpus, idxPrefix, outA,
+        newIndexPrefix = "ingest_bench_cmp_auto")
+      val cmpAutoSec = (System.nanoTime() - tAuto) / 1e9
+      println(f"""{"mode":"text_compact","n_corpus":$nC,"accepted":$accepted,"compact_knowncount_sec":$cmpKnownSec%.1f,"compact_autocount_sec":$cmpAutoSec%.1f}""")
+      Seq("ingest_bench_cmp_known", "ingest_bench_cmp_auto").foreach { p =>
+        Seq("df", "prefix", "shingles").foreach { s =>
+          graft.operators.Bucketed.dropBucketed(spark, s"${p}_$s")
+        }
+      }
       Seq("df", "prefix", "shingles").foreach { s =>
         graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
       }

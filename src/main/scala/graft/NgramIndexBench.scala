@@ -97,8 +97,10 @@ object NgramIndexBench {
       // the surviving warehouse data (in-memory catalog = entries die
       // with the builder JVM; a persistent metastore would keep them)
       // bucket count: the operator's corpus-derived default
-      // (Tune.scaledBuckets — recorded in the layout's sidecar, so the
-      // reuse path self-configures and can never mis-declare it).
+      // (Tune.scaledBuckets). The printed value is read back from the
+      // layout's OWN sidecar after the build/attach — the writer floors
+      // at spark defaultParallelism, not at SPARK_GRAFT_CPUS, so
+      // recomputing here could mis-declare the layout actually built.
       // filesPerBucket default 1: the measured round-12 A/B at 5M docs
       // (BASELINE.md) prices m=3 at −19% build wall (write tasks no
       // longer funneled below the Tune shuffle width) but +100% cold
@@ -106,7 +108,6 @@ object NgramIndexBench {
       // build-once / probe-many layout the probe side wins, so the
       // multi-file build stays an explicit knob for build-bound
       // deployments.
-      val autoBuckets = graft.operators.Tune.scaledBuckets(nC, cpus.toInt)
       val fpb = sys.env.get("SPARK_GRAFT_FILES_PER_BUCKET").map(_.toInt)
         .getOrElse(1)
       val reuseBkt = args.length > 2 && args(2) == "reuse" &&
@@ -130,6 +131,8 @@ object NgramIndexBench {
       val (bCold, bRows) = probeBkt()
       val (bw1, _) = probeBkt()
       val (bw2, _) = probeBkt()
+      val sidecarBuckets = graft.operators.Bucketed
+        .bucketMeta(spark, "bench_ngram_idx_df").map(_._1).getOrElse(-1)
       val whBytes = Seq("df", "prefix", "shingles").map { s =>
         graft.operators.Tune.parquetBytes(new java.net.URI(
           spark.sessionState.catalog.defaultTablePath(
@@ -137,7 +140,7 @@ object NgramIndexBench {
               .parseTableIdentifier(s"bench_ngram_idx_$s")).toString)
           .getPath)
       }.sum
-      println(f"""{"dir":"$dir","layout":"bucketed","n_corpus":$nC,"n_batch":$nB,"buckets":$autoBuckets,"files_per_bucket":$fpb,"build_sec":$buildBkt%.1f,"probe_cold_sec":$bCold%.1f,"probe_warm_sec":${math.min(bw1, bw2)}%.1f,"pairs":$bRows,"index_bytes":$whBytes}""")
+      println(f"""{"dir":"$dir","layout":"bucketed","n_corpus":$nC,"n_batch":$nB,"buckets":$sidecarBuckets,"files_per_bucket":$fpb,"build_sec":$buildBkt%.1f,"probe_cold_sec":$bCold%.1f,"probe_warm_sec":${math.min(bw1, bw2)}%.1f,"pairs":$bRows,"index_bytes":$whBytes}""")
     }
 
     // cleanup: repeated runs must not accumulate state. Drop the

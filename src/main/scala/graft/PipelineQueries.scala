@@ -1003,6 +1003,24 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // Token-budget assembly under the SUBWORD tokenizer seam
+    // (functions/Tokenizers): the same prefix-rule operator, but the
+    // token count is the greedy longest-match subword segmentation over
+    // the default merges-derived vocabulary — whitespace counting
+    // under-states real BPE token mass 20-40% on code/CJK, so a real
+    // deployment budgets in subwords. The oracle replays the TOKENIZER
+    // itself (not just the budget): leftmost-first alternation over the
+    // longest-first piece regex is exactly the kernel's greedy match.
+    "pipeline_token_budget_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      Sampling.tokenBudget(
+          d.select($"doc_id", $"lang",
+            graft.functions.Tokenizers.bpe.count($"text").as("n_tokens")),
+          "lang", "doc_id", $"n_tokens", Map.empty, defaultBudget = 16000L)
+        .select($"doc_id", $"lang", $"cum_tokens")
+    },
+
     // Weighted source interleave: exact-integer stride keys (lcm 6;
     // en weight 3 → stride 2, zh weight 2 → stride 3, others 1 →
     // stride 6) over deterministic per-language ranks — sorting by
@@ -2319,6 +2337,27 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 4000""".stripMargin,
+
+    // The subword-tokenizer budget gate: n_tokens is the count of
+    // leftmost-first matches of the longest-first piece alternation
+    // over lower(text) — RE2's alternation preference makes that regex
+    // replay the greedy longest-match kernel exactly; the regex source
+    // is generated from the SAME Scala vocabulary the kernel runs.
+    "pipeline_token_budget_bpe" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text),
+        |      '${graft.functions.Tokenizers.bpe.oracleRegex}')) AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY score, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, cum_tokens FROM c
+        |WHERE cum_tokens <= 16000""".stripMargin,
 
     // Per-language naive rank + the same integer stride arithmetic
     // (lcm 6 over weights {en:3, zh:2, default 1}).

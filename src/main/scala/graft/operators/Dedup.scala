@@ -353,6 +353,11 @@ object Dedup {
       else Tune.scaledBuckets(
         if (knownCount >= 0) knownCount else corpus.count(),
         math.max(1, corpus.sparkSession.sparkContext.defaultParallelism))
+    // a FRESH flat build resets the prefix to generation zero: a stale
+    // version pointer from an earlier compaction would silently shadow
+    // the tables this call is about to write
+    IndexVersions.clearPointer(corpus.sparkSession,
+      IndexVersions.tableRoot(corpus.sparkSession, tablePrefix))
     val (dfC, prefix, shC) = ngramIndexFrames(corpus, idCol, textCol, n,
       threshold)
     Bucketed.writeBucketed(dfC, s"${tablePrefix}_df", "h", b, filesPerBucket)
@@ -374,27 +379,39 @@ object Dedup {
     */
   def attachNgramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, buckets: Int = 0): Boolean = {
+    // a compacted index resolves through its version pointer to the
+    // committed generation's tables (IndexVersions); legacy = the bare
+    // prefix. Generation N−1 tables stay behind as the rollback target.
+    val p = IndexVersions.resolveTablePrefix(spark, tablePrefix)
     val ok =
-      Bucketed.registerBucketed(spark, s"${tablePrefix}_df", "h", buckets) &&
-      Bucketed.registerBucketed(spark, s"${tablePrefix}_prefix", "h", buckets) &&
-      Bucketed.registerBucketed(spark, s"${tablePrefix}_shingles", "id", buckets)
+      Bucketed.registerBucketed(spark, s"${p}_df", "h", buckets) &&
+      Bucketed.registerBucketed(spark, s"${p}_prefix", "h", buckets) &&
+      Bucketed.registerBucketed(spark, s"${p}_shingles", "id", buckets)
     if (!ok) Seq("df", "prefix", "shingles").foreach { s =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_$s"): Unit
+      spark.sql(s"DROP TABLE IF EXISTS ${p}_$s"): Unit
     }
     ok
   }
 
   /** Probe a [[writeNgramIndexBucketed]] index — identical rows to
     * [[probeNgramIndex]]; the index side of every join is a bucketed
-    * scan (no Exchange on it, asserted in PipelineSpec).
+    * scan (no Exchange on it, asserted in PipelineSpec). Resolves the
+    * COMMITTED index generation per call (and re-attaches it if this
+    * session hasn't yet), so a probe issued right after a compaction
+    * pointer flip reads version N+1 with no caller involvement.
     */
   def probeNgramIndexBucketed(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, batch: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
-    probeNgramFrames(spark.table(s"${tablePrefix}_df"),
-      spark.table(s"${tablePrefix}_prefix"),
-      spark.table(s"${tablePrefix}_shingles"),
+      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val p = IndexVersions.resolveTablePrefix(spark, tablePrefix)
+    if (!spark.catalog.tableExists(s"${p}_df"))
+      require(attachNgramIndexBucketed(spark, tablePrefix),
+        s"no usable bucketed n-gram index under table prefix $tablePrefix")
+    probeNgramFrames(spark.table(s"${p}_df"),
+      spark.table(s"${p}_prefix"),
+      spark.table(s"${p}_shingles"),
       batch, idCol, textCol, n, threshold)
+  }
 
   /** The corpus-side index structures: (df table, prefix rows, shingle
     * arrays) — shared by the parquet and bucketed writers.
@@ -522,7 +539,10 @@ object Dedup {
       dims, seed)
     val qb = batchProbeBuckets(batch, idCol, vecCol, dims, planes,
       probeHamming, seed)
-    val raw = spark.read.parquet(path)
+    // the committed generation: compacted indexes resolve through the
+    // version pointer (IndexVersions), legacy flat layouts through
+    // themselves — same resolution the sidecar read above used
+    val raw = spark.read.parquet(IndexVersions.resolvePath(spark, path))
     val maxLits = 1024
     val probed = qb.select("bucket").distinct().limit(maxLits + 1)
       .collect().map(_.getLong(0))

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Versioned-index pointer commits — the [[graft.streaming.UpsertSink]]
+  * exactly-once pattern applied to the persisted dedup indexes: a
+  * compaction writes index version N+1 BESIDE version N and flips a
+  * pointer file last (write-temp + atomic rename), so the rebuild crash
+  * window is zero — a crash mid-rebuild leaves the pointer (and every
+  * reader) on version N, and rollback is "move the pointer back".
+  *
+  * Layout: version data lives under `<root>/_ixvN` for path-based
+  * indexes ([[Similarity.writeSignIndex]] layouts) or under table names
+  * `<prefix>_ixvN_*` for bucketed-catalog indexes; the pointer file
+  * `_graft_index_current` sits at the root (for table prefixes: the
+  * prefix's would-be warehouse directory). The underscore prefix keeps
+  * version dirs invisible to Spark's file listing, so a LEGACY flat
+  * layout at the root stays readable while its first versioned rebuild
+  * is in flight — no "conflicting partition structure" window.
+  *
+  * Resolution: pointer present → the version dir/prefix; absent → the
+  * root itself (legacy flat layout, generation zero). All probe/attach
+  * entry points resolve through here, so a committed compaction is
+  * picked up by the NEXT probe with no caller involvement.
+  *
+  * Retention: old versions are kept (the rollback target). Deleting
+  * versions older than N−1 is the same retention job any snapshot
+  * store runs — deployment cadence, not operator behavior.
+  */
+object IndexVersions {
+
+  val PointerFile = "_graft_index_current"
+
+  private def hadoopConf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  /** The committed version at `rootDir`, or None for a legacy flat
+    * layout (or nothing at all). */
+  def currentVersion(spark: SparkSession, rootDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(rootDir, PointerFile)
+    val fs = p.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val t = txt.trim
+      require(t.nonEmpty && t.forall(_.isDigit),
+        s"corrupt index pointer at $p: '$txt'")
+      Some(t.toInt)
+    }
+  }
+
+  /** The version a compaction should build next: committed + 1, or 1
+    * over a legacy/fresh root (the flat layout is generation 0). */
+  def nextVersion(spark: SparkSession, rootDir: String): Int =
+    currentVersion(spark, rootDir).getOrElse(0) + 1
+
+  /** Data directory of version `v` under a path-rooted index. */
+  def versionDir(rootDir: String, v: Int): String = s"$rootDir/_ixv$v"
+
+  /** Resolve a path-rooted index to its committed data directory. */
+  def resolvePath(spark: SparkSession, rootDir: String): String =
+    currentVersion(spark, rootDir)
+      .map(v => versionDir(rootDir, v)).getOrElse(rootDir)
+
+  /** Table prefix of version `v` of a bucketed-catalog index. */
+  def versionPrefix(tablePrefix: String, v: Int): String =
+    s"${tablePrefix}_ixv$v"
+
+  /** The pointer root for a bucketed-catalog index: the prefix's
+    * would-be managed-table directory (deterministic, warehouse-local,
+    * and can never collide with a real table — the index tables are
+    * `<prefix>_df` etc., never the bare prefix).
+    */
+  def tableRoot(spark: SparkSession, tablePrefix: String): String =
+    spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier(tablePrefix))
+      .toString
+
+  /** Resolve a bucketed-catalog index prefix to its committed table
+    * prefix. */
+  def resolveTablePrefix(spark: SparkSession, tablePrefix: String): String =
+    currentVersion(spark, tableRoot(spark, tablePrefix))
+      .map(v => versionPrefix(tablePrefix, v)).getOrElse(tablePrefix)
+
+  /** Commit version `v`: write-temp + atomic rename (FileContext
+    * supports rename-with-overwrite atomically on HDFS; on the local FS
+    * it maps to the same java.nio ATOMIC_MOVE the UpsertSink pointer
+    * uses). The pointer flip is the LAST step of a compaction — before
+    * it, every reader resolves to the previous version.
+    */
+  def commit(spark: SparkSession, rootDir: String, v: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(hadoopConf(spark))
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$PointerFile.tmp$v")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, hadoopConf(spark))
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, PointerFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Remove the pointer — a FRESH flat build at the root resets the
+    * index to legacy/generation-zero layout; without this, a rebuilt
+    * generation 0 would be shadowed by a stale pointer from a previous
+    * run's compaction. */
+  def clearPointer(spark: SparkSession, rootDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(rootDir, PointerFile)
+    val fs = p.getFileSystem(hadoopConf(spark))
+    if (fs.exists(p)) fs.delete(p, false): Unit
+  }
+}

@@ -181,7 +181,10 @@ object Sampling {
       .agg(sum(col("tk")).as("bucket_tokens"))
     val w = Window.partitionBy(col("grp")).orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // last fully-kept score per group; -1 when not even bucket 0 fits
+    // last fully-kept score per group; a group whose FIRST bucket
+    // already exceeds the budget has no row in `cut`, so the inner
+    // join below keeps zero of its documents — the same outcome as
+    // tokenBudget's prefix rule
     val cut = mass.withColumn("cum", sum(col("bucket_tokens")).over(w))
       .filter(col("cum") <=
         budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
@@ -214,13 +217,20 @@ object Sampling {
     * unique ids). Requires unique `idCol` values for a deterministic
     * total order (ties between equal (score, id) pairs would be
     * interchangeable).
+    *
+    * `buckets` ≤ 0 (the default) derives the count from the corpus size
+    * ([[Tune.scaledSortBuckets]]: ~1M rows per bucket, floored at the
+    * core count — `knownCount` skips the count job when the caller
+    * already has the row count). A FIXED count tuned at one corpus size
+    * turns each per-bucket window into a multi-GB single-task sort a
+    * few decades later; the rank is bucket-count-invariant
+    * (spec-pinned), so auto-scaling never changes the output.
     */
   def shuffleRank(df: DataFrame, idCol: String,
-      buckets: Int = 1024): DataFrame = {
-    require(buckets >= 1 && buckets <= 1000003,
-      s"buckets must be in 1..1000003: $buckets")
+      buckets: Int = 0, knownCount: Long = -1L): DataFrame = {
+    val b = resolveSortBuckets(df, buckets, knownCount)
     import org.apache.spark.sql.expressions.Window
-    val width = (1000003L + buckets - 1) / buckets
+    val width = (1000003L + b - 1) / b
     val s = idScore(col(idCol))
     val withB = df.withColumn("__sbkt", (s / lit(width)).cast("long"))
     val offsets = withB.groupBy(col("__sbkt"))
@@ -251,22 +261,46 @@ object Sampling {
     * The operator emits the key rather than a global position: the key
     * defines the total order (ties across groups break by (group, id)),
     * so the writer's range-partitioned sort is the only global step —
-    * same scale shape as [[shuffleRank]].
+    * same scale shape as [[shuffleRank]] (and the same auto-scaled
+    * bucket count: `buckets` ≤ 0 derives from the corpus size,
+    * `knownCount` skips the count job).
+    *
+    * Overflow safety: the interleave order depends only on weight
+    * RATIOS, so the weight set is first normalized by its gcd
+    * ({300, 200} computes exactly what {3, 2} does); the lcm fold uses
+    * `Math.multiplyExact`, so a pathological coprime weight set is
+    * rejected loudly instead of producing garbage strides; and the key
+    * multiplication itself is guarded per row (rank · stride past
+    * Long.MaxValue raises, never wraps — billion-scale ranks × a large
+    * lcm is exactly the 100 TB regime).
     *
     * Output: input columns + `src_rank` (1..n within group) +
     * `interleave_key` (BIGINT, exact).
     */
   def interleaveByWeight(df: DataFrame, groupCol: String, idCol: String,
       weights: Map[String, Int], defaultWeight: Int = 1,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 0, knownCount: Long = -1L): DataFrame = {
     require((defaultWeight +: weights.values.toSeq).forall(_ >= 1),
       "weights must be >= 1")
-    require(buckets >= 1 && buckets <= 1000003, s"buckets: $buckets")
+    val b = resolveSortBuckets(df, buckets, knownCount)
     import org.apache.spark.sql.expressions.Window
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val big = (weights.values.toSet + defaultWeight)
-      .foldLeft(1L)((l, w) => l / gcd(l, w) * w)
-    val width = (1000003L + buckets - 1) / buckets
+    // normalize by the common gcd first — ratios are the semantics
+    val g0 = (weights.values.toSet + defaultWeight)
+      .foldLeft(0L)((a, w) => gcd(a, w))
+    val norm = weights.map { case (k, v) => k -> v / g0 }
+    val normDefault = defaultWeight / g0
+    val big = (norm.values.toSet + normDefault)
+      .foldLeft(1L) { (l, w) =>
+        try Math.multiplyExact(l / gcd(l, w), w)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"lcm of weights ${weights.values.toSeq.sorted.mkString(",")} " +
+              s"(default $defaultWeight) overflows Long — the stride keys " +
+              "would silently wrap; reduce the weight set to smaller ratios")
+        }
+      }
+    val width = (1000003L + b - 1) / b
     val s = idScore(col(idCol))
     val withB = df.withColumn("__sbkt", (s / lit(width)).cast("long"))
     val offsets = withB.groupBy(col(groupCol), col("__sbkt"))
@@ -279,17 +313,44 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol), col("__sbkt"))
       .orderBy(s, col(idCol))
     // strides computed in Scala integer math (L divides each weight's
-    // stride exactly) — no float division anywhere
-    val stride = weights.toSeq.sortBy(_._1)
-      .foldLeft(lit(big / defaultWeight)) { case (acc, (g, p)) =>
-        when(col(groupCol) === g, lit(big / p)).otherwise(acc)
+    // stride exactly) — no float division anywhere. Each group's max
+    // overflow-safe rank is also known driver-side (Long.MaxValue /
+    // stride), so the per-row guard is a plain comparison.
+    def perGroup(f: Long => Long): Column =
+      norm.toSeq.sortBy(_._1).foldLeft(lit(f(big / normDefault))) {
+        case (acc, (g, p)) =>
+          when(col(groupCol) === g, lit(f(big / p))).otherwise(acc)
       }
+    val stride = perGroup(identity)
+    val maxRank = perGroup(Long.MaxValue / _)
     withB.join(broadcast(offsets), Seq(groupCol, "__sbkt"))
       .withColumn("src_rank",
         (col("__off") + row_number().over(w)).cast("long"))
-      .withColumn("interleave_key", col("src_rank") * stride)
+      .withColumn("interleave_key",
+        when(col("src_rank") > maxRank, raise_error(concat(
+          lit("interleave_key overflow: src_rank "),
+          col("src_rank").cast("string"), lit(" × stride "),
+          stride.cast("string"), lit(" exceeds Long.MaxValue"))))
+          .otherwise(col("src_rank") * stride))
       .drop("__sbkt", "__off")
   }
+
+  /** Shared bucket resolution for the composed-rank operators: explicit
+    * wins (validated against the score space); ≤ 0 derives from the
+    * corpus size ([[Tune.scaledSortBuckets]], `knownCount` skips the
+    * count job). The composed rank is bucket-count-invariant, so the
+    * choice affects only parallelism, never output.
+    */
+  private def resolveSortBuckets(df: DataFrame, buckets: Int,
+      knownCount: Long): Int =
+    if (buckets > 0) {
+      require(buckets <= 1000003, s"buckets must be in 1..1000003: $buckets")
+      buckets
+    } else {
+      val n = if (knownCount >= 0) knownCount else df.count()
+      Tune.scaledSortBuckets(n,
+        math.max(1, df.sparkSession.sparkContext.defaultParallelism))
+    }
 
   /** LEAKAGE-SAFE train/val/test split: near-duplicate documents must
     * land in the SAME split — a near-dup pair straddling train and

@@ -225,7 +225,13 @@ object Similarity {
     }
     val cb = explodeBands(corpus, idCol, "id", "cprefix")
       .withColumnRenamed("sig", "bucket")
-    val flips: Seq[Long] = hammingFlips(planes, probeHamming)
+    // the min-band filter and the flip enumeration must agree on ONE
+    // probe radius: hammingFlips enumerates up to popcount 2, so a
+    // probeHamming ≥ 3 would make AnyBandCollides treat a hamming-3
+    // earlier band as a collision the join never produced — silently
+    // dropping valid pairs. Clamp once, use everywhere.
+    val effHamming = math.min(probeHamming, 2)
+    val flips: Seq[Long] = hammingFlips(planes, effHamming)
     val qbCols = Seq(col("qid"), col("band"),
       col("sig").bitwiseXOR(col("flip")).as("bucket")) ++
       (if (withPrefix) Seq(col("qprefix")) else Nil)
@@ -245,7 +251,7 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
     val cand = (if (withPrefix)
         joined.filter(!VectorFunctions.anyBandCollides(
-          col("qprefix"), col("cprefix"), probeHamming))
+          col("qprefix"), col("cprefix"), effHamming))
       else joined)
       .select(col("qid"), col("id"))
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
@@ -389,10 +395,14 @@ object Similarity {
   private val SignMetaFile = "_graft_sign_meta.json"
 
   /** The (planes, dims, seed) a [[writeSignIndex]] layout was written
-    * with, from its sidecar — None for pre-sidecar indexes. */
+    * with, from its sidecar — None for pre-sidecar indexes. `path` is
+    * the index ROOT: a compacted index resolves through its version
+    * pointer ([[IndexVersions]]) to the committed generation's sidecar.
+    */
   def signIndexMeta(spark: SparkSession,
       path: String): Option[(Int, Int, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(path, SignMetaFile)
+    val p = new org.apache.hadoop.fs.Path(
+      IndexVersions.resolvePath(spark, path), SignMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -431,13 +441,19 @@ object Similarity {
     * small by the ANN contract) is collected to a LITERAL IN-filter so
     * Catalyst prunes index directories at scan time — the scan reads
     * nprobe/2^p of the corpus, which is the property that survives a
-    * 1000-executor scale-up. Scoring/dedup/rank semantics are exactly
-    * [[lshTopK]]'s.
+    * 1000-executor scale-up. A query set large enough to probe more
+    * than `maxBucketLiterals` (default 1024) distinct buckets skips the
+    * filter instead of building an unbounded IN-list + driver
+    * round-trip (the [[Dedup.incrementalNewNearDupEmbedDisk]] cap — at
+    * that occupancy pruning buys nothing anyway). Scoring/dedup/rank
+    * semantics are exactly [[lshTopK]]'s.
     */
   def probeSignIndex(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, dims: Int, numPlanes: Int = 0,
       probeHamming: Int = 1, seed: Long = 42L,
-      qidCol: String = "qid", vecCol: String = "embedding"): DataFrame = {
+      qidCol: String = "qid", vecCol: String = "embedding",
+      maxBucketLiterals: Int = 1024): DataFrame = {
+    require(maxBucketLiterals >= 0, s"maxBucketLiterals: $maxBucketLiterals")
     val planes = resolveSignPlanes(spark, path, numPlanes, dims, seed)
     val flips = hammingFlips(planes, probeHamming)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
@@ -446,11 +462,19 @@ object Similarity {
       .withColumn("flip", explode(lit(flips.toArray)))
       .select(col("qid"), col("qvec"),
         col("qsig").bitwiseXOR(col("flip")).as("bucket"))
-    // bounded collect: distinct probe buckets only (≤ |queries|·|flips|)
-    val buckets = q.select("bucket").distinct()
+    // bounded collect: distinct probe buckets, CAPPED — limit(cap+1)
+    // bounds the driver materialization no matter how large the query
+    // set is; past the cap the unpruned scan wins anyway
+    val maxLits = maxBucketLiterals
+    val buckets = q.select("bucket").distinct().limit(maxLits + 1)
       .collect().map(_.getLong(0))
-    val index = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
+    // read the COMMITTED generation: a compacted index resolves through
+    // its version pointer, a legacy flat layout through itself
+    val raw = spark.read.parquet(IndexVersions.resolvePath(spark, path))
+    val pruned =
+      if (buckets.length <= maxLits) raw.filter(col("bucket").isin(buckets: _*))
+      else raw
+    val index = pruned
       // partition-dir values type-infer as INT when they fit; normalize
       // so the bucket join below needs no implicit cast
       .withColumn("bucket", col("bucket").cast("long"))

@@ -144,6 +144,29 @@ object Tune {
     math.max(floor, math.min(derived, 65536.0).toInt)
   }
 
+  /** Rows per score-range bucket for the composed-rank serialization
+    * operators (`Sampling.shuffleRank` / `interleaveByWeight`): each
+    * bucket is one `row_number` window partition, i.e. ONE task sorting
+    * ~rows/buckets (id, score) pairs. ~1M slim rows sort in well under
+    * a second inside a fraction of task memory; a FIXED bucket count
+    * (the former 1024 default) makes that per-task sort grow linearly
+    * with the corpus — multi-GB single-task sorts at 100 TB.
+    */
+  val RowsPerSortBucket: Long = 1L << 20
+
+  /** Corpus-size-derived bucket count for the composed-rank operators —
+    * the [[scaledBuckets]] self-scaling rule applied to score-range
+    * buckets. Floored at `floor` (the core count: fewer buckets than
+    * cores idles the cluster during the per-bucket sorts) and capped at
+    * 1,000,003 (the idScore value space — more buckets than distinct
+    * scores buys nothing).
+    */
+  def scaledSortBuckets(rows: Long, floor: Int): Int = {
+    require(rows >= 0 && floor >= 1, "invalid Tune.scaledSortBuckets args")
+    val derived = math.ceil(rows.toDouble / RowsPerSortBucket.toDouble)
+    math.max(floor, math.min(derived, 1000003.0).toInt)
+  }
+
   /** On-disk bytes of a parquet table path (a single file or a
     * directory of part files) — plain java.io so it can run BEFORE the
     * SparkSession exists, which is when shuffle.partitions must be set.

@@ -83,7 +83,10 @@ object EmbedIngestStream {
       dims: Int, outDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.4, probeHamming: Int = 1, seed: Long = 42L,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      compactCorpus: Option[DataFrame] = None,
+      compactMaxBytes: Long = Long.MaxValue,
+      compactMaxRows: Long = Long.MaxValue): Unit = {
     require(Similarity.signIndexMeta(spark, indexPath).isDefined,
       s"no sign index (with sidecar) at $indexPath")
     val next = IngestStream.nextBatchId(spark, checkpointDir)
@@ -110,6 +113,14 @@ object EmbedIngestStream {
         applyBatch(spark, batch, accepted, indexPath, idCol, vecCol,
           dims, threshold, probeHamming, seed)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // opt-in auto-compact between micro-batches — the versioned
+        // pointer commit keeps a mid-compaction crash invisible to the
+        // stream (next batch still probes version N)
+        if (compactCorpus.isDefined && IngestStream.shouldCompact(
+            spark, outDir, compactMaxBytes, compactMaxRows)) {
+          compact(spark, compactCorpus.get, indexPath, outDir,
+            idCol, vecCol): Unit
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -124,19 +135,26 @@ object EmbedIngestStream {
 
   /** Fold the accepted vectors into the next version of the sign index
     * — the vector-side mirror of [[IngestStream.compact]], same
-    * crash-safe order (archive → rebuild from the archive → clear
-    * batch dirs) and same contract: after compaction the rebuilt INDEX
-    * catches what the accepted-set probe was catching, and stage 3
-    * restarts empty. Dims and seed come from the current index's
-    * sidecar (the probe side must match the write side bit-for-bit);
-    * the plane count re-derives from the GROWN corpus size
-    * ([[Similarity.writeSignIndex]] auto mode). `newIndexPath` empty =
-    * rebuild in place. Returns the max batch id folded, or -1 when
-    * there was nothing to compact.
+    * crash-safe order (archive → build version N+1 beside N → POINTER
+    * FLIP → clear batch dirs; [[graft.operators.IndexVersions]]) and
+    * same contract: after the flip the rebuilt INDEX catches what the
+    * accepted-set probe was catching, stage 3 restarts empty, and a
+    * crash anywhere before the flip leaves every probe on version N.
+    * `corpus` is the frozen generation-zero corpus; earlier
+    * compactions' archives fold in automatically. Dims and seed come
+    * from the current index's sidecar (the probe side must match the
+    * write side bit-for-bit); the plane count re-derives from the
+    * GROWN corpus size ([[Similarity.writeSignIndex]] auto mode) —
+    * `corpusCount` ≥ 0 skips that sizing count's corpus re-scan (the
+    * archive count reads parquet footers only). `newIndexPath`
+    * non-empty = build there instead, unversioned (caller-managed).
+    * Returns the max batch id folded, or -1 when there was nothing to
+    * compact.
     */
   def compact(spark: SparkSession, corpus: DataFrame, indexPath: String,
       outDir: String, idCol: String = "vec_id",
-      vecCol: String = "embedding", newIndexPath: String = ""): Long = {
+      vecCol: String = "embedding", newIndexPath: String = "",
+      corpusCount: Long = -1L): Long = {
     val (_, dims, seed) = Similarity.signIndexMeta(spark, indexPath)
       .getOrElse(throw new IllegalArgumentException(
         s"no sign index (with sidecar) at $indexPath"))
@@ -147,12 +165,20 @@ object EmbedIngestStream {
     spark.read.parquet(dirs.map(_._2): _*)
       .select(col(idCol), col(vecCol))
       .write.mode("overwrite").parquet(archive)
-    val target = if (newIndexPath.nonEmpty) newIndexPath else indexPath
+    val archived = spark.read.parquet(
+      IngestStream.archiveDirs(spark, outDir): _*)
+    val known =
+      if (corpusCount >= 0) corpusCount + archived.count() else -1L
+    val next = graft.operators.IndexVersions.nextVersion(spark, indexPath)
+    val target =
+      if (newIndexPath.nonEmpty) newIndexPath
+      else graft.operators.IndexVersions.versionDir(indexPath, next)
     Similarity.writeSignIndex(
-      corpus.select(col(idCol), col(vecCol))
-        .unionByName(spark.read.parquet(archive)),
+      corpus.select(col(idCol), col(vecCol)).unionByName(archived),
       target, dims, numPlanes = 0, seed = seed,
-      idCol = idCol, vecCol = vecCol)
+      idCol = idCol, vecCol = vecCol, knownCount = known)
+    if (newIndexPath.isEmpty)
+      graft.operators.IndexVersions.commit(spark, indexPath, next)
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirs.foreach { case (_, p) =>

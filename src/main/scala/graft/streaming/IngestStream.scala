@@ -89,7 +89,10 @@ object IngestStream {
   def run(spark: SparkSession, srcDir: String, indexTablePrefix: String,
       indexBuckets: Int = 0, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1): Unit = {
+      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1,
+      compactCorpus: Option[DataFrame] = None,
+      compactMaxBytes: Long = Long.MaxValue,
+      compactMaxRows: Long = Long.MaxValue): Unit = {
     require(
       Dedup.attachNgramIndexBucketed(spark, indexTablePrefix, indexBuckets),
       s"no bucketed n-gram index under table prefix $indexTablePrefix")
@@ -118,11 +121,47 @@ object IngestStream {
         applyBatch(spark, batch, accepted, indexTablePrefix,
           idCol, textCol, n, threshold)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // opt-in auto-compact: when the accepted set outgrows its
+        // thresholds, fold it into the next index version BETWEEN
+        // micro-batches — the trigger policy the doc advice used to
+        // leave to the caller's memory. The versioned commit makes a
+        // crash here harmless: the stream keeps probing version N.
+        if (compactCorpus.isDefined &&
+            shouldCompact(spark, outDir, compactMaxBytes, compactMaxRows)) {
+          compact(spark, compactCorpus.get, indexTablePrefix, outDir,
+            idCol, textCol, n, threshold): Unit
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Compaction trigger policy: true when the stream's accepted set —
+    * the rows every stage-3 probe pays for — has outgrown either
+    * threshold. Bytes come from filesystem metadata (free at any
+    * scale); the row check reads only parquet footers and runs only
+    * when a row threshold is actually set. No thresholds set = never
+    * (compaction stays fully manual).
+    */
+  def shouldCompact(spark: SparkSession, outDir: String,
+      maxAcceptedBytes: Long = Long.MaxValue,
+      maxAcceptedRows: Long = Long.MaxValue): Boolean = {
+    if (maxAcceptedBytes == Long.MaxValue && maxAcceptedRows == Long.MaxValue)
+      return false
+    val dirs = batchDirs(spark, outDir)
+    if (dirs.isEmpty) return false
+    if (maxAcceptedBytes != Long.MaxValue) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = dirs.map { case (_, p) =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      }.sum
+      if (bytes > maxAcceptedBytes) return true
+    }
+    maxAcceptedRows != Long.MaxValue &&
+      spark.read.parquet(dirs.map(_._2): _*).count() > maxAcceptedRows
   }
 
   /** Everything the stream has accepted so far. */
@@ -140,21 +179,33 @@ object IngestStream {
     * duplicates it was catching are caught one stage earlier, by the
     * rebuilt INDEX (stage 2), and stage 3 restarts empty.
     *
-    * `corpus` is the frozen corpus the current index was built over
-    * (the caller's corpus store — the index tables hold shingle
-    * structures, not raw text, so the fold needs the source rows).
-    * Steps, in crash-safe order:
+    * `corpus` is the frozen GENERATION-ZERO corpus (the caller's corpus
+    * store — the index tables hold shingle structures, not raw text, so
+    * the fold needs the source rows). Accepted rows archived by EARLIER
+    * compactions are folded in automatically (every
+    * `outDir/compacted/upto=*` dir), so repeated compactions never need
+    * the caller to grow the corpus frame. Steps, in crash-safe order:
     *
     *  1. archive the accepted rows under
-    *     `outDir/compacted/upto=<maxBatchId>` — they are corpus version
-    *     N+1's delta; deleting them unarchived would lose the stream's
-    *     output (re-running after a crash here overwrites the same
-    *     archive dir — idempotent);
-    *  2. rebuild the bucketed n-gram index over corpus ∪ accepted
-    *     (reading the ARCHIVED copy, so the rebuild never races the
-    *     deletion) under `newIndexPrefix`, or in place when it is empty
-    *     — the bucket count re-derives from the GROWN corpus size
+    *     `outDir/compacted/upto=<maxBatchId>` — they are the next
+    *     generation's delta; deleting them unarchived would lose the
+    *     stream's output (re-running after a crash here overwrites the
+    *     same archive dir — idempotent);
+    *  2. build index version N+1 BESIDE version N over corpus ∪ all
+    *     archives (reading the ARCHIVED copies, so the rebuild never
+    *     races a deletion), under table prefix
+    *     `<prefix>_ixv<N+1>` ([[graft.operators.IndexVersions]]), then
+    *     FLIP THE POINTER — write-temp + atomic rename, the
+    *     [[UpsertSink]] commit pattern. A crash anywhere before the
+    *     flip leaves every probe on version N: the rebuild crash window
+    *     is zero and rollback is moving the pointer back. The bucket
+    *     count re-derives from the GROWN corpus size
     *     ([[Dedup.writeNgramIndexBucketed]] auto mode) unless pinned;
+    *     `corpusCount` ≥ 0 skips that sizing count job — the rebuild
+    *     then pays ONE cheap parquet-footer count over the archives
+    *     instead of re-scanning the corpus it just materialized.
+    *     An explicit `newIndexPrefix` builds there instead, unversioned
+    *     (caller-managed layout, no pointer);
     *  3. remove the `batch=` dirs, so [[accepted]] and the stage-3
     *     probe restart empty. A crash between 2 and 3 leaves both
     *     defenses active (index AND accepted set catch the same dups) —
@@ -169,7 +220,7 @@ object IngestStream {
       indexTablePrefix: String, outDir: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.5, buckets: Int = 0, filesPerBucket: Int = 1,
-      newIndexPrefix: String = ""): Long = {
+      newIndexPrefix: String = "", corpusCount: Long = -1L): Long = {
     val dirs = batchDirs(spark, outDir)
     if (dirs.isEmpty) return -1L
     val maxId = dirs.map(_._1).max
@@ -177,18 +228,43 @@ object IngestStream {
     spark.read.parquet(dirs.map(_._2): _*)
       .select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(archive)
+    val archives = archiveDirs(spark, outDir)
+    val archived = spark.read.parquet(archives: _*)
+    // knownCount spares the auto-bucket sizing its corpus re-scan: the
+    // archive count reads parquet footers only
+    val known =
+      if (corpusCount >= 0) corpusCount + archived.count() else -1L
+    val root = graft.operators.IndexVersions.tableRoot(spark,
+      indexTablePrefix)
+    val next = graft.operators.IndexVersions.nextVersion(spark, root)
     val target =
-      if (newIndexPrefix.nonEmpty) newIndexPrefix else indexTablePrefix
+      if (newIndexPrefix.nonEmpty) newIndexPrefix
+      else graft.operators.IndexVersions.versionPrefix(indexTablePrefix, next)
     Dedup.writeNgramIndexBucketed(
-      corpus.select(col(idCol), col(textCol))
-        .unionByName(spark.read.parquet(archive)),
-      target, idCol, textCol, n, threshold, buckets, filesPerBucket)
+      corpus.select(col(idCol), col(textCol)).unionByName(archived),
+      target, idCol, textCol, n, threshold, buckets, filesPerBucket,
+      knownCount = known)
+    if (newIndexPrefix.isEmpty)
+      graft.operators.IndexVersions.commit(spark, root, next)
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirs.foreach { case (_, p) =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
     }
     maxId
+  }
+
+  /** All accepted-set archives under `outDir` (`compacted/upto=*`),
+    * Hadoop-FS-listed for the same HDFS-safety reason as [[batchDirs]].
+    */
+  private[streaming] def archiveDirs(spark: SparkSession,
+      outDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "compacted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("upto="))
+      .map(_.getPath.toString)
   }
 
   /** The `batch=<id>` output dirs under `outDir` as (id, path), through

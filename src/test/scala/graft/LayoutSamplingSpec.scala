@@ -366,4 +366,79 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(collected.forall { case (g, k) =>
       k % Map("web" -> 2L, "code" -> 3L, "math" -> 6L)(g) == 0L })
   }
+
+  test("composed-rank auto buckets: corpus-derived count, auto path " +
+      "output-identical to explicit, knownCount skips nothing visible") {
+    // the auto rule itself (Tune precedent: floored, capped)
+    assert(graft.operators.Tune.scaledSortBuckets(0L, 4) === 4)
+    assert(graft.operators.Tune.scaledSortBuckets(1L << 30, 4) === 1024)
+    assert(graft.operators.Tune.scaledSortBuckets(Long.MaxValue / 4, 4)
+      === 1000003)
+    val ids = (1L to 4000L).filter(_ % 5 != 0)
+    val df = ids.toDF("doc_id").repartition(8)
+    val auto = Sampling.shuffleRank(df, "doc_id")
+      .select($"doc_id", $"shuffle_rank")
+    val explicit = Sampling.shuffleRank(df, "doc_id", buckets = 1024)
+      .select($"doc_id", $"shuffle_rank")
+    val known = Sampling.shuffleRank(df, "doc_id",
+        knownCount = ids.size.toLong)
+      .select($"doc_id", $"shuffle_rank")
+    assert(auto.exceptAll(explicit).count() === 0L)
+    assert(explicit.exceptAll(auto).count() === 0L)
+    assert(auto.exceptAll(known).count() === 0L)
+    // interleave: same invariance on its auto path
+    val rows = (1L to 3000L).map(i =>
+      (i, Seq("web", "code")((i % 2).toInt)))
+    val idf = rows.toDF("doc_id", "src").repartition(8)
+    val w = Map("web" -> 3, "code" -> 2)
+    val ia = Sampling.interleaveByWeight(idf, "src", "doc_id", w)
+      .select($"doc_id", $"src_rank", $"interleave_key")
+    val ie = Sampling.interleaveByWeight(idf, "src", "doc_id", w,
+        buckets = 777)
+      .select($"doc_id", $"src_rank", $"interleave_key")
+    assert(ia.exceptAll(ie).count() === 0L)
+    assert(ie.exceptAll(ia).count() === 0L)
+  }
+
+  test("interleave overflow safety: gcd-normalized weights, pathological " +
+      "lcm rejected loudly, per-row key overflow raises") {
+    val rows = (1L to 600L).map(i =>
+      (i, Seq("web", "code")((i % 2).toInt)))
+    val df = rows.toDF("doc_id", "src").repartition(4)
+    // {300, 200} must compute exactly what {3, 2} computes — the
+    // interleave order depends only on weight ratios
+    val big = Sampling.interleaveByWeight(df, "src", "doc_id",
+        Map("web" -> 300, "code" -> 200), defaultWeight = 100)
+      .select($"doc_id", $"src_rank", $"interleave_key")
+    val small = Sampling.interleaveByWeight(df, "src", "doc_id",
+        Map("web" -> 3, "code" -> 2), defaultWeight = 1)
+      .select($"doc_id", $"src_rank", $"interleave_key")
+    assert(big.exceptAll(small).count() === 0L)
+    assert(small.exceptAll(big).count() === 0L)
+    // a coprime weight set whose lcm overflows Long is refused at plan
+    // time, not silently wrapped (three ~2^31 primes multiply past 2^63)
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveByWeight(df, "src", "doc_id",
+        Map("web" -> 2147483647, "code" -> 2147483629),
+        defaultWeight = 2147483587, buckets = 4)
+    }
+    // rank × stride past Long.MaxValue raises per row instead of
+    // wrapping: three coprime ~1e6 weights give lcm ≈ 1.0e18 (fits),
+    // so the default-weight-1 group's stride IS the lcm and its rank 10
+    // already overflows
+    val rows4 = (1L to 800L).map(i =>
+      (i, Seq("web", "code", "math", "misc")((i % 4).toInt)))
+    val df4 = rows4.toDF("doc_id", "src").repartition(4)
+    val ex = intercept[Exception] {
+      Sampling.interleaveByWeight(df4, "src", "doc_id",
+        Map("web" -> 1000003, "code" -> 1000033, "math" -> 1000037),
+        defaultWeight = 1, buckets = 4)
+        .select($"interleave_key").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("interleave_key overflow")),
+      s"expected the overflow guard, got: ${msgs(ex).mkString(" | ")}")
+  }
 }

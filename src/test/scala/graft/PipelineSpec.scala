@@ -342,29 +342,43 @@ class PipelineSpec extends SparkSpec {
           struct(lit(b).as("band"),
             bandSig($"embedding", b).as("bucket"))): _*)).as("bb"))
       .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-    val flips = Similarity.hammingFlips(planes, 1)
-    val qb = probes.select($"qid",
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            bandSig($"embedding", b).as("qsig"))): _*)).as("bb"))
-      .select($"qid", $"bb.band".as("band"), $"bb.qsig".as("qsig"))
-      .withColumn("flip", explode(lit(flips.toArray)))
-      .select($"qid", $"band", $"qsig".bitwiseXOR($"flip").as("bucket"))
-    val cand = cb.join(qb, Seq("band", "bucket"))
-      .filter($"qid" =!= $"id").select($"qid", $"id").distinct()
-    val cv = embeddings.select($"vec_id".as("id"), $"embedding".as("cvec"))
-    val qv = probes.select($"qid", $"embedding".as("qvec"))
-    val scored = cand.join(cv, "id").join(qv, "qid")
-      .select($"qid", $"id", VF.cosineSim($"cvec", $"qvec").as("cosine"))
-    val expected = Similarity.topKRank(scored, 3, "cosine")
-      .select($"qid", $"id", $"rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def distinctConstruction(h: Int): Set[(Long, Long, Int)] = {
+      val flips = Similarity.hammingFlips(planes, h)
+      val qb = probes.select($"qid",
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              bandSig($"embedding", b).as("qsig"))): _*)).as("bb"))
+        .select($"qid", $"bb.band".as("band"), $"bb.qsig".as("qsig"))
+        .withColumn("flip", explode(lit(flips.toArray)))
+        .select($"qid", $"band", $"qsig".bitwiseXOR($"flip").as("bucket"))
+      val cand = cb.join(qb, Seq("band", "bucket"))
+        .filter($"qid" =!= $"id").select($"qid", $"id").distinct()
+      val cv = embeddings.select($"vec_id".as("id"), $"embedding".as("cvec"))
+      val qv = probes.select($"qid", $"embedding".as("qvec"))
+      val scored = cand.join(cv, "id").join(qv, "qid")
+        .select($"qid", $"id", VF.cosineSim($"cvec", $"qvec").as("cosine"))
+      Similarity.topKRank(scored, 3, "cosine")
+        .select($"qid", $"id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    def banded(h: Int): Set[(Long, Long, Int)] =
+      Similarity.knnJoin(embeddings, probes, k = 3, dims = 64,
+          numPlanes = planes, probeHamming = h, numBands = bands)
+        .select($"qid", $"id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // equality at BOTH supported radii: the min-band filter and the
+    // flip enumeration must agree on the probe radius (a radius-2 run
+    // regressed undetected when only h=1 was pinned)
+    val got = banded(1)
+    assert(got === distinctConstruction(1))
+    assert(got.nonEmpty)
+    assert(banded(2) === distinctConstruction(2))
+    // probeHamming ≥ 3 clamps to the flip enumeration's ceiling (2) —
+    // NOT a filter radius the join never produced
+    assert(banded(3) === banded(2))
     val actual = Similarity.knnJoin(embeddings, probes, k = 3, dims = 64,
       numPlanes = planes, probeHamming = 1, numBands = bands)
-    val got = actual.select($"qid", $"id", $"rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(got === expected)
-    assert(got.nonEmpty)
+    actual.collect()
     // plan pin: candidate dedup is the shuffle-free min-band filter —
     // the optimized plan may contain NO two-key aggregate (the old
     // global distinct on (qid, id)); the only aggregate left is the

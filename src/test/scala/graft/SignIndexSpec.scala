@@ -55,6 +55,55 @@ class SignIndexSpec extends SparkSpec {
       s"probe must prune index partitions (read $readFiles of $allFiles)")
   }
 
+  test("probe past the bucket-literal cap: no IN partition filter in " +
+      "the plan, results identical to the pruned probe") {
+    val e = Tables(spark, sf001, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("signcap").toString
+    Similarity.writeSignIndex(e, dir, dims = 64, numPlanes = 12)
+
+    val pruned = Similarity.probeSignIndex(spark, dir, queries, k = 5,
+      dims = 64, numPlanes = 12, probeHamming = 2)
+    // a cap below the probe-set size forces the skip path: the scan is
+    // unpruned (no bucket IN-list reaches the partition filters) but
+    // the bucket JOIN still restricts candidates — results identical
+    val uncapped = Similarity.probeSignIndex(spark, dir, queries, k = 5,
+      dims = 64, numPlanes = 12, probeHamming = 2, maxBucketLiterals = 1)
+    uncapped.collect()
+    // walk THROUGH AdaptiveSparkPlanExec (a leaf wrapping the real
+    // subtree) — the joined probe plan is AQE-wrapped, unlike the
+    // plain scan above
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val buf = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+      p.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          buf ++= scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          buf ++= scansOf(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          buf ++= scansOf(r.child)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains(
+              new java.io.File(dir).getName)) => buf += s
+        case _ => ()
+      }
+      buf.toSeq
+    }
+    val scans = scansOf(uncapped.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(s =>
+        !s.metadata("PartitionFilters").contains("bucket IN")),
+      "over-cap probe must not build a bucket IN-list partition filter")
+    val a = pruned.select("qid", "id", "rank").orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    val b = uncapped.select("qid", "id", "rank").orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b,
+      "skipping the prune must never change probe results")
+  }
+
   test("embedding ingest probe: disk == in-memory, new ∪ dup partitions " +
       "the batch, exact containment") {
     val e = Tables(spark, sf001, "embeddings")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{expr, lit, max, pmod, timestamp_micros, unix_micros}
+import org.apache.spark.sql.functions.{expr, lit, max, pmod, raise_error, timestamp_micros, unix_micros}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{EventStreams, UpsertSink}
@@ -585,5 +585,223 @@ class StreamingSpec extends SparkSpec {
       "vec_id", "embedding", dims, 0.4, 1, 42L)
     assert(r3.select($"vec_id").collect().map(_.getLong(0)).toSet ===
       Set(1000007L), "rebuilt sign index must catch the compacted dup")
+  }
+
+  test("versioned compaction (text): a rebuild killed mid-flight leaves " +
+      "every probe on version N; the retry commits N+1; repeated " +
+      "compactions fold ALL archived generations") {
+    import graft.operators.{Dedup, IndexVersions}
+    import graft.streaming.IngestStream
+    val docs = Tables(spark, sf001, "documents")
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val idxPrefix = "ingest_kill_test_idx"
+    Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+      n = 3, threshold = 0.5, buckets = 4)
+    try {
+      val root = IndexVersions.tableRoot(spark, idxPrefix)
+      assert(IndexVersions.currentVersion(spark, root).isEmpty)
+      def synthText(stem: String): String =
+        (0 until 20).map(i => s"zzq$stem$i").mkString(" ")
+      val a = synthText("kalpha"); val c = synthText("kgamma")
+      val corpusText = corpus.select($"text").head().getString(0)
+      val outDir = tmpDir("kill-out")
+      val b1 = Seq((2000001L, a)).toDF("doc_id", "text")
+      IngestStream.applyBatch(spark, b1, None, idxPrefix,
+          "doc_id", "text", 3, 0.5)
+        .write.mode("overwrite").parquet(s"$outDir/batch=0")
+
+      // KILL the rebuild mid-flight: a corpus whose evaluation raises
+      // poisons the index build after the archive step
+      val poisoned = corpus.select($"doc_id",
+        raise_error(lit("injected rebuild failure")).cast("string")
+          .as("text"))
+      intercept[Exception] {
+        IngestStream.compact(spark, poisoned, idxPrefix, outDir,
+          buckets = 4)
+      }
+      // no pointer flip: every probe still resolves to version N
+      assert(IndexVersions.currentVersion(spark, root).isEmpty,
+        "a failed rebuild must not move the pointer")
+      // the stream is NOT down: the accepted set is intact (stage 3)
+      // and the old index serves stage 2 — both dup classes caught
+      val probe = IngestStream.applyBatch(spark,
+        Seq((2000002L, a),          // dup of accepted -> stage 3 drops
+            (2000003L, corpusText), // corpus dup -> old index drops
+            (2000004L, c)           // fresh -> kept
+        ).toDF("doc_id", "text"),
+        IngestStream.accepted(spark, outDir), idxPrefix,
+        "doc_id", "text", 3, 0.5)
+      assert(probe.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(2000004L), "probes must keep working after a dead rebuild")
+      assert(IngestStream.accepted(spark, outDir).isDefined,
+        "batch dirs must survive a failed rebuild")
+
+      // the RETRY commits version 1 atomically (corpusCount exercises
+      // the knownCount path — no corpus re-scan for bucket sizing)
+      val folded = IngestStream.compact(spark, corpus, idxPrefix, outDir,
+        buckets = 4, corpusCount = corpus.count())
+      assert(folded === 0L)
+      assert(IndexVersions.currentVersion(spark, root) === Some(1))
+      assert(IngestStream.accepted(spark, outDir).isEmpty)
+      // index alone (no accepted set) now catches the folded acceptance
+      val viaIndex = IngestStream.applyBatch(spark,
+        Seq((2000005L, a), (2000006L, c)).toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      assert(viaIndex.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(2000006L))
+
+      // SECOND generation: accept c, compact again → version 2 must
+      // still catch generation-1's acceptance (ALL archives fold in,
+      // not just the newest — losing a into v2 would re-admit it)
+      viaIndex.select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(s"$outDir/batch=1")
+      assert(IngestStream.compact(spark, corpus, idxPrefix, outDir,
+        buckets = 4) === 1L)
+      assert(IndexVersions.currentVersion(spark, root) === Some(2))
+      val gen2 = IngestStream.applyBatch(spark,
+        Seq((2000007L, a), (2000008L, c),
+          (2000009L, synthText("kdelta"))).toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      assert(gen2.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(2000009L),
+        "version 2 must hold BOTH archived generations")
+    } finally {
+      Seq("", "_ixv1", "_ixv2").foreach { v =>
+        Seq("df", "prefix", "shingles").foreach { s =>
+          graft.operators.Bucketed.dropBucketed(spark, s"$idxPrefix$v" + s"_$s")
+        }
+      }
+      IndexVersions.clearPointer(spark,
+        IndexVersions.tableRoot(spark, idxPrefix))
+    }
+  }
+
+  test("versioned compaction (embeddings): killed rebuild leaves the " +
+      "pointer on version N; retry commits and probes flip over") {
+    import graft.operators.{IndexVersions, Similarity}
+    import graft.streaming.EmbedIngestStream
+    val dims = 64
+    val emb = Tables(spark, sf001, "embeddings")
+    val corpus = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val idxPath = tmpDir("embed-kill-idx")
+    Similarity.writeSignIndex(corpus, idxPath, dims, numPlanes = 6,
+      seed = 42L)
+    val corpusVec = corpus.select($"embedding").head().getSeq[Float](0).toArray
+    val outDir = tmpDir("embed-kill-out")
+    // accept one batch (exact copies are the deterministic dup class)
+    val fresh = {
+      val r = new scala.util.Random(7)
+      Array.fill(dims)(r.nextGaussian().toFloat)
+    }
+    EmbedIngestStream.applyBatch(spark,
+        Seq((3000001L, fresh)).toDF("vec_id", "embedding"), None, idxPath,
+        "vec_id", "embedding", dims, 0.4, 1, 42L)
+      .write.mode("overwrite").parquet(s"$outDir/batch=0")
+    val poisoned = corpus.select($"vec_id",
+      raise_error(lit("injected rebuild failure")).cast("array<float>")
+        .as("embedding"))
+    intercept[Exception] {
+      EmbedIngestStream.compact(spark, poisoned, idxPath, outDir)
+    }
+    assert(IndexVersions.currentVersion(spark, idxPath).isEmpty)
+    // old index still serves: corpus dup dropped, accepted intact
+    val probe = EmbedIngestStream.applyBatch(spark,
+      Seq((3000002L, corpusVec)).toDF("vec_id", "embedding"),
+      EmbedIngestStream.accepted(spark, outDir), idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    assert(probe.count() === 0L)
+    // retry commits; the index alone catches the folded acceptance
+    assert(EmbedIngestStream.compact(spark, corpus, idxPath, outDir,
+      corpusCount = corpus.count()) === 0L)
+    assert(IndexVersions.currentVersion(spark, idxPath) === Some(1))
+    val viaIndex = EmbedIngestStream.applyBatch(spark,
+      Seq((3000003L, fresh)).toDF("vec_id", "embedding"), None, idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    assert(viaIndex.count() === 0L,
+      "compacted sign index must catch the folded acceptance")
+  }
+
+  test("auto-compact trigger: stream crosses the row threshold, " +
+      "compaction fires between micro-batches, stage-3 probe restarts " +
+      "empty, batch ids continue") {
+    import graft.operators.{Dedup, IndexVersions}
+    import graft.streaming.IngestStream
+    val docs = Tables(spark, sf001, "documents")
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val idxPrefix = "ingest_auto_test_idx"
+    Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+      n = 3, threshold = 0.5, buckets = 4)
+    try {
+      val root = IndexVersions.tableRoot(spark, idxPrefix)
+      def synthText(stem: String): String =
+        (0 until 20).map(i => s"zzq$stem$i").mkString(" ")
+      val a = synthText("aalpha"); val c = synthText("agamma")
+      val srcDir = tmpDir("auto-src")
+      val f1 = Seq((4000001L, a)).toDF("doc_id", "text")
+      // f2's dup of a can ONLY be caught by the rebuilt index: the
+      // auto-compact after batch 0 cleared the accepted set
+      val f2 = Seq((4000002L, a), (4000003L, c)).toDF("doc_id", "text")
+      f1.coalesce(1).write.parquet(s"$srcDir/f1")
+      f2.coalesce(1).write.parquet(s"$srcDir/f2")
+      def promote(sub: String, age: Long): Unit = {
+        val part = new java.io.File(s"$srcDir/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$srcDir/$sub.parquet")
+        assert(part.renameTo(dst))
+        assert(dst.setLastModified(System.currentTimeMillis() - age))
+        new java.io.File(s"$srcDir/$sub").listFiles().foreach(_.delete())
+        new java.io.File(s"$srcDir/$sub").delete(): Unit
+      }
+      promote("f1", 60000); promote("f2", 30000)
+      val outDir = tmpDir("auto-out")
+      val ckptDir = tmpDir("auto-ckpt")
+
+      // no thresholds = never; absent dirs = never
+      assert(!IngestStream.shouldCompact(spark, outDir))
+      assert(!IngestStream.shouldCompact(spark, outDir,
+        maxAcceptedRows = 0L))
+
+      IngestStream.run(spark, srcDir, idxPrefix, indexBuckets = 0,
+        outDir = outDir, checkpointDir = ckptDir, maxFilesPerTrigger = 1,
+        compactCorpus = Some(corpus), compactMaxRows = 0L)
+      // every accepted batch crossed the 0-row threshold → compacted:
+      // stage-3 probe is empty, both survivors live in the archives
+      assert(IngestStream.accepted(spark, outDir).isEmpty,
+        "auto-compact must clear the accepted set")
+      assert(IndexVersions.currentVersion(spark, root) === Some(2))
+      assert(spark.read.parquet(s"$outDir/compacted")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(4000001L, 4000003L),
+        "archives must hold exactly the accepted survivors")
+      // the committed index alone catches both generations' acceptances
+      val viaIndex = IngestStream.applyBatch(spark,
+        Seq((4000004L, a), (4000005L, c),
+          (4000006L, synthText("adelta"))).toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      assert(viaIndex.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(4000006L))
+      // batch ids continue: resume the SAME checkpoint with a new file;
+      // the run guard stays satisfied because compaction cleared the
+      // batch dirs but the checkpoint kept counting
+      val f3 = Seq((4000007L, synthText("aepsilon")))
+        .toDF("doc_id", "text")
+      f3.coalesce(1).write.parquet(s"$srcDir/f3")
+      promote("f3", 1000)
+      IngestStream.run(spark, srcDir, idxPrefix, indexBuckets = 0,
+        outDir = outDir, checkpointDir = ckptDir, maxFilesPerTrigger = 1,
+        compactCorpus = Some(corpus), compactMaxRows = 0L)
+      assert(IndexVersions.currentVersion(spark, root) === Some(3))
+      assert(spark.read.parquet(s"$outDir/compacted")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(4000001L, 4000003L, 4000007L))
+    } finally {
+      (Seq("") ++ (1 to 3).map(v => s"_ixv$v")).foreach { v =>
+        Seq("df", "prefix", "shingles").foreach { s =>
+          graft.operators.Bucketed.dropBucketed(spark, s"$idxPrefix$v" + s"_$s")
+        }
+      }
+      IndexVersions.clearPointer(spark,
+        IndexVersions.tableRoot(spark, idxPrefix))
+    }
   }
 }

@@ -30,6 +30,50 @@ class TextKernelPropertySpec extends SparkSpec {
     pad <- Gen.oneOf("", " ", "\n\t")
   } yield pad + toks.mkString(sep) + pad
 
+  test("property: subword vocab count == longest-first alternation " +
+      "regex count (the oracle's replay), on corpus + generated text") {
+    import graft.functions.Tokenizers
+    val tok = Tokenizers.bpe
+    val regex = tok.oracleRegex
+    def regexCount(c: org.apache.spark.sql.Column) =
+      size(regexp_extract_all(lower(c), lit(regex), lit(0)))
+    // real corpus: every document agrees
+    val d = Tables(spark, sf001, "documents")
+    val diff = d.select(tok.count($"text").as("k"),
+        regexCount($"text").as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(diff === 0L, "kernel diverged from the regex replay on corpus")
+    // sanity anchors: greedy longest-match, whitespace skipped,
+    // punctuation/digits one token per codepoint, CJK per codepoint
+    val cases = Seq(
+      "" -> 0, "   " -> 0,
+      "the" -> 1, // one 3-gram piece
+      "theory" -> 3, // the|or|y — greedy takes "the" not "th"
+      "a b" -> 2,
+      "x9!" -> 3,
+      "中文 text" -> 5) // 中,文 per codepoint; te|x|t
+    cases.foreach { case (s, want) =>
+      val got = Seq(s).toDF("t").select(tok.count($"t")).head().getInt(0)
+      assert(got === want, s"'$s': got $got want $want")
+      val viaRegex = Seq(s).toDF("t").select(regexCount($"t"))
+        .head().getInt(0)
+      assert(viaRegex === want, s"'$s' regex: $viaRegex want $want")
+    }
+    // generated text (unicode, weird whitespace): kernel == regex
+    forAllSamples(docGen, n = 40) { text =>
+      val row = Seq(text).toDF("t")
+        .select(tok.count($"t"), regexCount($"t")).head()
+      assert(row.getInt(0) === row.getInt(1), s"mismatch on '$text'")
+    }
+    // the subword count is the one that sees code/CJK mass: an
+    // unsegmented run counts per piece/codepoint, not as 1 token
+    val code = "internationalization_configuration"
+    val ws = Seq(code).toDF("t")
+      .select(graft.functions.TextFunctions.tokenCount($"t")).head().getInt(0)
+    val sub = Seq(code).toDF("t").select(tok.count($"t")).head().getInt(0)
+    assert(ws === 1 && sub > 5, s"ws=$ws sub=$sub")
+  }
+
   test("property: wordChunks partitions the token stream in order") {
     forAllSamples(Gen.zip(docGen, Gen.choose(1, 5))) { case (text, c) =>
       val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq

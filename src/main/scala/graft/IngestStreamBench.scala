@@ -152,10 +152,12 @@ object IngestStreamBench {
       // A/B the compaction COUNT JOB (VERDICT r12 #7): auto bucket
       // sizing re-counts corpus ∪ archive (a full text scan);
       // corpusCount makes it a parquet-footer count over the archive
-      // only. Same accepted set staged into two out dirs, explicit
-      // newIndexPrefix so both builds are input-identical. knowncount
-      // runs FIRST: the second run inherits a warm page cache, so the
-      // measured saving is a LOWER bound on the count job's cost.
+      // only. Same accepted set staged per run, explicit newIndexPrefix
+      // so every build is input-identical; variants ALTERNATE and the
+      // min of two reps is reported (first-run page-cache bias measured
+      // 10s at the 450k decade — larger than the count job itself, so
+      // single-shot ordering lies in either direction). The count job
+      // being removed is also timed alone.
       def stageOut(sub: String): String = {
         val o = s"$scratch/$sub"
         spark.read.parquet(
@@ -163,16 +165,27 @@ object IngestStreamBench {
           .write.mode("overwrite").parquet(s"$o/batch=0")
         o
       }
-      val outB = stageOut("cmp_known"); val outA = stageOut("cmp_auto")
-      val tKnown = System.nanoTime()
-      graft.streaming.IngestStream.compact(spark, corpus, idxPrefix, outB,
-        newIndexPrefix = "ingest_bench_cmp_known", corpusCount = nC)
-      val cmpKnownSec = (System.nanoTime() - tKnown) / 1e9
-      val tAuto = System.nanoTime()
-      graft.streaming.IngestStream.compact(spark, corpus, idxPrefix, outA,
-        newIndexPrefix = "ingest_bench_cmp_auto")
-      val cmpAutoSec = (System.nanoTime() - tAuto) / 1e9
-      println(f"""{"mode":"text_compact","n_corpus":$nC,"accepted":$accepted,"compact_knowncount_sec":$cmpKnownSec%.1f,"compact_autocount_sec":$cmpAutoSec%.1f}""")
+      def oneCompact(tag: String, known: Boolean, rep: Int): Double = {
+        val o = stageOut(s"cmp_${tag}_$rep")
+        val t = System.nanoTime()
+        graft.streaming.IngestStream.compact(spark, corpus, idxPrefix, o,
+          newIndexPrefix = s"ingest_bench_cmp_$tag",
+          corpusCount = if (known) nC else -1L)
+        (System.nanoTime() - t) / 1e9
+      }
+      val walls = Seq(("auto", false, 0), ("known", true, 0),
+        ("auto", false, 1), ("known", true, 1))
+        .map { case (tag, k, rep) => (tag, oneCompact(tag, k, rep)) }
+      val cmpAutoSec = walls.filter(_._1 == "auto").map(_._2).min
+      val cmpKnownSec = walls.filter(_._1 == "known").map(_._2).min
+      val tCnt = System.nanoTime()
+      val unionRows = corpus.select($"doc_id", $"text")
+        .unionByName(spark.read.parquet(
+          (0 until nBatches).map(j => s"$scratch/text_replay/b$j"): _*)
+          .select($"doc_id", $"text"))
+        .count()
+      val countJobSec = (System.nanoTime() - tCnt) / 1e9
+      println(f"""{"mode":"text_compact","n_corpus":$nC,"accepted":$accepted,"union_rows":$unionRows,"compact_knowncount_sec":$cmpKnownSec%.1f,"compact_autocount_sec":$cmpAutoSec%.1f,"count_job_sec":$countJobSec%.1f}""")
       Seq("ingest_bench_cmp_known", "ingest_bench_cmp_auto").foreach { p =>
         Seq("df", "prefix", "shingles").foreach { s =>
           graft.operators.Bucketed.dropBucketed(spark, s"${p}_$s")

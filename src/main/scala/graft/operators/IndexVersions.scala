@@ -112,4 +112,67 @@ object IndexVersions {
     val fs = p.getFileSystem(hadoopConf(spark))
     if (fs.exists(p)) fs.delete(p, false): Unit
   }
+
+  /** Retention for a PATH-rooted index: delete every version older than
+    * the committed one minus `keepPrevious` (default keeps current +
+    * one rollback target). Generation zero (the legacy flat files at
+    * the root) counts as version 0 and is removed by the same rule —
+    * its data children are the non-hidden entries beside the version
+    * dirs. Refuses to run when no version is committed (there would be
+    * nothing newer than the flat layout). Returns what it deleted.
+    */
+  def dropOldPathVersions(spark: SparkSession, rootDir: String,
+      keepPrevious: Int = 1): Seq[String] = {
+    require(keepPrevious >= 0, s"keepPrevious: $keepPrevious")
+    val cur = currentVersion(spark, rootDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at $rootDir — nothing is newer than the " +
+          "flat layout, refusing to delete it"))
+    val floor = cur - keepPrevious
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(hadoopConf(spark))
+    val deleted = scala.collection.mutable.Buffer.empty[String]
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_ixv") &&
+          name.stripPrefix("_ixv").forall(_.isDigit)) {
+        if (name.stripPrefix("_ixv").toInt < floor) {
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      } else if (name != PointerFile && !name.startsWith("_") &&
+          !name.startsWith(".") && floor > 0) {
+        // generation-zero data (bucket=* dirs / flat part files)
+        fs.delete(st.getPath, true)
+        deleted += st.getPath.toString
+      }
+    }
+    deleted.toSeq
+  }
+
+  /** Retention for a bucketed-catalog index: drop the `_df`/`_prefix`/
+    * `_shingles` tables (catalog entry AND warehouse data) of every
+    * version older than committed minus `keepPrevious`; the bare-prefix
+    * tables are generation 0 under the same rule. Returns the table
+    * prefixes it dropped.
+    */
+  def dropOldTableVersions(spark: SparkSession, tablePrefix: String,
+      keepPrevious: Int = 1): Seq[String] = {
+    require(keepPrevious >= 0, s"keepPrevious: $keepPrevious")
+    val cur = currentVersion(spark, tableRoot(spark, tablePrefix))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version for $tablePrefix — nothing is newer " +
+          "than generation zero, refusing to drop it"))
+    val floor = cur - keepPrevious
+    val old = (0 until math.max(0, floor)).map {
+      case 0 => tablePrefix
+      case v => versionPrefix(tablePrefix, v)
+    }
+    old.foreach { p =>
+      Seq("df", "prefix", "shingles").foreach { s =>
+        Bucketed.dropBucketed(spark, s"${p}_$s")
+      }
+    }
+    old
+  }
 }

@@ -719,6 +719,18 @@ class StreamingSpec extends SparkSpec {
       "vec_id", "embedding", dims, 0.4, 1, 42L)
     assert(viaIndex.count() === 0L,
       "compacted sign index must catch the folded acceptance")
+    // retention: generation zero (the flat bucket dirs at the root) can
+    // be dropped once a version is committed; the committed index keeps
+    // serving. Refused while nothing is committed (checked on a fresh
+    // root above by construction — currentVersion was None pre-commit).
+    val deleted = IndexVersions.dropOldPathVersions(spark, idxPath,
+      keepPrevious = 0)
+    assert(deleted.nonEmpty, "gen-0 flat data should have been retired")
+    val afterRetention = EmbedIngestStream.applyBatch(spark,
+      Seq((3000004L, fresh)).toDF("vec_id", "embedding"), None, idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    assert(afterRetention.count() === 0L,
+      "retention must not touch the committed version")
   }
 
   test("auto-compact trigger: stream crosses the row threshold, " +
@@ -794,6 +806,18 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$outDir/compacted")
         .select($"doc_id").collect().map(_.getLong(0)).toSet
         === Set(4000001L, 4000003L, 4000007L))
+      // retention: keepPrevious=0 retires generations 0..2; the
+      // committed version 3 still catches every folded acceptance
+      val dropped = IndexVersions.dropOldTableVersions(spark, idxPrefix,
+        keepPrevious = 0)
+      assert(dropped === Seq(idxPrefix, s"${idxPrefix}_ixv1",
+        s"${idxPrefix}_ixv2"))
+      assert(!spark.catalog.tableExists(s"${idxPrefix}_ixv1_df"))
+      val afterRetention = IngestStream.applyBatch(spark,
+        Seq((4000009L, a), (4000010L, c)).toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      assert(afterRetention.count() === 0L,
+        "retention must not touch the committed version")
     } finally {
       (Seq("") ++ (1 to 3).map(v => s"_ixv$v")).foreach { v =>
         Seq("df", "prefix", "shingles").foreach { s =>

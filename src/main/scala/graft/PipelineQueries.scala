@@ -1046,6 +1046,44 @@ object PipelineQueries {
         .select($"doc_id", $"shuffle_rank")
     },
 
+    // Multi-EPOCH reshuffle: epoch 3's serialization order — a fresh
+    // affine permutation per epoch (Sampling.epochScore), regenerated
+    // from (id, epoch) with no stored permutation. The oracle replays
+    // epoch 3's multiplier in the naive global window.
+    "pipeline_shuffle_epoch" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.shuffleRank(
+          Tables(s, dir, "documents").select($"doc_id"), "doc_id",
+          epoch = 3)
+        .select($"doc_id", $"shuffle_rank")
+    },
+
+    // Quality-MASS curation ("top-p per source"): keep each language's
+    // best documents until 80% of its total n_chars mass is covered —
+    // prefix rule on (score DESC, idScore, id), exact BIGINT fraction
+    // arithmetic (cum*100 <= total*pct), nested across pct changes
+    // (operators/Sampling.qualityMass).
+    "pipeline_quality_mass" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.qualityMass(
+          Tables(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+          "lang", "doc_id", $"n_chars", Map.empty, defaultPct = 80)
+        .select($"doc_id", $"lang", $"cum_mass", $"grp_mass")
+    },
+
+    // Thresholded quality mass — the scale path: per-(group, score)
+    // bucket aggregate → running mass over the BUCKETS → score cutoff;
+    // the corpus-side selection is a narrow cutoff filter, no per-group
+    // document sort (operators/Sampling.qualityMassThresholded).
+    // Deterministic at bucket granularity, so it gets a full oracle.
+    "pipeline_quality_mass_approx" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.qualityMassThresholded(
+          Tables(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+          "lang", "doc_id", $"n_chars", Map.empty, defaultPct = 80)
+        .select($"doc_id", $"lang")
+    },
+
     // Token-budget corpus assembly, THRESHOLDED scale path: no
     // per-group sort — token mass per (group, idScore value) is a
     // bounded aggregate (≤ 1,000,003 score values per group at any
@@ -2386,6 +2424,54 @@ object PipelineQueries {
         |    ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id)
         |    AS BIGINT) AS shuffle_rank
         |FROM documents""".stripMargin,
+
+    // Epoch 3's affine multiplier, replayed in the naive window — the
+    // literal is computed by the SAME Scala function the operator uses.
+    "pipeline_shuffle_epoch" ->
+      s"""SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ((doc_id % 1000003) * ${Sampling.epochMultiplier(3)})
+        |      % 1000003, doc_id)
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
+
+    // Quality mass, exact path: running n_chars mass per language in
+    // (score DESC, idScore, id) order, kept while cum*100 <= total*80 —
+    // all BIGINT.
+    "pipeline_quality_mass" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, h, doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_mass,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+        |      AS grp_mass
+        |  FROM t)
+        |SELECT doc_id, lang, cum_mass, grp_mass FROM c
+        |WHERE cum_mass * 100 <= grp_mass * 80""".stripMargin,
+
+    // Thresholded quality mass: the running mass over (lang, score)
+    // buckets in score-DESC order picks the lowest fully-kept score;
+    // selection keeps every document at or above it.
+    "pipeline_quality_mass_approx" ->
+      """WITH m AS (
+        |  SELECT lang, n_chars AS s, CAST(SUM(n_chars) AS BIGINT) AS bm
+        |  FROM documents GROUP BY lang, n_chars),
+        |c AS (
+        |  SELECT lang, s,
+        |    CAST(SUM(bm) OVER (PARTITION BY lang ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(bm) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM m),
+        |cut AS (
+        |  SELECT lang, MIN(s) AS cut_score FROM c
+        |  WHERE cum * 100 <= total * 80 GROUP BY lang)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN cut ON d.lang = cut.lang AND d.n_chars >= cut.cut_score""".stripMargin,
 
     // Same idScore/token CTE as the exact gate; the cumsum runs over
     // the (lang, score) bucket aggregate, the cutoff is the last fully

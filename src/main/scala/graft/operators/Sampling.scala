@@ -32,6 +32,33 @@ object Sampling {
   def idScore(id: Column): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L))
 
+  /** The multiplier behind [[epochScore]]: epoch 0 is exactly
+    * [[idScore]]'s constant (bit-compatible with every existing gate);
+    * later epochs step the multiplier through the residue ring — a
+    * DIFFERENT affine permutation per epoch, not a rotation (an
+    * additive shift would only rotate the order, which is no reshuffle
+    * at all). p = 1,000,003 is prime, so any nonzero multiplier is a
+    * bijection on the score space.
+    */
+  def epochMultiplier(epoch: Int): Long = {
+    require(epoch >= 0, s"epoch must be >= 0: $epoch")
+    if (epoch == 0) 2654435761L
+    else {
+      val k = (2654435761L % 1000003L + epoch.toLong * 40503L) % 1000003L
+      if (k == 0L) 1L else k
+    }
+  }
+
+  /** Deterministic pseudo-random score for training EPOCH `epoch` —
+    * the multi-epoch reshuffle: each epoch's serialization order is a
+    * fresh reproducible permutation, regenerated from (id, epoch) with
+    * no stored permutation table. Same exactness envelope as
+    * [[idScore]] (values < 2^20, mod-first product < 2^63).
+    */
+  def epochScore(id: Column, epoch: Int): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(epochMultiplier(epoch)),
+      lit(1000003L))
+
   /** Up to `n` rows per stratum, picked by ascending [[idScore]]
     * (ties impossible within a stratum for distinct ids below the
     * prime; the aggregate's id-ASC tiebreak covers collisions).
@@ -225,13 +252,19 @@ object Sampling {
     * turns each per-bucket window into a multi-GB single-task sort a
     * few decades later; the rank is bucket-count-invariant
     * (spec-pinned), so auto-scaling never changes the output.
+    *
+    * `epoch` reshuffles: each epoch is a fresh reproducible permutation
+    * ([[epochScore]] — a different affine multiplier per epoch), so a
+    * multi-epoch training run regenerates every epoch's order from
+    * (id, epoch) alone. Epoch 0 is bit-identical to the original rank.
     */
   def shuffleRank(df: DataFrame, idCol: String,
-      buckets: Int = 0, knownCount: Long = -1L): DataFrame = {
+      buckets: Int = 0, knownCount: Long = -1L,
+      epoch: Int = 0): DataFrame = {
     val b = resolveSortBuckets(df, buckets, knownCount)
     import org.apache.spark.sql.expressions.Window
     val width = (1000003L + b - 1) / b
-    val s = idScore(col(idCol))
+    val s = epochScore(col(idCol), epoch)
     val withB = df.withColumn("__sbkt", (s / lit(width)).cast("long"))
     val offsets = withB.groupBy(col("__sbkt"))
       .agg(count(lit(1)).as("__cnt"))
@@ -333,6 +366,85 @@ object Sampling {
           stride.cast("string"), lit(" exceeds Long.MaxValue"))))
           .otherwise(col("src_rank") * stride))
       .drop("__sbkt", "__off")
+  }
+
+  /** Quality-MASS curation ("top-p per source"): per group, keep the
+    * best documents until the kept score mass reaches `pct` percent of
+    * the group's total mass — the curation rule when the budget is a
+    * FRACTION of quality signal rather than a token count ("keep the
+    * top 80% of quality mass per language"; the complement of
+    * winsorize-then-threshold for heavy-tailed signals, where a fixed
+    * score cutoff keeps wildly different fractions per group).
+    *
+    * Order: (`score` DESC, [[idScore]], id) — best first, hash
+    * tiebreak so equal-score documents keep/drop reproducibly. Prefix
+    * rule: a document is kept iff the running mass INCLUDING it stays
+    * ≤ pct% of the group total, so the kept mass never exceeds the
+    * fraction and the selection NESTS (pct 50 ⊆ pct 80). All mass
+    * arithmetic is BIGINT (`cum·100 ≤ total·pct`) — engine-exact, no
+    * float fractions.
+    *
+    * This is the EXACT path (per-group window sort, one hot group
+    * serializes — the [[tokenBudget]] caveat); [[qualityMassThresholded]]
+    * is the 100 TB shape. Output: input columns + `cum_mass` +
+    * `grp_mass`.
+    */
+  def qualityMass(df: DataFrame, groupCol: String, idCol: String,
+      score: Column, pctByGroup: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: pctByGroup.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "pct must be 0..100")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(score.cast("long").desc, idScore(col(idCol)), col(idCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.withColumn("cum_mass", sum(score.cast("long")).over(w))
+      .withColumn("grp_mass", sum(score.cast("long")).over(wAll))
+      .filter(col("cum_mass") * lit(100L) <= col("grp_mass") * pct)
+  }
+
+  /** Thresholded quality mass — the scale path, the
+    * [[tokenBudgetThresholded]] trick on a DESCENDING score axis: one
+    * aggregation computes the mass per (group, score value) — bounded
+    * by the distinct score count, never the corpus — the running mass
+    * over that aggregate picks each group's lowest fully-kept score,
+    * and the corpus-side selection is a narrow `score ≥ cutoff`
+    * semi-join. Kept set is a SUBSET of [[qualityMass]]'s truncated at
+    * a score-value boundary (it stops one PARTIAL score bucket early;
+    * shortfall ≤ the heaviest single (group, score) bucket). Same
+    * nesting property.
+    */
+  def qualityMassThresholded(df: DataFrame, groupCol: String,
+      idCol: String, score: Column, pctByGroup: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: pctByGroup.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "pct must be 0..100")
+    import org.apache.spark.sql.expressions.Window
+    val mass = df
+      .select(col(groupCol).as("grp"), score.cast("long").as("s"))
+      .groupBy(col("grp"), col("s"))
+      .agg(sum(col("s")).as("bucket_mass"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(col("grp") === g, lit(p)).otherwise(acc)
+    }
+    // lowest fully-kept score per group; a group whose TOP bucket
+    // already exceeds its fraction has no cut row and keeps nothing —
+    // the same outcome as the exact prefix rule
+    val cut = mass
+      .withColumn("cum", sum(col("bucket_mass")).over(w))
+      .withColumn("total", sum(col("bucket_mass")).over(wAll))
+      .filter(col("cum") * lit(100L) <= col("total") * pct)
+      .groupBy(col("grp")).agg(min(col("s")).as("cut_score"))
+    df.join(cut.withColumnRenamed("grp", groupCol), Seq(groupCol))
+      .filter(score.cast("long") >= col("cut_score"))
+      .drop("cut_score")
   }
 
   /** Shared bucket resolution for the composed-rank operators: explicit

@@ -400,6 +400,103 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(ie.exceptAll(ia).count() === 0L)
   }
 
+  test("epoch reshuffle: each epoch a fresh permutation, epoch 0 " +
+      "bit-identical to shuffleRank, orders genuinely differ") {
+    import org.apache.spark.sql.expressions.Window
+    val ids = (1L to 3000L).filter(_ % 3 != 0)
+    val df = ids.toDF("doc_id").repartition(8)
+    def ranks(e: Int): Map[Long, Long] =
+      Sampling.shuffleRank(df, "doc_id", epoch = e)
+        .select($"doc_id", $"shuffle_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = ranks(0); val e1 = ranks(1); val e3 = ranks(3)
+    // epoch 0 == the original operator (same multiplier)
+    val orig = Sampling.shuffleRank(df, "doc_id")
+      .select($"doc_id", $"shuffle_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e0 === orig)
+    // each epoch is a permutation 1..n
+    Seq(e0, e1, e3).foreach { m =>
+      assert(m.values.toSeq.sorted === (1L to ids.size.toLong)) }
+    // epochs genuinely reshuffle (greater-than-rotation difference:
+    // a rotation keeps most ADJACENT pairs adjacent; count preserved
+    // successor pairs — must be near zero for an affine re-key)
+    def successorPreserved(a: Map[Long, Long], b: Map[Long, Long]): Int = {
+      val byRankA = a.toSeq.map(_.swap).toMap
+      (1L until ids.size.toLong).count { r =>
+        b(byRankA(r + 1)) == b(byRankA(r)) + 1
+      }
+    }
+    assert(e0 !== e1); assert(e1 !== e3)
+    assert(successorPreserved(e0, e1) < ids.size / 10,
+      "epoch 1 must not be a near-rotation of epoch 0")
+    // replay equality vs the naive window with the same multiplier
+    val naive = df.withColumn("shuffle_rank",
+      row_number().over(Window.orderBy(
+        Sampling.epochScore($"doc_id", 3), $"doc_id")).cast("long"))
+      .select($"doc_id", $"shuffle_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e3 === naive)
+  }
+
+  test("qualityMass: prefix rule on descending score, exact fraction " +
+      "cap, nesting; thresholded subset truncated at a score boundary") {
+    val rows = (1L to 2000L).map(i =>
+      (i, Seq("web", "code")((i % 2).toInt), (i * 37 % 97) + 1))
+    val df = rows.toDF("doc_id", "src", "q").repartition(8)
+    val kept = Sampling.qualityMass(df, "src", "doc_id", $"q",
+      Map("web" -> 50), defaultPct = 80)
+    val got = kept.select($"doc_id", $"src", $"cum_mass", $"grp_mass")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    // hard cap: kept mass per group <= pct% of total, and the naive
+    // recomputation agrees row for row
+    val totals = rows.groupBy(_._2).view
+      .mapValues(_.map(_._3.toLong).sum).toMap
+    val keptMass = got.groupBy(_._2).view
+      .mapValues(_.map { case (id, _, _, _) =>
+        rows.find(_._1 == id).get._3.toLong }.sum).toMap
+    assert(keptMass("web") * 100 <= totals("web") * 50)
+    assert(keptMass("code") * 100 <= totals("code") * 80)
+    // naive driver-side replay: sort by (q desc, idScore, id), prefix
+    def naiveKeep(src: String, pct: Int): Set[Long] = {
+      def hscore(id: Long) = ((id % 1000003L) * 2654435761L) % 1000003L
+      val grp = rows.filter(_._2 == src)
+        .sortBy { case (id, _, q) => (-q, hscore(id), id) }
+      val total = grp.map(_._3.toLong).sum
+      var cum = 0L
+      grp.takeWhile { case (_, _, q) =>
+        cum += q; cum * 100 <= total * pct }.map(_._1).toSet
+    }
+    assert(got.filter(_._2 == "web").map(_._1).toSet ===
+      naiveKeep("web", 50))
+    assert(got.filter(_._2 == "code").map(_._1).toSet ===
+      naiveKeep("code", 80))
+    // nesting: pct 30 ⊆ pct 50 per group
+    val tighter = Sampling.qualityMass(df, "src", "doc_id", $"q",
+        Map("web" -> 30), defaultPct = 50)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val looser = Sampling.qualityMass(df, "src", "doc_id", $"q",
+        Map("web" -> 50), defaultPct = 80)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(looser))
+    // thresholded: subset of exact, and the boundary is a score value —
+    // every dropped-but-exact-kept doc shares the group's cut score
+    val approx = Sampling.qualityMassThresholded(df, "src", "doc_id",
+        $"q", Map("web" -> 50), defaultPct = 80)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val exact = looser
+    assert(approx.subsetOf(exact))
+    val q = rows.map(r => r._1 -> r._3).toMap
+    val dropped = exact -- approx
+    dropped.groupBy(id => rows.find(_._1 == id).get._2).foreach {
+      case (_, ids) =>
+        assert(ids.map(q).size === 1,
+          "thresholded may only stop one partial score bucket early")
+    }
+  }
+
   test("interleave overflow safety: gcd-normalized weights, pathological " +
       "lcm rejected loudly, per-row key overflow raises") {
     val rows = (1L to 600L).map(i =>

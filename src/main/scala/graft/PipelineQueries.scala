@@ -1155,6 +1155,20 @@ object PipelineQueries {
       graft.operators.Packing.packSummary(packed, budget = 2048L)
     },
 
+    // Sequence packing under the SUBWORD tokenizer seam: same next-fit
+    // bins, token counts from the greedy longest-match kernel — the
+    // seam composes across the assembly family (budget + packing), and
+    // the oracle again replays the tokenizer itself.
+    "pipeline_pack_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tokens",
+          graft.functions.Tokenizers.bpe.count($"text").cast("long"))
+      val packed = graft.operators.Packing.nextFitByStart(
+        docs, "source", "doc_id", "tokens", budget = 2048L)
+      graft.operators.Packing.packSummary(packed, budget = 2048L)
+    },
+
     // Stream-stream join (batch-equivalent plan): purchases attributed
     // to same-user clicks in the preceding 30 minutes.
     "stream_join" -> { (s, dir) =>
@@ -2537,6 +2551,24 @@ object PipelineQueries {
     "pipeline_pack" ->
       """WITH t AS (SELECT source AS shard, doc_id AS id,
         |    CAST(ceil(n_chars / 4) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT shard, id, tokens,
+        |    SUM(tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |p AS (SELECT shard, tokens, (cum - tokens) // 2048 AS bin FROM c)
+        |SELECT shard, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(SUM(tokens) AS DOUBLE) / 2048 AS fill
+        |FROM p GROUP BY shard, bin""".stripMargin,
+
+    // The packing seam gate: identical bin arithmetic, token counts
+    // from the tokenizer-replay regex (same generated source as the
+    // budget gate's oracle).
+    "pipeline_pack_bpe" ->
+      s"""WITH t AS (SELECT source AS shard, doc_id AS id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '${graft.functions.Tokenizers.bpe.oracleRegex}')) AS BIGINT)
+        |      AS tokens FROM documents),
         |c AS (SELECT shard, id, tokens,
         |    SUM(tokens) OVER (PARTITION BY shard ORDER BY id
         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t),

@@ -1021,6 +1021,17 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // Vocabulary MINING for the tokenizer seam: the 10 most frequent
+    // character n-grams per length 2..4 over the corpus's lowercased
+    // letter runs — the merges-learning step that makes the subword
+    // tokenizer corpus-adaptive (functions/Tokenizers.vocabCandidates).
+    // Every position counts (what BPE merges maximize); ties break
+    // lexicographically, so the oracle replays it exactly.
+    "text_learned_vocab" -> { (s, dir) =>
+      graft.functions.Tokenizers.vocabCandidates(
+        Tables(s, dir, "documents"), "text", perLen = 10)
+    },
+
     // Weighted source interleave: exact-integer stride keys (lcm 6;
     // en weight 3 → stride 2, zh weight 2 → stride 3, others 1 →
     // stride 6) over deterministic per-language ranks — sorting by
@@ -2410,6 +2421,30 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 16000""".stripMargin,
+
+    // Character n-gram mining replay: letter runs via the same regex,
+    // per-length position unnest, occurrence counts, (count DESC,
+    // piece) ranking.
+    "text_learned_vocab" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT v.n AS glen, substr(w, s.i, v.n) AS piece
+        |  FROM words, (VALUES (2),(3),(4)) v(n),
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |         len(w) - v.n + 1)) AS i) s
+        |  WHERE len(w) >= v.n),
+        |counts AS (
+        |  SELECT glen, piece, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM grams GROUP BY glen, piece),
+        |ranked AS (
+        |  SELECT glen, piece, n_occ,
+        |    CAST(row_number() OVER (PARTITION BY glen
+        |      ORDER BY n_occ DESC, piece) AS BIGINT) AS rk
+        |  FROM counts)
+        |SELECT CAST(glen AS BIGINT) AS glen, piece, n_occ, rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
 
     // Per-language naive rank + the same integer stride arithmetic
     // (lcm 6 over weights {en:3, zh:2, default 1}).

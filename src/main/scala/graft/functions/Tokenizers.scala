@@ -100,6 +100,53 @@ object Tokenizers {
   val bpe: VocabTokenizer = VocabTokenizer(DefaultVocab)
 
   val whitespace: Tokenizer = WhitespaceTokenizer
+
+  /** Mine a piece vocabulary FROM a corpus — the merges-learning step:
+    * the `perLen` most frequent character n-grams of each length in
+    * 2..4 over the lowercased letter runs (occurrences, not document
+    * frequency — every position counts, which is what early BPE merges
+    * maximize). Deterministic: ties break lexicographically. One plan —
+    * letter-run explode → per-length position explode → count — whose
+    * widest shuffle carries (len, piece) pairs, bounded by 26^len, so
+    * the aggregate (never the corpus) is what the ranking window sorts.
+    * Output: (glen, piece, n_occ, rk ≤ perLen).
+    */
+  def vocabCandidates(df: org.apache.spark.sql.DataFrame, textCol: String,
+      perLen: Int = 24,
+      lengths: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(perLen >= 1 && lengths.nonEmpty && lengths.forall(_ >= 2),
+      s"perLen: $perLen lengths: $lengths")
+    val words = df.select(
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+        lit(0))).as("w"))
+    val grams = lengths.map { n =>
+      words.filter(length(col("w")) >= n)
+        .select(col("w"),
+          explode(sequence(lit(1), length(col("w")) - n + 1)).as("i"))
+        .select(lit(n.toLong).as("glen"),
+          expr(s"substring(w, i, $n)").as("piece"))
+    }.reduce(_ unionByName _)
+    grams.groupBy(col("glen"), col("piece"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("glen"))
+          .orderBy(col("n_occ").desc, col("piece"))).cast("long"))
+      .filter(col("rk") <= perLen)
+  }
+
+  /** [[vocabCandidates]] collected into a ready [[VocabTokenizer]] —
+    * the corpus-adaptive tokenizer (code/CJK-heavy corpora mine their
+    * own high-frequency pieces instead of inheriting English ones).
+    * The collect is bounded by perLen × |lengths| rows.
+    */
+  def learn(df: org.apache.spark.sql.DataFrame, textCol: String,
+      perLen: Int = 24): VocabTokenizer = {
+    val pieces = vocabCandidates(df, textCol, perLen)
+      .select("piece").collect().map(_.getString(0)).toSeq
+    VocabTokenizer(pieces)
+  }
 }
 
 object SubwordOps {

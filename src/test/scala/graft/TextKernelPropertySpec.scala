@@ -72,6 +72,21 @@ class TextKernelPropertySpec extends SparkSpec {
       .select(graft.functions.TextFunctions.tokenCount($"t")).head().getInt(0)
     val sub = Seq(code).toDF("t").select(tok.count($"t")).head().getInt(0)
     assert(ws === 1 && sub > 5, s"ws=$ws sub=$sub")
+    // a LEARNED vocabulary plugs into the same kernel/replay pair: mine
+    // the corpus's own top pieces, count with them, replay with the
+    // regex generated from them — still exactly equal
+    val learned = Tokenizers.learn(d, "text", perLen = 12)
+    assert(learned.vocab.size === 36 &&
+      learned.vocab.forall(p => p.length >= 2 && p.length <= 4))
+    val learnedRegex = learned.oracleRegex
+    val ldiff = d.select(learned.count($"text").as("k"),
+        size(regexp_extract_all(lower($"text"), lit(learnedRegex), lit(0)))
+          .as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(ldiff === 0L, "learned-vocab kernel diverged from its replay")
+    // learning is deterministic (ties break lexicographically)
+    assert(learned.vocab.sorted ===
+      Tokenizers.learn(d, "text", perLen = 12).vocab.sorted)
   }
 
   test("property: wordChunks partitions the token stream in order") {

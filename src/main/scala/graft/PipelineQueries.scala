@@ -1021,6 +1021,24 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // Mix to target TOKEN shares: src0 capped at 100‰ and src1 at 50‰
+    // of the corpus's total n_chars mass — per-group keep rates derived
+    // with exact BIGINT floor arithmetic (rate = min(1000,
+    // total·share‰ div group_mass)), applied via the idScore hash rule
+    // (operators/Sampling.mixToTokenShares). Gate emits per-source kept
+    // counts/mass + the applied rate.
+    "pipeline_mix_tokens" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.mixToTokenShares(
+          Tables(s, dir, "documents").select($"doc_id", $"source", $"n_chars"),
+          "source", "doc_id", $"n_chars",
+          Map("src0" -> 100, "src1" -> 50))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").as("kept_mass"),
+          min($"rate_pm").as("rate_pm"))
+    },
+
     // Vocabulary MINING for the tokenizer seam: the 10 most frequent
     // character n-grams per length 2..4 over the corpus's lowercased
     // letter runs — the merges-learning step that makes the subword
@@ -2421,6 +2439,28 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 16000""".stripMargin,
+
+    // Same BIGINT floor-division rate derivation + idScore hash keep
+    // rule; `//` is DuckDB's floor division (operands positive, so it
+    // matches Spark's `div` exactly).
+    "pipeline_mix_tokens" ->
+      """WITH m AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS gmass
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(gmass) AS BIGINT) AS total FROM m),
+        |r AS (
+        |  SELECT m.source,
+        |    LEAST(1000, (t.total * CASE m.source
+        |        WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |        ELSE 1000 END) // m.gmass) AS rate_pm
+        |  FROM m, t)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_mass,
+        |  CAST(MIN(r.rate_pm) AS BIGINT) AS rate_pm
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000003 % 1000
+        |  < r.rate_pm
+        |GROUP BY d.source""".stripMargin,
 
     // Character n-gram mining replay: letter runs via the same regex,
     // per-length position unnest, occurrence counts, (count DESC,

@@ -368,6 +368,52 @@ object Sampling {
       .drop("__sbkt", "__off")
   }
 
+  /** Mix to target TOKEN shares ("70:20:10 web:code:math"): derive each
+    * group's keep rate so its surviving token mass lands at (at most)
+    * `sharePerMille`/1000 of the WHOLE corpus's token mass, then apply
+    * the [[weightedKeep]] hash rule. The rate is exact integer floor
+    * arithmetic — `rate‰ = min(1000, total·share‰ / group_mass)` in
+    * BIGINT — and the kept set inherits weightedKeep's properties:
+    * deterministic, nested under share increases, new rows never
+    * resample old ones. The achieved share is the hash-uniformity
+    * EXPECTATION (each doc keeps/drops whole); groups absent from the
+    * map keep everything (rate 1000‰).
+    *
+    * Scale shape: one (group, mass) aggregate (map-side combinable),
+    * a ≤|groups|-row total window over that aggregate, and a broadcast
+    * join back — the corpus crosses no shuffle; the filter is narrow.
+    *
+    * Output: input columns + `rate_pm` (the applied per-mille rate).
+    */
+  def mixToTokenShares(df: DataFrame, groupCol: String, idCol: String,
+      tokens: Column, sharesPerMille: Map[String, Int]): DataFrame = {
+    require(sharesPerMille.values.forall(p => p >= 0 && p <= 1000),
+      "shares must be 0..1000 per-mille")
+    import org.apache.spark.sql.expressions.Window
+    val masses = df
+      .select(col(groupCol).as("grp"), tokens.cast("long").as("tk"))
+      .groupBy(col("grp")).agg(sum(col("tk")).as("gmass"))
+      .withColumn("total", sum(col("gmass")).over(
+        Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    val share = sharesPerMille.toSeq.sortBy(_._1)
+      .foldLeft(lit(1000L)) { case (acc, (g, p)) =>
+        when(col("grp") === g, lit(p.toLong)).otherwise(acc)
+      }
+    // `div` (not `/`): BIGINT floor division — double division would
+    // round past 2^53 of token mass. total·share ≤ 1000× the corpus
+    // token count stays far under Long.MaxValue for any real corpus.
+    val rates = masses.withColumn("__share", share)
+      .select(col("grp").as(groupCol),
+        least(lit(1000L),
+          when(col("gmass") > 0,
+            expr("(total * __share) div gmass"))
+            .otherwise(lit(1000L))).as("rate_pm"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(idScore(col(idCol)), lit(1000L)) < col("rate_pm"))
+  }
+
   /** Quality-MASS curation ("top-p per source"): per group, keep the
     * best documents until the kept score mass reaches `pct` percent of
     * the group's total mass — the curation rule when the budget is a

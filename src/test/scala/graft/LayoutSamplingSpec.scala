@@ -497,6 +497,41 @@ class LayoutSamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixToTokenShares: exact integer rate derivation, keep rule " +
+      "matches the hash replay, nesting under share increases") {
+    // group a: 1000 tokens over 100 docs, group b: 3000 over 300 —
+    // total 4000. share(a)=500‰ → rate min(1000, 4000·500/1000)=1000
+    // (kept whole); share(b)=250‰ → 4000·250/3000 = 333‰.
+    val rows = (1L to 100L).map(i => (i, "a", 10L)) ++
+      (101L to 400L).map(i => (i, "b", 10L))
+    val df = rows.toDF("doc_id", "src", "tk").repartition(4)
+    val out = Sampling.mixToTokenShares(df, "src", "doc_id", $"tk",
+      Map("a" -> 500, "b" -> 250))
+    val rates = out.groupBy($"src").agg(min($"rate_pm").as("r"),
+        max($"rate_pm").as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rates("a") === ((1000L, 1000L)))
+    assert(rates("b") === ((333L, 333L)))
+    // the keep rule is exactly the idScore hash replay
+    def hpm(id: Long) = ((id % 1000003L) * 2654435761L) % 1000003L % 1000L
+    val expect = rows.filter { case (id, g, _) =>
+      hpm(id) < (if (g == "a") 1000L else 333L) }.map(_._1).toSet
+    assert(out.select($"doc_id").collect().map(_.getLong(0)).toSet
+      === expect)
+    // group a kept whole (rate 1000 keeps every hash value)
+    assert(expect.count(_ <= 100L) === 100)
+    // nesting: a smaller share keeps a subset
+    val tighter = Sampling.mixToTokenShares(df, "src", "doc_id", $"tk",
+        Map("a" -> 500, "b" -> 100))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(expect))
+    // absent groups keep everything
+    val noTargets = Sampling.mixToTokenShares(df, "src", "doc_id", $"tk",
+      Map.empty)
+    assert(noTargets.count() === rows.size.toLong)
+  }
+
   test("interleave overflow safety: gcd-normalized weights, pathological " +
       "lcm rejected loudly, per-row key overflow raises") {
     val rows = (1L to 600L).map(i =>

@@ -126,6 +126,12 @@ object IngestStream {
         // micro-batches — the trigger policy the doc advice used to
         // leave to the caller's memory. The versioned commit makes a
         // crash here harmless: the stream keeps probing version N.
+        // A crash in the compact→checkpoint-commit window replays
+        // batch N against the index that already HOLDS its accepted
+        // rows, so the replayed output is empty — every accepted doc
+        // then lives exactly once, in the compaction archive, and the
+        // dedup contract (nothing admitted twice, nothing lost) holds
+        // through the replay.
         if (compactCorpus.isDefined &&
             shouldCompact(spark, outDir, compactMaxBytes, compactMaxRows)) {
           compact(spark, compactCorpus.get, indexTablePrefix, outDir,

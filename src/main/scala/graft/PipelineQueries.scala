@@ -1021,6 +1021,27 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"cum_tokens")
     },
 
+    // CURRICULUM capstone — this round's operators composed into ONE
+    // job: quality-mass curation (top 80% of n_chars mass per language)
+    // → subword token budget (8000 BPE tokens per language, prefix
+    // rule) → epoch-1 training-order shuffle (explicit buckets keep the
+    // composition a single plan, no mid-build count job). The oracle
+    // replays all three stages.
+    "pipeline_curriculum" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars", $"text")
+      val curated = Sampling.qualityMass(d, "lang", "doc_id",
+        $"n_chars", Map.empty, defaultPct = 80)
+      val budgeted = Sampling.tokenBudget(
+        curated.select($"doc_id", $"lang",
+          graft.functions.Tokenizers.bpe.count($"text").as("n_tokens")),
+        "lang", "doc_id", $"n_tokens", Map.empty, defaultBudget = 8000L)
+      Sampling.shuffleRank(budgeted.select($"doc_id", $"lang"),
+          "doc_id", buckets = 1024, epoch = 1)
+        .select($"doc_id", $"lang", $"shuffle_rank")
+    },
+
     // Mix to target TOKEN shares: src0 capped at 100‰ and src1 at 50‰
     // of the corpus's total n_chars mass — per-group keep rates derived
     // with exact BIGINT floor arithmetic (rate = min(1000,
@@ -2439,6 +2460,43 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, lang, cum_tokens FROM c
         |WHERE cum_tokens <= 16000""".stripMargin,
+
+    // Three-stage replay: quality-mass prefix (desc n_chars, hash
+    // tiebreak) → subword budget prefix (tokenizer-replay regex) →
+    // epoch-1 global rank.
+    "pipeline_curriculum" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      CAST(SUM(n_chars) OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, h, doc_id ROWS UNBOUNDED PRECEDING)
+        |        AS BIGINT) AS cum,
+        |      CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+        |        AS total
+        |    FROM t) q WHERE cum * 100 <= total * 80),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text),
+        |      '${graft.functions.Tokenizers.bpe.oracleRegex}')) AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS score
+        |  FROM qm),
+        |bud AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |        ORDER BY score, doc_id ROWS UNBOUNDED PRECEDING)
+        |        AS BIGINT) AS cum
+        |    FROM tok) b WHERE cum <= 8000)
+        |SELECT doc_id, lang,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ((doc_id % 1000003) *
+        |      ${graft.operators.Sampling.epochMultiplier(1)}) % 1000003,
+        |      doc_id) AS BIGINT) AS shuffle_rank
+        |FROM bud""".stripMargin,
 
     // Same BIGINT floor-division rate derivation + idScore hash keep
     // rule; `//` is DuckDB's floor division (operands positive, so it

@@ -51,13 +51,28 @@ object IngestStream {
   /** One micro-batch through the three dedup stages. Factored out of
     * the stream so tests (and backfills) can replay it batch-exactly.
     * `accepted` is the already-ingested set (None for the first batch
-    * of a fresh output dir).
+    * of a fresh output dir). `nearWithinBatch` opts into stage 1.5 —
+    * symmetric near-dup resolution INSIDE the batch (PPJoin pairs →
+    * connected components → min-id keeper), for arrival sources that
+    * can emit two near-identical documents in one micro-batch; off by
+    * default because it pays the symmetric batch×batch pair cost per
+    * arrival, which most crawl frontiers (exact re-emits only) never
+    * need.
     */
   private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
       accepted: Option[DataFrame], indexTablePrefix: String,
       idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
-    val b1 = exactWithinBatch(batch, idCol, textCol)
+      threshold: Double, nearWithinBatch: Boolean = false): DataFrame = {
+    val b1e = exactWithinBatch(batch, idCol, textCol)
+    val b1 =
+      if (!nearWithinBatch) b1e
+      else {
+        val drops = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(b1e, idCol, textCol, n, threshold))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol))
+        b1e.join(drops, Seq(idCol), "left_anti")
+      }
     val dupVsCorpus = Dedup.probeNgramIndexBucketed(spark,
         indexTablePrefix, b1, idCol, textCol, n, threshold)
       .select(col("id_batch").as(idCol)).distinct()
@@ -92,7 +107,8 @@ object IngestStream {
       threshold: Double = 0.5, maxFilesPerTrigger: Int = 1,
       compactCorpus: Option[DataFrame] = None,
       compactMaxBytes: Long = Long.MaxValue,
-      compactMaxRows: Long = Long.MaxValue): Unit = {
+      compactMaxRows: Long = Long.MaxValue,
+      nearWithinBatch: Boolean = false): Unit = {
     require(
       Dedup.attachNgramIndexBucketed(spark, indexTablePrefix, indexBuckets),
       s"no bucketed n-gram index under table prefix $indexTablePrefix")
@@ -119,7 +135,7 @@ object IngestStream {
           if (acceptedDirs.isEmpty) None
           else Some(spark.read.parquet(acceptedDirs: _*))
         applyBatch(spark, batch, accepted, indexTablePrefix,
-          idCol, textCol, n, threshold)
+          idCol, textCol, n, threshold, nearWithinBatch)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // opt-in auto-compact: when the accepted set outgrows its
         // thresholds, fold it into the next index version BETWEEN

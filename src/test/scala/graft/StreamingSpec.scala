@@ -587,6 +587,41 @@ class StreamingSpec extends SparkSpec {
       Set(1000007L), "rebuilt sign index must catch the compacted dup")
   }
 
+  test("within-batch NEAR-dup resolution (opt-in stage 1.5): min-id " +
+      "keeper per near-dup cluster; default leaves near pairs intact") {
+    import graft.operators.Dedup
+    import graft.streaming.IngestStream
+    val docs = Tables(spark, sf001, "documents")
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val idxPrefix = "ingest_near_test_idx"
+    Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+      n = 3, threshold = 0.5, buckets = 4)
+    try {
+      def synthText(stem: String): String =
+        (0 until 20).map(i => s"zzq$stem$i").mkString(" ")
+      val a = synthText("nalpha")
+      // near (not exact) pair: one token of twenty differs — Jaccard
+      // well above 0.5, fingerprints differ
+      val aNear = a.replace("nalpha7", "nalphaX")
+      val batch = Seq((5000001L, a), (5000002L, aNear),
+        (5000003L, synthText("nbeta"))).toDF("doc_id", "text")
+      // default: exact-only stage 1 keeps BOTH near twins
+      val noOpt = IngestStream.applyBatch(spark, batch, None, idxPrefix,
+        "doc_id", "text", 3, 0.5)
+      assert(noOpt.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(5000001L, 5000002L, 5000003L))
+      // opted in: the cluster collapses to its min id
+      val opt = IngestStream.applyBatch(spark, batch, None, idxPrefix,
+        "doc_id", "text", 3, 0.5, nearWithinBatch = true)
+      assert(opt.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(5000001L, 5000003L))
+    } finally {
+      Seq("df", "prefix", "shingles").foreach { s =>
+        graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
+      }
+    }
+  }
+
   test("versioned compaction (text): a rebuild killed mid-flight leaves " +
       "every probe on version N; the retry commits N+1; repeated " +
       "compactions fold ALL archived generations") {

@@ -353,11 +353,6 @@ object Dedup {
       else Tune.scaledBuckets(
         if (knownCount >= 0) knownCount else corpus.count(),
         math.max(1, corpus.sparkSession.sparkContext.defaultParallelism))
-    // a FRESH flat build resets the prefix to generation zero: a stale
-    // version pointer from an earlier compaction would silently shadow
-    // the tables this call is about to write
-    IndexVersions.clearPointer(corpus.sparkSession,
-      IndexVersions.tableRoot(corpus.sparkSession, tablePrefix))
     val (dfC, prefix, shC) = ngramIndexFrames(corpus, idCol, textCol, n,
       threshold)
     Bucketed.writeBucketed(dfC, s"${tablePrefix}_df", "h", b, filesPerBucket)
@@ -365,6 +360,15 @@ object Dedup {
       filesPerBucket)
     Bucketed.writeBucketed(shC, s"${tablePrefix}_shingles", "id", b,
       filesPerBucket)
+    // a FRESH flat build resets the prefix to generation zero: a stale
+    // version pointer from an earlier compaction would silently shadow
+    // the tables just written. Cleared LAST — while the three writes
+    // are in flight, the stale pointer is exactly what keeps readers on
+    // the committed generation N; clearing it first would resolve them
+    // to the half-written bare-prefix tables in the crash window
+    // (pointer-flip-last discipline, see IndexVersions)
+    IndexVersions.clearPointer(corpus.sparkSession,
+      IndexVersions.tableRoot(corpus.sparkSession, tablePrefix))
   }
 
   /** Attach a session to a [[writeNgramIndexBucketed]] index built by

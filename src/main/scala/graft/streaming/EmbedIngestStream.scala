@@ -161,12 +161,9 @@ object EmbedIngestStream {
     val dirs = IngestStream.batchDirs(spark, outDir)
     if (dirs.isEmpty) return -1L
     val maxId = dirs.map(_._1).max
-    val archive = s"$outDir/compacted/upto=$maxId"
-    spark.read.parquet(dirs.map(_._2): _*)
-      .select(col(idCol), col(vecCol))
-      .write.mode("overwrite").parquet(archive)
     val archived = spark.read.parquet(
-      IngestStream.archiveDirs(spark, outDir): _*)
+      IngestStream.archiveAccepted(spark, outDir, dirs,
+        Seq(idCol, vecCol)): _*)
     val known =
       if (corpusCount >= 0) corpusCount + archived.count() else -1L
     val next = graft.operators.IndexVersions.nextVersion(spark, indexPath)

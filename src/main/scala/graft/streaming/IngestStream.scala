@@ -208,11 +208,13 @@ object IngestStream {
     * `outDir/compacted/upto=*` dir), so repeated compactions never need
     * the caller to grow the corpus frame. Steps, in crash-safe order:
     *
-    *  1. archive the accepted rows under
+    *  1. archive the NOT-yet-archived accepted rows under
     *     `outDir/compacted/upto=<maxBatchId>` — they are the next
     *     generation's delta; deleting them unarchived would lose the
-    *     stream's output (re-running after a crash here overwrites the
-    *     same archive dir — idempotent);
+    *     stream's output. Batches already covered by a committed
+    *     archive are skipped and partial archives from a crashed write
+    *     are rebuilt, so a compaction retry after ANY crash folds each
+    *     accepted row exactly once ([[archiveAccepted]]);
     *  2. build index version N+1 BESIDE version N over corpus ∪ all
     *     archives (reading the ARCHIVED copies, so the rebuild never
     *     races a deletion), under table prefix
@@ -246,11 +248,8 @@ object IngestStream {
     val dirs = batchDirs(spark, outDir)
     if (dirs.isEmpty) return -1L
     val maxId = dirs.map(_._1).max
-    val archive = s"$outDir/compacted/upto=$maxId"
-    spark.read.parquet(dirs.map(_._2): _*)
-      .select(col(idCol), col(textCol))
-      .write.mode("overwrite").parquet(archive)
-    val archives = archiveDirs(spark, outDir)
+    val archives = archiveAccepted(spark, outDir, dirs,
+      Seq(idCol, textCol))
     val archived = spark.read.parquet(archives: _*)
     // knownCount spares the auto-bucket sizing its corpus re-scan: the
     // archive count reads parquet footers only
@@ -276,10 +275,62 @@ object IngestStream {
     maxId
   }
 
+  /** Archive the NOT-YET-ARCHIVED accepted rows and return every
+    * archive dir the compaction rebuild should fold. Shared by both
+    * ingest-stream compacts ([[compact]],
+    * [[EmbedIngestStream.compact]]); `cols` is the (id, payload)
+    * projection the archive keeps.
+    *
+    * The invariant this enforces is "every accepted doc lives exactly
+    * once across the archives", against two crash shapes a naive
+    * archive-everything would break on:
+    *
+    *  - a compaction that crashed AFTER its archive write but before
+    *    clearing the batch dirs leaves `upto=N` committed with batch
+    *    dirs ≤ N still present; re-archiving those rows under a later
+    *    `upto=M` would double-count them in every future rebuild (and
+    *    in the `knownCount` bucket sizing). Only batches ABOVE the
+    *    newest committed archive are archived here — batch ids are
+    *    monotonic (fresh-checkpoint restarts are refused at [[run]]
+    *    entry), so id ≤ N ⟺ already archived;
+    *  - a compaction that crashed DURING its archive write leaves a
+    *    partial `upto=` dir (no parquet-committer `_SUCCESS` marker —
+    *    deployments that disable `mapreduce.fileoutputcommitter.
+    *    marksuccessfuljobs` must not point compaction at this layout).
+    *    Folding it would lose rows silently; it is deleted and its
+    *    batches re-archived (their dirs still exist — deletion is the
+    *    LAST compaction step).
+    */
+  private[graft] def archiveAccepted(spark: SparkSession,
+      outDir: String, dirs: Seq[(Long, String)],
+      cols: Seq[String]): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (committed, partial) = archiveDirs(spark, outDir).partition { d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    }
+    partial.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true): Unit
+    }
+    val prevUpto = committed.map(uptoOf).maxOption.getOrElse(-1L)
+    val fresh = dirs.filter(_._1 > prevUpto)
+    if (fresh.isEmpty) committed
+    else {
+      val archive = s"$outDir/compacted/upto=${dirs.map(_._1).max}"
+      spark.read.parquet(fresh.map(_._2): _*)
+        .select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(archive)
+      committed :+ archive
+    }
+  }
+
+  private def uptoOf(dir: String): Long =
+    new org.apache.hadoop.fs.Path(dir).getName.stripPrefix("upto=").toLong
+
   /** All accepted-set archives under `outDir` (`compacted/upto=*`),
     * Hadoop-FS-listed for the same HDFS-safety reason as [[batchDirs]].
     */
-  private[streaming] def archiveDirs(spark: SparkSession,
+  private[graft] def archiveDirs(spark: SparkSession,
       outDir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(outDir, "compacted")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -294,7 +345,7 @@ object IngestStream {
     * disk, so on HDFS/S3 (the 100 TB deployment) it would resolve the
     * accepted set to empty and silently skip cross-batch dedup.
     */
-  private[streaming] def batchDirs(spark: SparkSession,
+  private[graft] def batchDirs(spark: SparkSession,
       outDir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -863,4 +863,164 @@ class StreamingSpec extends SparkSpec {
         IndexVersions.tableRoot(spark, idxPrefix))
     }
   }
+
+  test("flat rebuild over a compacted prefix: readers stay on the " +
+      "committed version until the rebuild COMPLETES (pointer cleared " +
+      "last, never first)") {
+    import graft.operators.{Bucketed, Dedup, IndexVersions}
+    val corpus = Tables(spark, sf001, "documents")
+      .filter(pmod($"doc_id", lit(10)) =!= 0)
+      .select($"doc_id", $"text")
+    val idxPrefix = "flat_rebuild_order_idx"
+    val root = IndexVersions.tableRoot(spark, idxPrefix)
+    try {
+      // committed generation 1 (built beside an empty generation 0 —
+      // the state any compacted index is in)
+      Dedup.writeNgramIndexBucketed(corpus,
+        IndexVersions.versionPrefix(idxPrefix, 1), "doc_id", "text",
+        buckets = 4)
+      IndexVersions.commit(spark, root, 1)
+      assert(IndexVersions.currentVersion(spark, root) === Some(1))
+      val corpusText = corpus.select($"text").head().getString(0)
+      def probeIds(): Set[Long] = Dedup.probeNgramIndexBucketed(spark,
+          idxPrefix,
+          Seq((4000001L, corpusText)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select($"id_batch").collect().map(_.getLong(0)).toSet
+
+      // a FLAT rebuild that dies mid-write must leave the pointer —
+      // and every concurrent probe — on the committed version 1;
+      // clearing the pointer first would expose the half-written
+      // bare-prefix tables for the whole build window
+      val poisoned = corpus.select($"doc_id",
+        raise_error(lit("injected flat-rebuild failure")).cast("string")
+          .as("text"))
+      intercept[Exception] {
+        Dedup.writeNgramIndexBucketed(poisoned, idxPrefix, "doc_id",
+          "text", buckets = 4)
+      }
+      assert(IndexVersions.currentVersion(spark, root) === Some(1),
+        "a dead flat rebuild must not clear the pointer")
+      assert(probeIds() === Set(4000001L),
+        "probes must still resolve version 1 after a dead flat rebuild")
+
+      // the completed flat rebuild DOES reset to generation zero —
+      // over a smaller corpus, so resolution is observable: the old
+      // version knows doc0text, generation 0 does not
+      val smaller = corpus.filter($"text" =!= corpusText)
+      Dedup.writeNgramIndexBucketed(smaller, idxPrefix, "doc_id",
+        "text", buckets = 4)
+      assert(IndexVersions.currentVersion(spark, root).isEmpty,
+        "a completed flat rebuild must clear the pointer")
+      assert(probeIds().isEmpty,
+        "probes must resolve the fresh generation-zero tables")
+    } finally {
+      Seq("", "_ixv1").foreach { v =>
+        Seq("df", "prefix", "shingles").foreach { s =>
+          Bucketed.dropBucketed(spark, s"$idxPrefix$v" + s"_$s")
+        }
+      }
+      IndexVersions.clearPointer(spark, root)
+    }
+  }
+
+  test("compaction retry after ANY crash folds each accepted row " +
+      "exactly once: already-archived batches skip, partial archives " +
+      "rebuild") {
+    import graft.operators.{Bucketed, Dedup, IndexVersions}
+    import graft.streaming.IngestStream
+    val corpus = Tables(spark, sf001, "documents")
+      .filter(pmod($"doc_id", lit(10)) =!= 0)
+      .select($"doc_id", $"text")
+    val idxPrefix = "retry_once_idx"
+    val root = IndexVersions.tableRoot(spark, idxPrefix)
+    val outDir = tmpDir("retry-once-out")
+    def synthText(stem: String): String =
+      (0 until 20).map(i => s"qqv$stem$i").mkString(" ")
+    def stage(id: Long, batch: Long, stem: String): Unit =
+      Seq((id, synthText(stem))).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batch")
+    def archiveRows() = spark.read.parquet(
+      IngestStream.archiveDirs(spark, outDir): _*)
+    try {
+      Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+        buckets = 4)
+      // CRASH SHAPE 1 — archived but batch dirs never cleared: the
+      // retry must not re-archive batch 0 under the next upto=
+      stage(5000001L, 0L, "ra")
+      IngestStream.archiveAccepted(spark, outDir,
+        IngestStream.batchDirs(spark, outDir), Seq("doc_id", "text"))
+      assert(IngestStream.batchDirs(spark, outDir).nonEmpty,
+        "simulated crash: batch dirs survive the archive write")
+      stage(5000002L, 1L, "rb")
+      assert(IngestStream.compact(spark, corpus, idxPrefix, outDir,
+        buckets = 4) === 1L)
+      assert(archiveRows().count() === 2L &&
+        archiveRows().select($"doc_id").distinct().count() === 2L,
+        "batch 0 must be archived exactly once across upto=0 and upto=1")
+
+      // CRASH SHAPE 2 — archive write died mid-flight (no _SUCCESS):
+      // the partial dir is dropped and its rows re-archived from the
+      // still-present batch dirs
+      stage(5000003L, 2L, "rc")
+      IngestStream.archiveAccepted(spark, outDir,
+        IngestStream.batchDirs(spark, outDir), Seq("doc_id", "text"))
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$outDir/compacted/upto=2/_SUCCESS"), false),
+        "test setup: make upto=2 a partial archive")
+      stage(5000004L, 3L, "rd")
+      assert(IngestStream.compact(spark, corpus, idxPrefix, outDir,
+        buckets = 4) === 3L)
+      val rows = archiveRows()
+      assert(rows.count() === 4L &&
+        rows.select($"doc_id").distinct().count() === 4L,
+        "all four accepted rows, each exactly once")
+      assert(IngestStream.accepted(spark, outDir).isEmpty)
+      // the rebuilt index catches every archived generation
+      val gen = IngestStream.applyBatch(spark,
+        Seq((5000011L, synthText("ra")), (5000012L, synthText("rb")),
+          (5000013L, synthText("rc")), (5000014L, synthText("rd")),
+          (5000015L, synthText("re"))).toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      assert(gen.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(5000015L))
+    } finally {
+      (Seq("") ++ (1 to 2).map(v => s"_ixv$v")).foreach { v =>
+        Seq("df", "prefix", "shingles").foreach { s =>
+          Bucketed.dropBucketed(spark, s"$idxPrefix$v" + s"_$s")
+        }
+      }
+      IndexVersions.clearPointer(spark, root)
+    }
+  }
+
+  test("pointer commit is object-store-safe: the monotonic marker " +
+      "resolves the committed version through the rename window; " +
+      "rollback retracts markers") {
+    import graft.operators.IndexVersions
+    val root = tmpDir("ixv-marker-root")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexVersions.commit(spark, root, 1)
+    assert(IndexVersions.currentVersion(spark, root) === Some(1))
+    IndexVersions.commit(spark, root, 2)
+    assert(IndexVersions.currentVersion(spark, root) === Some(2))
+    // the S3 rename window: pointer file briefly ABSENT mid-flip — the
+    // marker must keep resolution on the committed version, never let
+    // a reader fall back to generation zero
+    assert(fs.delete(new org.apache.hadoop.fs.Path(root,
+      IndexVersions.PointerFile), false))
+    assert(IndexVersions.currentVersion(spark, root) === Some(2),
+      "resolution must survive the pointer-rename window via the marker")
+    // a stale LOWER pointer alone cannot move the index backwards
+    // (max-resolution); going back is an explicit rollback that
+    // retracts the higher marker first
+    IndexVersions.rollbackTo(spark, root, 1)
+    assert(IndexVersions.currentVersion(spark, root) === Some(1))
+    IndexVersions.rollbackTo(spark, root, 0)
+    assert(IndexVersions.currentVersion(spark, root).isEmpty,
+      "rollback to generation zero clears pointer and markers")
+  }
 }

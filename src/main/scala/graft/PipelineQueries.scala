@@ -1108,6 +1108,45 @@ object PipelineQueries {
         .select($"doc_id", $"shuffle_rank")
     },
 
+    // Size-targeted training shards + manifest: exact BIGINT prefix
+    // sums of n_chars in idScore order (bucketed composition, NO
+    // global sort — operators/Shards on Sampling.prefixMass), each
+    // doc in the shard where its first unit of mass falls. The gate
+    // WRITES the shard=N/ layout + _graft_manifest, then returns the
+    // READ-BACK rows joined with the READ-BACK manifest — persisted
+    // assignment AND manifest both checked against the naive-window
+    // oracle.
+    "pipeline_shards" -> { (s, dir) =>
+      import s.implicits._
+      val out = tmpIndexPath(dir, "graft_shards_out")
+      graft.operators.Shards.writeShards(
+        Tables(s, dir, "documents").select($"doc_id", $"n_chars"),
+        out, "doc_id", $"n_chars", shardMass = 20000L): Unit
+      val rows = s.read.parquet(out)
+        .select($"doc_id", $"doc_mass", $"cum_mass",
+          $"shard".cast("long").as("shard"))
+      rows.join(
+          broadcast(graft.operators.Shards.readManifest(s, out)
+            .select($"shard".cast("long").as("shard"), $"docs", $"mass")),
+          Seq("shard"))
+        .select($"doc_id", $"doc_mass", $"cum_mass", $"shard",
+          $"docs", $"mass")
+    },
+
+    // Weight-proportional SYSTEMATIC sample: keep every doc whose
+    // interval on the integer n_chars mass line contains a multiple
+    // of 2000 — exact stride-sampling arithmetic over the same
+    // prefix sums, each doc kept with probability min(1, w/step) and
+    // the sampled mass within one document of total/step
+    // (operators/Sampling.systematicSample).
+    "pipeline_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.systematicSample(
+          Tables(s, dir, "documents").select($"doc_id", $"n_chars"),
+          "doc_id", $"n_chars", step = 2000L)
+        .select($"doc_id", $"cum_mass", $"picks")
+    },
+
     // Quality-MASS curation ("top-p per source"): keep each language's
     // best documents until 80% of its total n_chars mass is covered —
     // prefix rule on (score DESC, idScore, id), exact BIGINT fraction
@@ -2581,6 +2620,42 @@ object PipelineQueries {
         |      % 1000003, doc_id)
         |    AS BIGINT) AS shuffle_rank
         |FROM documents""".stripMargin,
+
+    // The naive global-window prefix sum + integer-division shard
+    // boundary the bucketed composition (and the persisted manifest)
+    // must reproduce exactly.
+    "pipeline_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, doc_mass, cum_mass,
+        |    (cum_mass - doc_mass) // 20000 AS shard
+        |  FROM t),
+        |m AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(doc_mass) AS BIGINT) AS mass
+        |  FROM a GROUP BY shard)
+        |SELECT a.doc_id, a.doc_mass, a.cum_mass, a.shard, m.docs, m.mass
+        |FROM a JOIN m USING (shard)""".stripMargin,
+
+    // Same prefix sums; a doc is picked iff its (cum-w, cum] interval
+    // covers a multiple of the step — identical BIGINT stride
+    // arithmetic in both engines.
+    "pipeline_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents)
+        |SELECT doc_id, cum_mass,
+        |  (cum_mass // 2000) - ((cum_mass - w) // 2000) AS picks
+        |FROM t
+        |WHERE (cum_mass // 2000) - ((cum_mass - w) // 2000) >= 1""".stripMargin,
 
     // Quality mass, exact path: running n_chars mass per language in
     // (score DESC, idScore, id) order, kept while cum*100 <= total*80 —

@@ -280,6 +280,90 @@ object Sampling {
       .drop("__sbkt", "__off")
   }
 
+  /** Exact global PREFIX SUM of a per-row mass (token counts, bytes) in
+    * the deterministic [[idScore]] shuffle order — the primitive behind
+    * size-targeted output sharding ([[Shards]]) and weight-proportional
+    * systematic sampling ([[systematicSample]]): both need "the running
+    * total up to and including this row" over the whole corpus, in a
+    * reproducible order, without storing anything.
+    *
+    * The naive formulation is `sum(mass) OVER (ORDER BY score, id)` — a
+    * SINGLE task scanning everything (the [[shuffleRank]] trap, but for
+    * a sum instead of a rank). Composition is identical to
+    * [[shuffleRank]]: per-bucket mass totals (one map-side-combinable
+    * agg) → running offsets over the ≤ `buckets` totals (the only
+    * global window) → per-row `cum_mass` = bucket offset + running sum
+    * WITHIN the bucket (parallel per-bucket windows over contiguous
+    * score ranges, so the composed sum equals the naive one exactly —
+    * bucket-count-invariant, spec-pinned). All BIGINT; masses must be
+    * non-negative and their total must fit a long (a 100 TB corpus is
+    * ~2.5e13 tokens — 5 decimal orders under Long.MaxValue).
+    *
+    * Output: input columns + `cum_mass` (inclusive running total).
+    * `epoch` selects the serialization epoch's order ([[epochScore]]);
+    * `buckets`/`knownCount` as in [[shuffleRank]].
+    */
+  def prefixMass(df: DataFrame, idCol: String, mass: Column,
+      buckets: Int = 0, knownCount: Long = -1L,
+      epoch: Int = 0): DataFrame = {
+    val b = resolveSortBuckets(df, buckets, knownCount)
+    import org.apache.spark.sql.expressions.Window
+    val width = (1000003L + b - 1) / b
+    val s = epochScore(col(idCol), epoch)
+    val withB = df.withColumn("__pm", mass.cast("long"))
+      .withColumn("__sbkt", (s / lit(width)).cast("long"))
+    val offsets = withB.groupBy(col("__sbkt"))
+      .agg(sum(col("__pm")).as("__bm"))
+      .withColumn("__off",
+        coalesce(sum(col("__bm")).over(
+          Window.orderBy(col("__sbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bm")
+    val w = Window.partitionBy(col("__sbkt")).orderBy(s, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offsets), Seq("__sbkt"))
+      .withColumn("cum_mass", col("__off") + sum(col("__pm")).over(w))
+      .drop("__sbkt", "__off", "__pm")
+  }
+
+  /** Weight-proportional SYSTEMATIC sample without replacement: lay the
+    * corpus out on the integer mass line in [[idScore]] order (each row
+    * occupies the interval `(cum_mass − w, cum_mass]`) and keep every
+    * row whose interval contains a multiple of `step` — classic
+    * systematic/stride sampling (the stride-scheduling arithmetic the
+    * interleave operator uses, applied to selection). Each row is kept
+    * with probability exactly `min(1, w/step)` under the hash order's
+    * implicit shuffle, expected sample mass = total/step of the corpus
+    * mass, and the whole decision is exact BIGINT arithmetic — no
+    * floats, no RNG state, reproducible on re-run, and (unlike an
+    * independent per-row coin flip) the sample TOKEN MASS is within one
+    * document of its expectation, which is what "sample 1% of the
+    * corpus by tokens" actually wants.
+    *
+    * A row heavier than `step` is selected once but spans several
+    * multiples; `picks` (= how many multiples its interval covers, ≥ 1
+    * for kept rows) carries the weight-proportional multiplicity for
+    * callers that resample WITH replacement or weight downstream
+    * losses.
+    *
+    * Scale shape: [[prefixMass]] (no global sort) + a per-row integer
+    * filter — the corpus crosses exactly one shuffle (the bucket
+    * partition), and the kept set never shuffles again.
+    *
+    * Output: kept rows with `cum_mass` and `picks`.
+    */
+  def systematicSample(df: DataFrame, idCol: String, weight: Column,
+      step: Long, buckets: Int = 0, knownCount: Long = -1L,
+      epoch: Int = 0): DataFrame = {
+    require(step >= 1, s"step must be >= 1: $step")
+    prefixMass(df.withColumn("__w", weight.cast("long")), idCol,
+        col("__w"), buckets, knownCount, epoch)
+      .withColumn("picks",
+        expr(s"(cum_mass div ${step}L) - ((cum_mass - __w) div ${step}L)"))
+      .filter(col("picks") >= 1)
+      .drop("__w")
+  }
+
   /** Weighted source interleave — the serialization ORDER companion to
     * [[weightedKeep]]'s sampling: each group's documents get a
     * deterministic per-group rank (same bucketed composition as

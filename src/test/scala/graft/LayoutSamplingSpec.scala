@@ -573,4 +573,112 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("interleave_key overflow")),
       s"expected the overflow guard, got: ${msgs(ex).mkString(" | ")}")
   }
+
+  test("prefixMass: equals the naive global window cumsum; bucket-count " +
+      "invariant; global window orders the bucket aggregate only") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 4000L).filter(_ % 5 != 0).map(i => (i, (i % 97) + 1))
+    val df = rows.toDF("doc_id", "m").repartition(8)
+    val got = Sampling.prefixMass(df, "doc_id", $"m", buckets = 64)
+      .select($"doc_id", $"cum_mass")
+    val naive = df.withColumn("cum_mass",
+        org.apache.spark.sql.functions.sum($"m".cast("long")).over(
+          Window.orderBy(Sampling.idScore($"doc_id"), $"doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"cum_mass")
+    assert(got.exceptAll(naive).count() === 0L &&
+      naive.exceptAll(got).count() === 0L)
+    // bucket count affects parallelism only, never the sums
+    for (b <- Seq(1, 7, 100000)) {
+      val other = Sampling.prefixMass(df, "doc_id", $"m", buckets = b)
+        .select($"doc_id", $"cum_mass")
+      assert(got.exceptAll(other).count() === 0L, s"buckets=$b diverged")
+    }
+    // auto path (corpus-derived bucket count) is output-identical too
+    val auto = Sampling.prefixMass(df, "doc_id", $"m")
+      .select($"doc_id", $"cum_mass")
+    assert(got.exceptAll(auto).count() === 0L)
+    // scale-shape pin: the only UNPARTITIONED window orders the
+    // ≤buckets offset aggregate, never the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Sampling.prefixMass(df, "doc_id", $"m")
+      .queryExecution.optimizedPlan
+    val ws = plan.collect { case w: LWindow => w }
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        "global window must order the bucket aggregate, not rows")
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the per-row cumsum window must be partitioned")
+  }
+
+  test("systematicSample: kept mass within one document of total/step, " +
+      "picks sum to total div step, heavy rows always kept, " +
+      "sample nests as the step shrinks") {
+    val rows = (1L to 3000L).map(i => (i, (i % 211) + 1))
+    val df = rows.toDF("doc_id", "w").repartition(8)
+    val total = rows.map(_._2).sum
+    val step = 1500L
+    val got = Sampling.systematicSample(df, "doc_id", $"w", step,
+      buckets = 32)
+    // every multiple of step in (0, total] is covered exactly once
+    assert(got.agg(org.apache.spark.sql.functions.sum($"picks"))
+      .head().getLong(0) === total / step)
+    // a row heavier than step is always selected
+    val heavy = Sampling.systematicSample(
+      Seq((1L, 10L), (2L, 5000L), (3L, 10L)).toDF("doc_id", "w"),
+      "doc_id", $"w", step, buckets = 4)
+    assert(heavy.filter($"doc_id" === 2L).count() === 1L &&
+      heavy.filter($"doc_id" === 2L).head().getAs[Long]("picks") >= 3L)
+    // halving the step only ADDS rows (multiples of 2k ⊂ multiples of k)
+    val denser = Sampling.systematicSample(df, "doc_id", $"w", step / 2,
+      buckets = 32)
+    assert(got.select($"doc_id")
+      .exceptAll(denser.select($"doc_id")).count() === 0L)
+  }
+
+  test("writeShards: manifest matches the corpus exactly; shard ids " +
+      "contiguous from 0; every shard within one document of the " +
+      "target mass; re-run reproduces the layout bit-for-bit") {
+    import graft.operators.Shards
+    val rows = (1L to 2000L).map(i => (i, (i % 301) + 20))
+    val df = rows.toDF("doc_id", "m").repartition(8)
+    val out = tmpDir("shards-spec")
+    val shardMass = 25000L
+    val manifest = Shards.writeShards(df, out, "doc_id", $"m", shardMass,
+      buckets = 16)
+    val man = manifest.collect().map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("docs"), r.getAs[Long]("mass"))).sortBy(_._1)
+    // nothing lost, nothing duplicated
+    assert(man.map(_._2).sum === rows.size.toLong)
+    assert(man.map(_._3).sum === rows.map(_._2).sum)
+    // contiguous ids from 0 (a doc starts in every shard)
+    assert(man.map(_._1).toSeq === (0L until man.length).toSeq)
+    // size target: every shard's mass stays within one document of the
+    // target (greedy boundary; the last shard may be short)
+    val maxDoc = rows.map(_._2).max
+    man.dropRight(1).foreach { case (sid, _, mass) =>
+      assert(mass >= shardMass - maxDoc && mass < shardMass + maxDoc,
+        s"shard $sid mass $mass outside [target−maxDoc, target+maxDoc)")
+    }
+    // within-shard rows are contiguous on the mass line: max cum of
+    // shard k < min cum of shard k+1
+    val readBack = spark.read.parquet(out)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(org.apache.spark.sql.functions.min($"cum_mass").as("lo"),
+        org.apache.spark.sql.functions.max($"cum_mass").as("hi"))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"))).sortBy(_._1)
+    readBack.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // deterministic re-run: same shards, same manifest
+    val out2 = tmpDir("shards-spec-rerun")
+    val manifest2 = Shards.writeShards(df, out2, "doc_id", $"m",
+      shardMass, buckets = 16)
+    assert(manifest.exceptAll(manifest2).count() === 0L &&
+      manifest2.exceptAll(manifest).count() === 0L)
+  }
 }

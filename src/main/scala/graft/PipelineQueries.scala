@@ -1133,6 +1133,21 @@ object PipelineQueries {
           $"docs", $"mass")
     },
 
+    // Multi-epoch source UPSAMPLING ("3 epochs of en, 2 of zh, 1 of
+    // the rest"): each doc replicated per its language's epoch count,
+    // every copy with a distinct deterministic serialization key
+    // (epochScore(id, epoch)) so repetitions spread across the run
+    // (operators/Sampling.upsampleEpochs). The oracle replays the
+    // epoch-multiplier residue arithmetic over a generate_series
+    // unnest.
+    "pipeline_epoch_mix" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.upsampleEpochs(
+          Tables(s, dir, "documents").select($"doc_id", $"lang"),
+          "lang", "doc_id", Map("en" -> 3, "zh" -> 2), defaultEpochs = 1)
+        .select($"doc_id", $"lang", $"epoch", $"sample_key")
+    },
+
     // Weight-proportional SYSTEMATIC sample: keep every doc whose
     // interval on the integer n_chars mass line contains a multiple
     // of 2000 — exact stride-sampling arithmetic over the same
@@ -2641,6 +2656,27 @@ object PipelineQueries {
         |  FROM a GROUP BY shard)
         |SELECT a.doc_id, a.doc_mass, a.cum_mass, a.shard, m.docs, m.mass
         |FROM a JOIN m USING (shard)""".stripMargin,
+
+    // Per-language epoch counts unnested, the epoch-multiplier residue
+    // formula replayed literally (epoch 0 = the idScore constant).
+    "pipeline_epoch_mix" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 3 WHEN lang = 'zh' THEN 2
+        |         ELSE 1 END AS ne
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, lang,
+        |    CAST(unnest(generate_series(0, ne - 1)) AS BIGINT) AS epoch
+        |  FROM k)
+        |SELECT doc_id, lang, epoch,
+        |  ((doc_id % 1000003) *
+        |    (CASE WHEN epoch = 0 THEN 2654435761
+        |          WHEN (2654435761 % 1000003 + epoch * 40503)
+        |            % 1000003 = 0 THEN 1
+        |          ELSE (2654435761 % 1000003 + epoch * 40503) % 1000003
+        |     END)) % 1000003 AS sample_key
+        |FROM e""".stripMargin,
 
     // Same prefix sums; a doc is picked iff its (cum-w, cum] interval
     // covers a multiple of the step — identical BIGINT stride

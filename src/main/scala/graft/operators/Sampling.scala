@@ -364,6 +364,48 @@ object Sampling {
       .drop("__w")
   }
 
+  /** Multi-EPOCH source upsampling — the other half of a training-data
+    * recipe: [[mixToTokenShares]]/[[weightedKeep]] DOWN-sample
+    * over-represented sources; real recipes also UP-sample scarce
+    * high-quality ones ("4 epochs of wiki, 1 epoch of web"). Each row
+    * is replicated once per epoch 0..k−1 for its group's epoch count,
+    * and every copy gets `sample_key` = [[epochScore]](id, epoch) — a
+    * DIFFERENT deterministic position per copy, so sorting the output
+    * by (sample_key, id, epoch) spreads a document's repetitions across
+    * the run instead of clustering them (repeated-data adjacency is a
+    * known training pathology), reproducibly, with no stored
+    * permutation and no RNG state. The epoch-0 key is bit-identical to
+    * [[idScore]], so a 1-epoch recipe serializes exactly like
+    * [[shuffleRank]]'s order.
+    *
+    * Scale shape: a generator (explode over a ≤k int range) + integer
+    * projection — the operator itself shuffles NOTHING; the writer's
+    * range-partitioned sort on the key is the only global step, same as
+    * [[interleaveByWeight]]. The multiplier arithmetic is the
+    * [[epochMultiplier]] residue formula inlined as a column, products
+    * bounded by p² < 2^40.
+    *
+    * Output: input columns + `epoch` (0-based BIGINT) + `sample_key`.
+    */
+  def upsampleEpochs(df: DataFrame, groupCol: String, idCol: String,
+      epochs: Map[String, Int], defaultEpochs: Int = 1): DataFrame = {
+    require((defaultEpochs +: epochs.values.toSeq).forall(_ >= 1),
+      "epoch counts must be >= 1")
+    val k = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (g, n)) => when(col(groupCol) === g, lit(n)).otherwise(acc)
+    }
+    // epochMultiplier(e) as a column: epoch 0 keeps idScore's constant,
+    // later epochs step through the residue ring (0 guarded to 1)
+    val stepped = pmod(lit(2654435761L % 1000003L) +
+      col("epoch") * lit(40503L), lit(1000003L))
+    val mult = when(col("epoch") === 0L, lit(2654435761L))
+      .otherwise(when(stepped === 0L, lit(1L)).otherwise(stepped))
+    df.withColumn("epoch",
+        explode(sequence(lit(0L), k.cast("long") - lit(1L))))
+      .withColumn("sample_key",
+        pmod(pmod(col(idCol), lit(1000003L)) * mult, lit(1000003L)))
+  }
+
   /** Weighted source interleave — the serialization ORDER companion to
     * [[weightedKeep]]'s sampling: each group's documents get a
     * deterministic per-group rank (same bucketed composition as

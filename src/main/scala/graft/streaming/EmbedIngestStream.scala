@@ -46,12 +46,31 @@ object EmbedIngestStream {
   /** One micro-batch through the three dedup stages — factored out so
     * tests and backfills can replay it batch-exactly. `accepted` is the
     * already-ingested set (None for the first batch of a fresh out dir).
+    * `nearWithinBatch` opts into stage 1.5 — symmetric NEAR-dup
+    * resolution INSIDE the batch (banded sign-LSH pairs → connected
+    * components → min-id keeper, the [[IngestStream.applyBatch]]
+    * contract on the vector side), for arrival sources that can emit
+    * two near-identical vectors in one micro-batch; off by default
+    * because it pays the symmetric batch×batch banding cost per
+    * arrival. The plane count auto-derives from the BATCH size
+    * ([[Dedup.embeddingNearDupPairsAuto]]) — batch occupancy, not
+    * corpus occupancy, is what bounds this stage's bucket width.
     */
   private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
       accepted: Option[DataFrame], indexPath: String, idCol: String,
       vecCol: String, dims: Int, threshold: Double, probeHamming: Int,
-      seed: Long): DataFrame = {
-    val b1 = exactWithinBatch(batch, idCol, vecCol)
+      seed: Long, nearWithinBatch: Boolean = false): DataFrame = {
+    val b1e = exactWithinBatch(batch, idCol, vecCol)
+    val b1 =
+      if (!nearWithinBatch) b1e
+      else {
+        val drops = Dedup.connectedComponents(
+            Dedup.embeddingNearDupPairsAuto(b1e, idCol, vecCol, dims,
+              threshold = threshold, seed = seed))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol))
+        b1e.join(drops, Seq(idCol), "left_anti")
+      }
     val newVsCorpus = Dedup.incrementalNewNearDupEmbedDisk(spark,
       indexPath, b1, idCol, vecCol, dims, numPlanes = 0,
       threshold = threshold, probeHamming = probeHamming, seed = seed)
@@ -86,7 +105,8 @@ object EmbedIngestStream {
       maxFilesPerTrigger: Int = 1,
       compactCorpus: Option[DataFrame] = None,
       compactMaxBytes: Long = Long.MaxValue,
-      compactMaxRows: Long = Long.MaxValue): Unit = {
+      compactMaxRows: Long = Long.MaxValue,
+      nearWithinBatch: Boolean = false): Unit = {
     require(Similarity.signIndexMeta(spark, indexPath).isDefined,
       s"no sign index (with sidecar) at $indexPath")
     val next = IngestStream.nextBatchId(spark, checkpointDir)
@@ -111,7 +131,7 @@ object EmbedIngestStream {
           if (acceptedDirs.isEmpty) None
           else Some(spark.read.parquet(acceptedDirs: _*))
         applyBatch(spark, batch, accepted, indexPath, idCol, vecCol,
-          dims, threshold, probeHamming, seed)
+          dims, threshold, probeHamming, seed, nearWithinBatch)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // opt-in auto-compact between micro-batches — the versioned
         // pointer commit keeps a mid-compaction crash invisible to the

@@ -574,6 +574,40 @@ class LayoutSamplingSpec extends SparkSpec {
       s"expected the overflow guard, got: ${msgs(ex).mkString(" | ")}")
   }
 
+  test("upsampleEpochs: per-group multiplicity exact, epoch-0 key " +
+      "bit-identical to idScore, every copy keyed by its epoch's " +
+      "multiplier, no shuffle in the plan") {
+    val rows = (1L to 900L).map(i =>
+      (i, Seq("en", "zh", "misc")((i % 3).toInt)))
+    val df = rows.toDF("doc_id", "lang").repartition(4)
+    val out = Sampling.upsampleEpochs(df, "lang", "doc_id",
+      Map("en" -> 3, "zh" -> 2), defaultEpochs = 1)
+    // multiplicity: 3 copies of en, 2 of zh, 1 of misc
+    val perLang = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang === Map("en" -> 900L, "zh" -> 600L, "misc" -> 300L))
+    // each copy carries its epoch's affine key — replay epochScore
+    // row-by-row against the Scala multiplier function
+    val bad = out.filter($"sample_key" =!=
+      pmod(pmod($"doc_id", lit(1000003L)) *
+        (when($"epoch" === 0L, lit(Sampling.epochMultiplier(0)))
+          .when($"epoch" === 1L, lit(Sampling.epochMultiplier(1)))
+          .otherwise(lit(Sampling.epochMultiplier(2)))), lit(1000003L)))
+    assert(bad.count() === 0L)
+    // epoch 0 == idScore exactly (a 1-epoch recipe serializes like
+    // shuffleRank's order)
+    assert(out.filter($"epoch" === 0L)
+      .filter($"sample_key" =!= Sampling.idScore($"doc_id"))
+      .count() === 0L)
+    // the operator is a generator + projection: nothing shuffles (the
+    // plan check runs on an un-repartitioned input — the test frame's
+    // own repartition would otherwise show up as the only Exchange)
+    val flatPlan = Sampling.upsampleEpochs(rows.toDF("doc_id", "lang"),
+        "lang", "doc_id", Map("en" -> 3, "zh" -> 2))
+      .queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("Exchange"), "upsampleEpochs must not shuffle")
+  }
+
   test("prefixMass: equals the naive global window cumsum; bucket-count " +
       "invariant; global window orders the bucket aggregate only") {
     import org.apache.spark.sql.expressions.Window

@@ -622,6 +622,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("embed within-batch NEAR-dup resolution (opt-in stage 1.5): " +
+      "min-id keeper per near-dup cluster; default keeps near twins") {
+    import graft.operators.Similarity
+    import graft.streaming.EmbedIngestStream
+    val dims = 64
+    val emb = Tables(spark, sf001, "embeddings")
+    val corpus = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val idxPath = tmpDir("embed-near15-idx")
+    Similarity.writeSignIndex(corpus, idxPath, dims, numPlanes = 6,
+      seed = 42L)
+    val corpusVecs = corpus.select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def freshFrom(startSeed: Int,
+        alsoFarFrom: Seq[Array[Float]]): Array[Float] =
+      Iterator.from(startSeed).map { s =>
+        val r = new scala.util.Random(s)
+        Array.fill(dims)(r.nextGaussian().toFloat)
+      }.find(v => (corpusVecs.iterator ++ alsoFarFrom.iterator)
+        .forall(c => math.abs(cos(v, c)) < 0.38)).get
+    val freshA = freshFrom(31, Nil)
+    // NEAR (not exact) twin: one coordinate nudged — cosine ~0.9998 to
+    // freshA (well above the 0.4 threshold), different bytes so the
+    // exact stage keeps both, and still < 0.383 vs every corpus vector
+    // (the nudge moves any cosine by ≤ |Δv|/|v| ≈ 0.003)
+    val aNear = freshA.clone(); aNear(0) = aNear(0) + 0.02f
+    val freshC = freshFrom(2031, Seq(freshA))
+    val batch = Seq((6000001L, freshA), (6000002L, aNear),
+      (6000003L, freshC)).toDF("vec_id", "embedding")
+    // default: exact-only stage 1 keeps BOTH near twins
+    val noOpt = EmbedIngestStream.applyBatch(spark, batch, None, idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L)
+    assert(noOpt.select($"vec_id").collect().map(_.getLong(0)).toSet
+      === Set(6000001L, 6000002L, 6000003L))
+    // opted in: the near cluster collapses to its min id
+    val opt = EmbedIngestStream.applyBatch(spark, batch, None, idxPath,
+      "vec_id", "embedding", dims, 0.4, 1, 42L, nearWithinBatch = true)
+    assert(opt.select($"vec_id").collect().map(_.getLong(0)).toSet
+      === Set(6000001L, 6000003L))
+  }
+
   test("versioned compaction (text): a rebuild killed mid-flight leaves " +
       "every probe on version N; the retry commits N+1; repeated " +
       "compactions fold ALL archived generations") {

@@ -1148,6 +1148,29 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"epoch", $"sample_key")
     },
 
+    // RECIPE capstone — the full serialization recipe as ONE plan:
+    // token-share DOWN-sampling of over-represented sources
+    // (mixToTokenShares) → multi-epoch UP-sampling of scarce languages
+    // (upsampleEpochs) → size-targeted shard assignment over the
+    // epoch copies (Shards.shardByMass on uid = doc_id·4 + epoch, a
+    // unique serialization key). Explicit bucket count keeps it a
+    // single job (no mid-plan sizing count); the oracle replays all
+    // three stages' integer arithmetic.
+    "pipeline_recipe" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      val mixed = Sampling.mixToTokenShares(d, "source", "doc_id",
+        $"n_chars", Map("src0" -> 100, "src1" -> 50)).drop("rate_pm")
+      val up = Sampling.upsampleEpochs(mixed, "lang", "doc_id",
+        Map("en" -> 2), defaultEpochs = 1)
+      val keyed = up.withColumn("uid", $"doc_id" * lit(4L) + $"epoch")
+      graft.operators.Shards.shardByMass(keyed, "uid", $"n_chars",
+          shardMass = 20000L, buckets = 32)
+        .select($"doc_id", $"lang", $"source", $"epoch", $"uid",
+          $"cum_mass", $"shard")
+    },
+
     // Weight-proportional SYSTEMATIC sample: keep every doc whose
     // interval on the integer n_chars mass line contains a multiple
     // of 2000 — exact stride-sampling arithmetic over the same
@@ -2677,6 +2700,42 @@ object PipelineQueries {
         |          ELSE (2654435761 % 1000003 + epoch * 40503) % 1000003
         |     END)) % 1000003 AS sample_key
         |FROM e""".stripMargin,
+
+    // All three recipe stages replayed: share-rate floor division +
+    // hash keep rule, epoch unnest, uid prefix sums + shard division.
+    "pipeline_recipe" ->
+      """WITH m AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS gmass
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(gmass) AS BIGINT) AS total FROM m),
+        |r AS (
+        |  SELECT m.source,
+        |    LEAST(1000, (t.total * CASE m.source
+        |        WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |        ELSE 1000 END) // m.gmass) AS rate_pm
+        |  FROM m, t),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000003 % 1000
+        |    < r.rate_pm),
+        |up AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(unnest(generate_series(0,
+        |      CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) AS BIGINT)
+        |      AS epoch
+        |  FROM kept),
+        |u AS (SELECT *, doc_id * 4 + epoch AS uid FROM up),
+        |c AS (
+        |  SELECT doc_id, lang, source, epoch, uid,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((uid % 1000003) * 2654435761) % 1000003, uid
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+        |    CAST(n_chars AS BIGINT) AS doc_mass
+        |  FROM u)
+        |SELECT doc_id, lang, source, epoch, uid, cum_mass,
+        |  (cum_mass - doc_mass) // 20000 AS shard
+        |FROM c""".stripMargin,
 
     // Same prefix sums; a doc is picked iff its (cum-w, cum] interval
     // covers a multiple of the step — identical BIGINT stride

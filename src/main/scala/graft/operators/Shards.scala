@@ -80,6 +80,18 @@ object Shards {
   def readManifest(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(manifestDir(outDir))
 
+  /** One shard of a [[writeShards]] layout, in serialization order —
+    * what a (resumable) training loader reads per step. The `shard=`
+    * partition filter prunes at FILE LISTING time (spec-pinned: the
+    * scan's partition count is 1), so reading shard k of a 100 TB
+    * layout costs one directory, not a scan of the corpus.
+    */
+  def readShard(spark: SparkSession, outDir: String,
+      shard: Long): DataFrame =
+    spark.read.parquet(outDir)
+      .filter(col("shard") === shard)
+      .sort(col("cum_mass"))
+
   private def manifestDir(outDir: String): String =
     s"$outDir/_graft_manifest"
 }

@@ -714,5 +714,22 @@ class LayoutSamplingSpec extends SparkSpec {
       shardMass, buckets = 16)
     assert(manifest.exceptAll(manifest2).count() === 0L &&
       manifest2.exceptAll(manifest).count() === 0L)
+    // the loader path: readShard(k) is partition-PRUNED — one shard
+    // directory survives the listing, and its docs/mass match the
+    // manifest row exactly
+    val k = man(1)._1
+    val one = Shards.readShard(spark, out, k)
+    // sparkPlan (pre-AQE): the adaptive wrapper hides the scan leaf
+    // until execution
+    val scanParts = one.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanParts === Some(1),
+      s"readShard must prune to one partition, scanned $scanParts")
+    assert(one.count() === man(1)._2)
+    assert(one.agg(org.apache.spark.sql.functions.sum($"doc_mass"))
+      .head().getLong(0) === man(1)._3)
   }
 }

@@ -1185,6 +1185,18 @@ object PipelineQueries {
         .select($"doc_id", $"cum_mass", $"picks")
     },
 
+    // PER-GROUP systematic sample: every language sampled independently
+    // on its own mass line (a global line would let a huge source crowd
+    // small ones out between multiples) — the (group, bucket) prefix-sum
+    // composition, same exact stride arithmetic.
+    "pipeline_weighted_sample_grouped" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.systematicSample(
+          Tables(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+          "doc_id", $"n_chars", step = 1000L, groupCols = Seq("lang"))
+        .select($"doc_id", $"lang", $"cum_mass", $"picks")
+    },
+
     // Quality-MASS curation ("top-p per source"): keep each language's
     // best documents until 80% of its total n_chars mass is covered —
     // prefix rule on (score DESC, idScore, id), exact BIGINT fraction
@@ -2736,6 +2748,20 @@ object PipelineQueries {
         |SELECT doc_id, lang, source, epoch, uid, cum_mass,
         |  (cum_mass - doc_mass) // 20000 AS shard
         |FROM c""".stripMargin,
+
+    // Per-language mass lines: the window partitions by lang, stride
+    // arithmetic unchanged.
+    "pipeline_weighted_sample_grouped" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents)
+        |SELECT doc_id, lang, cum_mass,
+        |  (cum_mass // 1000) - ((cum_mass - w) // 1000) AS picks
+        |FROM t
+        |WHERE (cum_mass // 1000) - ((cum_mass - w) // 1000) >= 1""".stripMargin,
 
     // Same prefix sums; a doc is picked iff its (cum-w, cum] interval
     // covers a multiple of the step — identical BIGINT stride

@@ -301,27 +301,32 @@ object Sampling {
     *
     * Output: input columns + `cum_mass` (inclusive running total).
     * `epoch` selects the serialization epoch's order ([[epochScore]]);
-    * `buckets`/`knownCount` as in [[shuffleRank]].
+    * `buckets`/`knownCount` as in [[shuffleRank]]. Non-empty
+    * `groupCols` computes INDEPENDENT prefix sums per group (the
+    * bucket partition becomes (group, bucket), the offsets window
+    * partitions by group — still a ≤buckets-row window per group,
+    * never a document sort): "running token mass per source".
     */
   def prefixMass(df: DataFrame, idCol: String, mass: Column,
       buckets: Int = 0, knownCount: Long = -1L,
-      epoch: Int = 0): DataFrame = {
+      epoch: Int = 0, groupCols: Seq[String] = Nil): DataFrame = {
     val b = resolveSortBuckets(df, buckets, knownCount)
     import org.apache.spark.sql.expressions.Window
     val width = (1000003L + b - 1) / b
     val s = epochScore(col(idCol), epoch)
+    val g = groupCols.map(col)
     val withB = df.withColumn("__pm", mass.cast("long"))
       .withColumn("__sbkt", (s / lit(width)).cast("long"))
-    val offsets = withB.groupBy(col("__sbkt"))
+    val offsets = withB.groupBy(g :+ col("__sbkt"): _*)
       .agg(sum(col("__pm")).as("__bm"))
       .withColumn("__off",
         coalesce(sum(col("__bm")).over(
-          Window.orderBy(col("__sbkt"))
+          Window.partitionBy(g: _*).orderBy(col("__sbkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__bm")
-    val w = Window.partitionBy(col("__sbkt")).orderBy(s, col(idCol))
+    val w = Window.partitionBy(g :+ col("__sbkt"): _*).orderBy(s, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB.join(broadcast(offsets), Seq("__sbkt"))
+    withB.join(broadcast(offsets), groupCols :+ "__sbkt")
       .withColumn("cum_mass", col("__off") + sum(col("__pm")).over(w))
       .drop("__sbkt", "__off", "__pm")
   }
@@ -350,14 +355,17 @@ object Sampling {
     * filter — the corpus crosses exactly one shuffle (the bucket
     * partition), and the kept set never shuffles again.
     *
-    * Output: kept rows with `cum_mass` and `picks`.
+    * Output: kept rows with `cum_mass` and `picks`. Non-empty
+    * `groupCols` samples each group independently on its own mass line
+    * ("exactly 1% of tokens from EVERY source" — a global line would
+    * let a huge source crowd out small ones between multiples).
     */
   def systematicSample(df: DataFrame, idCol: String, weight: Column,
       step: Long, buckets: Int = 0, knownCount: Long = -1L,
-      epoch: Int = 0): DataFrame = {
+      epoch: Int = 0, groupCols: Seq[String] = Nil): DataFrame = {
     require(step >= 1, s"step must be >= 1: $step")
     prefixMass(df.withColumn("__w", weight.cast("long")), idCol,
-        col("__w"), buckets, knownCount, epoch)
+        col("__w"), buckets, knownCount, epoch, groupCols)
       .withColumn("picks",
         expr(s"(cum_mass div ${step}L) - ((cum_mass - __w) div ${step}L)"))
       .filter(col("picks") >= 1)

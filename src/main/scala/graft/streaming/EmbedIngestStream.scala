@@ -106,7 +106,8 @@ object EmbedIngestStream {
       compactCorpus: Option[DataFrame] = None,
       compactMaxBytes: Long = Long.MaxValue,
       compactMaxRows: Long = Long.MaxValue,
-      nearWithinBatch: Boolean = false): Unit = {
+      nearWithinBatch: Boolean = false,
+      compactCorpusCount: Long = -1L): Unit = {
     require(Similarity.signIndexMeta(spark, indexPath).isDefined,
       s"no sign index (with sidecar) at $indexPath")
     val next = IngestStream.nextBatchId(spark, checkpointDir)
@@ -139,7 +140,7 @@ object EmbedIngestStream {
         if (compactCorpus.isDefined && IngestStream.shouldCompact(
             spark, outDir, compactMaxBytes, compactMaxRows)) {
           compact(spark, compactCorpus.get, indexPath, outDir,
-            idCol, vecCol): Unit
+            idCol, vecCol, corpusCount = compactCorpusCount): Unit
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -108,7 +108,8 @@ object IngestStream {
       compactCorpus: Option[DataFrame] = None,
       compactMaxBytes: Long = Long.MaxValue,
       compactMaxRows: Long = Long.MaxValue,
-      nearWithinBatch: Boolean = false): Unit = {
+      nearWithinBatch: Boolean = false,
+      compactCorpusCount: Long = -1L): Unit = {
     require(
       Dedup.attachNgramIndexBucketed(spark, indexTablePrefix, indexBuckets),
       s"no bucketed n-gram index under table prefix $indexTablePrefix")
@@ -150,8 +151,12 @@ object IngestStream {
         // through the replay.
         if (compactCorpus.isDefined &&
             shouldCompact(spark, outDir, compactMaxBytes, compactMaxRows)) {
+          // compactCorpusCount >= 0 spares every auto-compaction the
+          // bucket-sizing re-scan of the frozen corpus (the caller
+          // knows its count; the archive side is footer-counted)
           compact(spark, compactCorpus.get, indexTablePrefix, outDir,
-            idCol, textCol, n, threshold): Unit
+            idCol, textCol, n, threshold,
+            corpusCount = compactCorpusCount): Unit
         }
       }
       .option("checkpointLocation", checkpointDir)

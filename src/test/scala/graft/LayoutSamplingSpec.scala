@@ -670,6 +670,20 @@ class LayoutSamplingSpec extends SparkSpec {
       buckets = 32)
     assert(got.select($"doc_id")
       .exceptAll(denser.select($"doc_id")).count() === 0L)
+    // per-GROUP lines: every group's picks cover exactly its own
+    // total div step multiples — no group crowds another out
+    val grouped = (1L to 3000L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt), (i % 211) + 1))
+      .toDF("doc_id", "g", "w")
+    val gs = Sampling.systematicSample(grouped, "doc_id", $"w", 700L,
+      buckets = 16, groupCols = Seq("g"))
+      .groupBy($"g")
+      .agg(org.apache.spark.sql.functions.sum($"picks").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = (1L to 3000L).map(i =>
+        (Seq("a", "b", "c")((i % 3).toInt), (i % 211) + 1))
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).sum / 700L }
+    assert(gs === expect)
   }
 
   test("writeShards: manifest matches the corpus exactly; shard ids " +

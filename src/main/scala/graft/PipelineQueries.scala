@@ -1185,6 +1185,33 @@ object PipelineQueries {
         .select($"doc_id", $"cum_mass", $"picks")
     },
 
+    // INCREMENTAL shard append: 90% of the corpus written as the base
+    // layout, the last 10% appended as an arriving batch — new shards
+    // number from maxShard+1 on a fresh mass line, existing shard
+    // files untouched (dynamic partition overwrite), manifest extended
+    // by reading back ONLY the new dirs (operators/Shards.appendShards).
+    // Gate returns read-back rows ∪ read-back manifest, both replayed.
+    "pipeline_shards_append" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val m10 = pmod($"doc_id", lit(10))
+      val out = tmpIndexPath(dir, "graft_shards_app")
+      graft.operators.Shards.writeShards(
+        d.filter(m10 =!= 0).select($"doc_id", $"n_chars"),
+        out, "doc_id", $"n_chars", shardMass = 20000L): Unit
+      val manifest = graft.operators.Shards.appendShards(
+        d.filter(m10 === 0).select($"doc_id", $"n_chars"),
+        out, "doc_id", $"n_chars", shardMass = 20000L)
+      s.read.parquet(out)
+        .select($"doc_id", $"doc_mass", $"cum_mass",
+          $"shard".cast("long").as("shard"))
+        .join(broadcast(manifest.select(
+            $"shard".cast("long").as("shard"), $"docs", $"mass")),
+          Seq("shard"))
+        .select($"doc_id", $"doc_mass", $"cum_mass", $"shard",
+          $"docs", $"mass")
+    },
+
     // PER-GROUP systematic sample: every language sampled independently
     // on its own mass line (a global line would let a huge source crowd
     // small ones out between multiples) — the (group, bucket) prefix-sum
@@ -2748,6 +2775,38 @@ object PipelineQueries {
         |SELECT doc_id, lang, source, epoch, uid, cum_mass,
         |  (cum_mass - doc_mass) // 20000 AS shard
         |FROM c""".stripMargin,
+
+    // Base layout and appended batch each replay their own window; the
+    // batch's shard ids offset by the base layout's max + 1.
+    "pipeline_shards_append" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |ab AS (
+        |  SELECT doc_id, doc_mass, cum_mass,
+        |    (cum_mass - doc_mass) // 20000 AS shard
+        |  FROM b),
+        |base AS (SELECT MAX(shard) + 1 AS off FROM ab),
+        |n AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |an AS (
+        |  SELECT doc_id, doc_mass, cum_mass,
+        |    base.off + (cum_mass - doc_mass) // 20000 AS shard
+        |  FROM n, base),
+        |a AS (SELECT * FROM ab UNION ALL SELECT * FROM an),
+        |m AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(doc_mass) AS BIGINT) AS mass
+        |  FROM a GROUP BY shard)
+        |SELECT a.doc_id, a.doc_mass, a.cum_mass, a.shard, m.docs, m.mass
+        |FROM a JOIN m USING (shard)""".stripMargin,
 
     // Per-language mass lines: the window partitions by lang, stride
     // arithmetic unchanged.

@@ -80,6 +80,55 @@ object Shards {
   def readManifest(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(manifestDir(outDir))
 
+  /** APPEND a new batch of documents to an existing [[writeShards]]
+    * layout — the serialization leg of an incremental pipeline (an
+    * ingest stream keeps accepting documents; re-sharding the whole
+    * corpus per arrival would be a full rewrite). The batch starts a
+    * FRESH mass line in shards numbered from `maxShard + 1`, so
+    * existing shard files are never touched (append-only layout, safe
+    * under concurrent readers; dynamic partition overwrite writes only
+    * the new dirs). Append-only also means REPLAYING a batch appends
+    * it again under fresh shard numbers — feeding an appender exactly
+    * once is the upstream's contract (the ingest stream's three dedup
+    * stages are exactly that machinery). The manifest is extended with
+    * the new shards' rows (computed by reading back ONLY the new,
+    * partition-pruned dirs) and rewritten whole (≤ #shards rows).
+    *
+    * Assignment inside the batch is [[shardByMass]] verbatim, so batch
+    * shards have the same size bounds and determinism as a fresh
+    * layout's; only the shard NUMBERING is offset. Returns the updated
+    * read-back manifest.
+    */
+  def appendShards(df: DataFrame, outDir: String, idCol: String,
+      mass: Column, shardMass: Long, buckets: Int = 0,
+      knownCount: Long = -1L, epoch: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val base = readManifest(spark, outDir)
+      .agg(max(col("shard"))).head().getLong(0) + 1L
+    val assigned = shardByMass(df, idCol, mass, shardMass, buckets,
+        knownCount, epoch)
+      .withColumn("shard", col("shard") + lit(base))
+    // dynamic partition overwrite: only the NEW shard dirs are written;
+    // static overwrite mode would wipe the existing layout
+    assigned.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("cum_mass"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(outDir)
+    // manifest update reads back ONLY the new shard dirs (the shard >=
+    // base filter partition-prunes the listing) and unions the old
+    // rows — appending a batch must never re-scan the whole layout
+    val newRows = spark.read.parquet(outDir)
+      .filter(col("shard") >= base)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("doc_mass")).as("mass"))
+    val updated = readManifest(spark, outDir)
+      .filter(col("shard") < base).unionByName(newRows)
+      .localCheckpoint(true) // sever the read-before-overwrite cycle
+    updated.write.mode("overwrite").parquet(manifestDir(outDir))
+    readManifest(spark, outDir)
+  }
+
   /** One shard of a [[writeShards]] layout, in serialization order —
     * what a (resumable) training loader reads per step. The `shard=`
     * partition filter prunes at FILE LISTING time (spec-pinned: the

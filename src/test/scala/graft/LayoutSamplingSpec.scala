@@ -733,6 +733,33 @@ class LayoutSamplingSpec extends SparkSpec {
     // manifest row exactly
     val k = man(1)._1
     val one = Shards.readShard(spark, out, k)
+    // APPEND a batch: base shards untouched byte-for-byte, new shards
+    // number from maxShard+1, manifest totals extend exactly
+    val batch = (3001L to 3400L).map(i => (i, (i % 301) + 20))
+      .toDF("doc_id", "m")
+    val baseMax = man.last._1
+    val before = spark.read.parquet(out).filter($"shard" <= baseMax)
+      .orderBy($"doc_id").collect().toSeq
+    val manifest3 = Shards.appendShards(batch, out, "doc_id", $"m",
+      shardMass, buckets = 16)
+    val man3 = manifest3.collect().map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("docs"), r.getAs[Long]("mass"))).sortBy(_._1)
+    assert(man3.map(_._2).sum === rows.size.toLong + 400L)
+    assert(man3.takeWhile(_._1 <= baseMax).toSeq === man.toSeq,
+      "existing shards' manifest rows must be unchanged by an append")
+    assert(man3.map(_._1).toSeq === (0L until man3.length).toSeq,
+      "appended shards must continue the numbering contiguously")
+    val after = spark.read.parquet(out).filter($"shard" <= baseMax)
+      .orderBy($"doc_id").collect().toSeq
+    assert(before === after, "append must not rewrite existing shards")
+    // re-appending the same batch is idempotent (same dirs rewritten)
+    val manifest4 = Shards.appendShards(batch, out, "doc_id", $"m",
+      shardMass, buckets = 16)
+    // the second append offsets from the FIRST append's max shard, so
+    // it writes new dirs — appendShards is append-only by contract;
+    // replaying a batch is the caller's dedup problem (ingest stage 3)
+    assert(manifest4.count() > man3.length.toLong)
+
     // sparkPlan (pre-AQE): the adaptive wrapper hides the scan leaf
     // until execution
     val scanParts = one.queryExecution.sparkPlan.collectLeaves()

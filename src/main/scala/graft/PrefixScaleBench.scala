@@ -60,6 +60,25 @@ object PrefixScaleBench {
       case other => sys.error(s"unknown mode: $other")
     }
 
+    // "write" measures the END-TO-END serialization: assignment + the
+    // real parquet shard layout + manifest (disk-bound; the separation
+    // from `shards` isolates operator cost from I/O cost)
+    if (mode == "write") {
+      (1 to passes).foreach { p =>
+        val out = java.nio.file.Files
+          .createTempDirectory("prefix-write").toString
+        val t0 = System.nanoTime()
+        graft.operators.Shards.writeShards(corpus, out, "doc_id",
+          col("m"), shardMass = 100L * 1000 * 1000,
+          knownCount = rows): Unit
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"prefix_scale","mode":"write","rows":$rows,"pass":$p,"sec":$secs%.3f}""")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(out))
+      }
+      spark.stop(); return
+    }
+
     (1 to passes).foreach { p =>
       val t0 = System.nanoTime()
       run().write.format("noop").mode("overwrite").save()

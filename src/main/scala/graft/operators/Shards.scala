@@ -73,7 +73,9 @@ object Shards {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("docs"), sum(col("doc_mass")).as("mass"))
       .write.mode("overwrite").parquet(manifestDir(outDir))
-    readManifest(spark, outDir)
+    // snapshot (localCheckpoint): the returned frame must survive a
+    // LATER append/rewrite replacing the manifest files under it
+    readManifest(spark, outDir).localCheckpoint(true)
   }
 
   /** The persisted manifest of a [[writeShards]] layout. */
@@ -126,7 +128,7 @@ object Shards {
       .filter(col("shard") < base).unionByName(newRows)
       .localCheckpoint(true) // sever the read-before-overwrite cycle
     updated.write.mode("overwrite").parquet(manifestDir(outDir))
-    readManifest(spark, outDir)
+    readManifest(spark, outDir).localCheckpoint(true)
   }
 
   /** One shard of a [[writeShards]] layout, in serialization order —

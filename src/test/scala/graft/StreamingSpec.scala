@@ -1043,6 +1043,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ingest -> serialization loop: accepted batches append to the " +
+      "shard layout; duplicate re-arrivals never double-serialize; " +
+      "an all-dup batch appends nothing") {
+    import graft.operators.{Bucketed, Dedup, IndexVersions, Shards}
+    import graft.streaming.IngestStream
+    import org.apache.spark.sql.functions.{length, sum}
+    val corpus = Tables(spark, sf001, "documents")
+      .filter(pmod($"doc_id", lit(10)) =!= 0)
+      .select($"doc_id", $"text")
+    val idxPrefix = "loop_ser_idx"
+    val shardDir = tmpDir("loop-shards")
+    def synthText(stem: String): String =
+      (0 until 20).map(i => s"wqx$stem$i").mkString(" ")
+    try {
+      Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+        buckets = 4)
+      val baseMan = Shards.writeShards(corpus, shardDir, "doc_id",
+        length($"text"), shardMass = 20000L, buckets = 8)
+      val baseDocs = baseMan.agg(sum($"docs")).head().getLong(0)
+      val corpusText = corpus.select($"text").head().getString(0)
+
+      // batch 1: one fresh doc + one corpus dup -> only the fresh doc
+      // survives the dedup stages, and only it gets serialized
+      val b1 = IngestStream.applyBatch(spark,
+        Seq((7000001L, synthText("la")), (7000002L, corpusText))
+          .toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      val man1 = Shards.appendShards(b1, shardDir, "doc_id",
+        length($"text"), shardMass = 20000L, buckets = 8)
+      assert(man1.agg(sum($"docs")).head().getLong(0) === baseDocs + 1L)
+
+      // batch 2 re-delivers the ACCEPTED doc -> the accepted-set probe
+      // drops it, the appender sees an empty batch and must be a no-op
+      val b2 = IngestStream.applyBatch(spark,
+        Seq((7000003L, synthText("la"))).toDF("doc_id", "text"),
+        Some(b1), idxPrefix, "doc_id", "text", 3, 0.5)
+      assert(b2.isEmpty, "re-arrival of an accepted doc must be dropped")
+      val man2 = Shards.appendShards(b2, shardDir, "doc_id",
+        length($"text"), shardMass = 20000L, buckets = 8)
+      assert(man2.agg(sum($"docs")).head().getLong(0) === baseDocs + 1L,
+        "an all-dup batch must serialize nothing")
+      assert(man2.count() === man1.count(),
+        "an empty append must not create shards")
+    } finally {
+      Seq("df", "prefix", "shingles").foreach { s =>
+        Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
+      }
+      IndexVersions.clearPointer(spark,
+        IndexVersions.tableRoot(spark, idxPrefix))
+    }
+  }
+
   test("pointer commit is object-store-safe: the monotonic marker " +
       "resolves the committed version through the rename window; " +
       "rollback retracts markers") {

@@ -1392,6 +1392,33 @@ object PipelineQueries {
         Multimodal.decodeMeta(
           Multimodal.demoMediaFromDocuments(Tables(s, dir, "documents"))),
         fps = 0.2)
+    },
+
+    // Cross-modal EXACT media dedup: byte-identical payloads collapse
+    // to their min media_id regardless of declared kind — the first
+    // dedup pass of any image/audio/video pipeline, keyed on the
+    // decoded sha256 (one hash-agg + a broadcast-eligible join back).
+    "mm_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val meta = Multimodal.decodeMeta(
+        Multimodal.demoMediaFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+      meta.join(
+          meta.groupBy($"sha256").agg(min($"media_id").as("keep_id")),
+          "sha256")
+        .select($"media_id", $"kind", $"keep_id",
+          ($"media_id" =!= $"keep_id").as("is_dup"))
+    },
+
+    // Aspect-preserving resize PLAN over the decoded image metadata
+    // (fit within 960x540, never upscale) — the metadata leg of the
+    // stubbed pixel-resample seam; identical IEEE double ops replay in
+    // the oracle, integer outputs.
+    "mm_resize" -> { (s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(
+          Multimodal.demoMediaFromDocuments(Tables(s, dir, "documents"))),
+        maxW = 960, maxH = 540)
     }
   )
 
@@ -1676,6 +1703,26 @@ object PipelineQueries {
         |SELECT media_id, frame_idx,
         |  CAST(frame_idx * 5000 AS BIGINT) AS frame_ts_ms
         |FROM frames""".stripMargin),
+
+    // Min-id keeper per identical payload hash, kinds preserved.
+    "mm_dedup" ->
+      (mmMetaCte + """
+        |SELECT media_id, kind,
+        |  MIN(media_id) OVER (PARTITION BY sha256) AS keep_id,
+        |  media_id <> MIN(media_id) OVER (PARTITION BY sha256) AS is_dup
+        |FROM meta""".stripMargin),
+
+    // The same LEAST/double-scale/floor arithmetic, integer outputs.
+    "mm_resize" ->
+      (mmMetaCte + """
+        |, r AS (
+        |  SELECT media_id, width, height,
+        |    LEAST(960.0 / width, 540.0 / height, 1.0) AS scale
+        |  FROM meta WHERE kind = 'image' AND width > 0 AND height > 0)
+        |SELECT media_id, width, height,
+        |  CAST(FLOOR(width * scale) AS INT) AS out_width,
+        |  CAST(FLOOR(height * scale) AS INT) AS out_height
+        |FROM r""".stripMargin),
 
     "text_stats" ->
       """SELECT doc_id,

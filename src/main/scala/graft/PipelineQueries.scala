@@ -1212,6 +1212,44 @@ object PipelineQueries {
           $"docs", $"mass")
     },
 
+    // COMPACTION of the small tail a stream of appends accumulates:
+    // base layout + three small appended batches leave tiny tail
+    // shards; compactShards folds every shard under half the target
+    // mass into fresh target-mass shards on ONE new mass line numbered
+    // above the committed max — manifest committed via the pointer
+    // flip BEFORE the source dirs are deleted (zero wrong-answer
+    // window), fold cost proportional to the SMALL shards only
+    // (partition-pruned read). Gate returns the manifest-directed
+    // corpus ∪ manifest; the oracle independently replays all five
+    // stages (base window, three offset append windows, the fold
+    // window over the under-half-target shards).
+    "pipeline_shards_compact" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val m10 = pmod($"doc_id", lit(10))
+      val out = tmpIndexPath(dir, "graft_shards_cpt")
+      graft.operators.Shards.writeShards(
+        d.filter(m10 =!= 0).select($"doc_id", $"n_chars"),
+        out, "doc_id", $"n_chars", shardMass = 20000L): Unit
+      (0 until 3).foreach { k =>
+        graft.operators.Shards.appendShards(
+          d.filter(m10 === 0 &&
+              pmod(expr("doc_id div 10"), lit(3)) === k)
+            .select($"doc_id", $"n_chars"),
+          out, "doc_id", $"n_chars", shardMass = 20000L): Unit
+      }
+      val manifest = graft.operators.Shards.compactShards(
+        s, out, "doc_id", shardMass = 20000L)
+      graft.operators.Shards.readCorpus(s, out)
+        .select($"doc_id", $"doc_mass", $"cum_mass",
+          $"shard".cast("long").as("shard"))
+        .join(broadcast(manifest.select(
+            $"shard".cast("long").as("shard"), $"docs", $"mass")),
+          Seq("shard"))
+        .select($"doc_id", $"doc_mass", $"cum_mass", $"shard",
+          $"docs", $"mass")
+    },
+
     // PER-GROUP systematic sample: every language sampled independently
     // on its own mass line (a global line would let a huge source crowd
     // small ones out between multiples) — the (group, bucket) prefix-sum
@@ -1408,6 +1446,21 @@ object PipelineQueries {
           "sha256")
         .select($"media_id", $"kind", $"keep_id",
           ($"media_id" =!= $"keep_id").as("is_dup"))
+    },
+
+    // PERCEPTUAL near-dup over the decode seam: 64-bit blockhash of
+    // each asset's sample stream (exact-integer block-mean bits,
+    // codegen'd — functions/MediaExprs), banded-Hamming candidate
+    // generation (4 x 16-bit keys, the embeddingNearDupPairs shape),
+    // full-distance verify via bit_count(xor). Catches the
+    // transcode-style replicas (one byte rewritten) that defeat
+    // mm_dedup's sha256. Oracle replays the per-byte block sums, the
+    // two-half signature assembly, the banding, and the popcount.
+    "mm_near_dedup" -> { (s, dir) =>
+      Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualSig(
+          Multimodal.demoPerturbedMedia(Tables(s, dir, "documents"))),
+        maxDist = 8)
     },
 
     // Aspect-preserving resize PLAN over the decoded image metadata
@@ -1711,6 +1764,63 @@ object PipelineQueries {
         |  MIN(media_id) OVER (PARTITION BY sha256) AS keep_id,
         |  media_id <> MIN(media_id) OVER (PARTITION BY sha256) AS is_dup
         |FROM meta""".stripMargin),
+
+    // Blockhash replay: per-byte values (ASCII payloads — ord = byte),
+    // balanced 64-block partition by (p*64)//L, exact-integer mean
+    // bits, signature assembled from two 32-bit halves through HUGEINT
+    // (the mmMetaCte signed-correction trick), 16-bit band keys by
+    // HUGEINT division, popcount filter at 8.
+    "mm_near_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS media_id,
+        |    'Z' || substr(text, 2) AS payload
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |chars AS (
+        |  SELECT media_id, length(payload) AS L, p,
+        |    ord(substr(payload, CAST(p AS INT) + 1, 1)) AS v
+        |  FROM (SELECT media_id, payload,
+        |          CAST(unnest(range(length(payload))) AS BIGINT) AS p
+        |        FROM media)),
+        |bs AS (
+        |  SELECT media_id, L, (p * 64) // L AS b, SUM(v) AS s,
+        |    COUNT(*) AS n
+        |  FROM chars GROUP BY media_id, L, (p * 64) // L),
+        |tot AS (SELECT media_id, SUM(s) AS t FROM bs GROUP BY media_id),
+        |bits AS (
+        |  SELECT bs.media_id, bs.b,
+        |    CASE WHEN bs.s * bs.L > tot.t * bs.n THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN tot USING (media_id)),
+        |halves AS (
+        |  SELECT media_id,
+        |    SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << CAST(b AS INT))
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << CAST(b - 32 AS INT))
+        |        ELSE 0 END) AS hi
+        |  FROM bits GROUP BY media_id),
+        |sigs AS (
+        |  SELECT media_id,
+        |    hi::HUGEINT * 4294967296 + lo AS u,
+        |    CAST(CASE WHEN hi::HUGEINT * 4294967296 + lo >= 9223372036854775808
+        |      THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
+        |      ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS phash
+        |  FROM halves),
+        |bands AS (
+        |  SELECT s.media_id, s.phash,
+        |    CAST((s.u // (CASE k.k WHEN 0 THEN 1 WHEN 1 THEN 65536
+        |      WHEN 2 THEN 4294967296
+        |      ELSE 281474976710656 END)::HUGEINT) % 65536 AS BIGINT) AS key,
+        |    k.k AS band
+        |  FROM sigs s, (SELECT unnest([0, 1, 2, 3]) AS k) k),
+        |cands AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key
+        |      AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS dist
+        |FROM cands WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin,
 
     // The same LEAST/double-scale/floor arithmetic, integer outputs.
     "mm_resize" ->
@@ -2854,6 +2964,75 @@ object PipelineQueries {
         |  FROM a GROUP BY shard)
         |SELECT a.doc_id, a.doc_mass, a.cum_mass, a.shard, m.docs, m.mass
         |FROM a JOIN m USING (shard)""".stripMargin,
+
+    // Base + three offset append windows + the fold: shards whose
+    // manifest mass is under half the 20000 target re-window on a
+    // fresh line numbered above the overall max; survivors keep their
+    // original line. Independent replay of the five-stage layout.
+    "pipeline_shards_compact" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |ab AS (
+        |  SELECT doc_id, doc_mass, cum_mass,
+        |    (cum_mass - doc_mass) // 20000 AS shard
+        |  FROM b),
+        |o0 AS (SELECT MAX(shard) + 1 AS off FROM ab),
+        |n0 AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents WHERE doc_id % 10 = 0 AND (doc_id // 10) % 3 = 0),
+        |a0 AS (SELECT doc_id, doc_mass, cum_mass,
+        |    o0.off + (cum_mass - doc_mass) // 20000 AS shard FROM n0, o0),
+        |o1 AS (SELECT MAX(shard) + 1 AS off FROM
+        |  (SELECT shard FROM ab UNION ALL SELECT shard FROM a0)),
+        |n1 AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents WHERE doc_id % 10 = 0 AND (doc_id // 10) % 3 = 1),
+        |a1 AS (SELECT doc_id, doc_mass, cum_mass,
+        |    o1.off + (cum_mass - doc_mass) // 20000 AS shard FROM n1, o1),
+        |o2 AS (SELECT MAX(shard) + 1 AS off FROM
+        |  (SELECT shard FROM ab UNION ALL SELECT shard FROM a0
+        |   UNION ALL SELECT shard FROM a1)),
+        |n2 AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS doc_mass,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM documents WHERE doc_id % 10 = 0 AND (doc_id // 10) % 3 = 2),
+        |a2 AS (SELECT doc_id, doc_mass, cum_mass,
+        |    o2.off + (cum_mass - doc_mass) // 20000 AS shard FROM n2, o2),
+        |u AS (SELECT * FROM ab UNION ALL SELECT * FROM a0
+        |      UNION ALL SELECT * FROM a1 UNION ALL SELECT * FROM a2),
+        |m0 AS (SELECT shard, SUM(doc_mass) AS mass FROM u GROUP BY shard),
+        |small AS (SELECT shard FROM m0 WHERE mass < 10000),
+        |ob AS (SELECT MAX(shard) + 1 AS off FROM m0),
+        |f AS (
+        |  SELECT doc_id, doc_mass,
+        |    CAST(SUM(doc_mass) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+        |  FROM u WHERE shard IN (SELECT shard FROM small)),
+        |af AS (SELECT doc_id, doc_mass, cum_mass,
+        |    ob.off + (cum_mass - doc_mass) // 20000 AS shard FROM f, ob),
+        |fin AS (
+        |  SELECT * FROM u WHERE shard NOT IN (SELECT shard FROM small)
+        |  UNION ALL SELECT * FROM af),
+        |m AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(doc_mass) AS BIGINT) AS mass
+        |  FROM fin GROUP BY shard)
+        |SELECT fin.doc_id, fin.doc_mass, fin.cum_mass, fin.shard,
+        |  m.docs, m.mass
+        |FROM fin JOIN m USING (shard)""".stripMargin,
 
     // Per-language mass lines: the window partitions by lang, stride
     // arithmetic unchanged.

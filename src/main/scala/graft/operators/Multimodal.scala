@@ -99,6 +99,76 @@ object Multimodal {
         (col("frame_idx") * stepMs).as("frame_ts_ms"))
   }
 
+  /** Demo media for the PERCEPTUAL near-dup path: every document's
+    * payload plus, for doc_id ≡ 0 (mod 7), a transcode-style replica
+    * (one leading byte rewritten, media_id offset by 10_000_000) — the
+    * perturbation class that defeats the byte-exact sha256 dedup
+    * ([[demoMediaFromDocuments]] + `mm_dedup`) but that a perceptual
+    * signature must still catch.
+    */
+  def demoPerturbedMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("media_id"),
+          concat(lit("Z"), expr("substring(text, 2)"))
+            .cast("binary").as("content")))
+
+  /** Per-asset perceptual signature over the decode seam's sample
+    * stream ([[graft.functions.MediaOps.blockHash64]] — 64-bit
+    * blockhash, exact integer arithmetic, codegen'd). A real decoder
+    * feeds luma/PCM samples to the SAME kernel; the stub pixel model
+    * is the payload bytes. Narrow (no shuffle) — the signature rides
+    * the scan like the metadata decode.
+    */
+  def perceptualSig(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaExprs.blockHash64(col("content")).as("phash"))
+
+  /** Perceptual near-duplicate pairs by banded Hamming LSH over the
+    * blockhash signatures — the same candidate-generation shape as
+    * [[Dedup.embeddingNearDupPairs]]/the sign index: split the 64-bit
+    * signature into `bands` equal keys, equi-join per band (pairs
+    * agreeing on ≥1 band), then verify the FULL Hamming distance with
+    * one codegen'd `bit_count(xor)` per candidate. Pigeonhole: a pair
+    * within `64/bands − 1` flipped bits per band boundary — in
+    * particular any pair with dist < bands — is guaranteed a clean
+    * band; beyond that recall decays gracefully (measured: all planted
+    * single-byte transcodes at dist ≤ 4 surface with 4 bands).
+    *
+    * 100 TB shape: candidates come from 2^(64/bands)-ary hash buckets,
+    * never an all-pairs product — with the default 4 bands the
+    * per-band key space is 65536; for corpora ≫ 2^16 assets drop to
+    * `bands = 2` (32-bit keys, tight buckets, guaranteed radius 1) or
+    * dedup byte-identical payloads first (`mm_dedup`), which collapses
+    * the dist-0 mass that dominates bucket occupancy.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
+    */
+  def perceptualNearDupPairs(sigs: DataFrame, maxDist: Int,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2: $bands")
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
+    val keys = (0 until bands).map(i =>
+      shiftrightunsigned(col("phash"), i * bits).bitwiseAND(lit(mask)))
+    val banded = sigs.select(col("media_id"), col("phash"),
+      posexplode(array(keys: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("phash").as("pa"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("phash").as("pb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Resize plan for images: pure metadata transform preserving aspect
     * ratio to fit within (maxW, maxH); the pixel resample is the stubbed
     * seam.

@@ -315,7 +315,14 @@ object Sampling {
     val width = (1000003L + b - 1) / b
     val s = epochScore(col(idCol), epoch)
     val g = groupCols.map(col)
-    val withB = df.withColumn("__pm", mass.cast("long"))
+    // a negative mass silently breaks cum_mass monotonicity downstream
+    // (shard div truncates toward zero, stride sampling's keep rule
+    // voids) — refuse loudly, per row, inside codegen
+    val m = mass.cast("long")
+    val guarded = when(m < 0L, raise_error(concat(
+      lit(s"prefixMass: negative mass for $idCol="), col(idCol).cast("string"),
+      lit(": "), m.cast("string")))).otherwise(m)
+    val withB = df.withColumn("__pm", guarded)
       .withColumn("__sbkt", (s / lit(width)).cast("long"))
     val offsets = withB.groupBy(g :+ col("__sbkt"): _*)
       .agg(sum(col("__pm")).as("__bm"))
@@ -326,7 +333,14 @@ object Sampling {
       .drop("__bm")
     val w = Window.partitionBy(g :+ col("__sbkt"): _*).orderBy(s, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB.join(broadcast(offsets), groupCols :+ "__sbkt")
+    // ungrouped: the offsets frame is ≤ `buckets` rows (hard-capped at
+    // 1000003 by the score modulus) — always broadcastable. Grouped:
+    // it is groups × buckets rows, unbounded by the API (any column is
+    // a legal group) — no hint; AQE broadcasts it at runtime iff it is
+    // actually small, and shuffles the join past the threshold instead
+    // of forcing a GB-scale frame through the driver.
+    val hinted = if (groupCols.isEmpty) broadcast(offsets) else offsets
+    withB.join(hinted, groupCols :+ "__sbkt")
       .withColumn("cum_mass", col("__off") + sum(col("__pm")).over(w))
       .drop("__sbkt", "__off", "__pm")
   }

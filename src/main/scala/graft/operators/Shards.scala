@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Size-targeted training-shard serialization: the last step of a
   * training-data assembly writes the curated corpus as shards of ~equal
@@ -26,6 +27,21 @@ import org.apache.spark.sql.functions._
   * bucket partition) plus the shard repartition of the write; the
   * manifest is a ≤-#shards aggregate. No single-task sort anywhere
   * (the trap a naive `row_number`/`sum OVER ()` layout hits at 100 TB).
+  *
+  * Durability: the MANIFEST is the commit record of the layout. It is
+  * committed through the [[IndexVersions]] pointer protocol (version
+  * dirs under `_graft_manifest/_ixvN`, monotonic marker + atomic
+  * pointer flip LAST), so neither an append nor a compaction ever has
+  * a window where a crash leaves the manifest partial: readers resolve
+  * to the previous committed generation until the flip. Shard dirs on
+  * disk that the committed manifest does not describe are by definition
+  * uncommitted (a crashed append's orphans) or retracted (a compacted
+  * shard whose post-flip delete didn't finish) — [[healLayout]] deletes
+  * them, and every mutating entry point heals first, so the layout
+  * self-repairs on the next write after any crash. [[readCorpus]] is
+  * the always-consistent read (manifest-directed, partition-pruned);
+  * a raw `spark.read.parquet(outDir)` matches it except inside a
+  * not-yet-healed crash window.
   */
 object Shards {
 
@@ -46,12 +62,16 @@ object Shards {
 
   /** Materialize the shards: `outDir/shard=N/` parquet (rows carry
     * `doc_mass` and `cum_mass`; within-file order is serialization
-    * order) plus a manifest at `outDir/_graft_manifest/` with one row
-    * per shard — (shard, docs, mass) — computed by READING BACK the
-    * written files, so the manifest describes what is actually on disk,
-    * not what the plan intended. The underscore prefix hides the
-    * manifest from `spark.read.parquet(outDir)`, which therefore loads
-    * exactly the corpus. Returns the read-back manifest.
+    * order) plus a committed manifest with one row per shard —
+    * (shard, docs, mass) — computed by READING BACK the written files,
+    * so the manifest describes what is actually on disk, not what the
+    * plan intended. The underscore prefix hides the manifest from
+    * `spark.read.parquet(outDir)`, which therefore loads exactly the
+    * corpus. Returns the read-back manifest.
+    *
+    * An EMPTY input commits an empty manifest (and writes no shard
+    * dirs) — the bootstrap of a stream that starts from nothing and
+    * grows by [[appendShards]].
     *
     * The shard repartition hashes shard ids across tasks (each task
     * writes whole shards); with `shardMass` chosen for training-file
@@ -67,20 +87,57 @@ object Shards {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("cum_mass"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    spark.read.parquet(outDir)
-      // partition-dir inference reads shard= back as INT; the manifest
-      // contract is BIGINT like the assignment that produced it
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("docs"), sum(col("doc_mass")).as("mass"))
-      .write.mode("overwrite").parquet(manifestDir(outDir))
-    // snapshot (localCheckpoint): the returned frame must survive a
-    // LATER append/rewrite replacing the manifest files under it
-    readManifest(spark, outDir).localCheckpoint(true)
+    val rows =
+      if (shardDirsOnDisk(spark, outDir).isEmpty) emptyManifest(spark)
+      else manifestRows(spark.read.parquet(outDir))
+    commitManifest(spark, outDir, rows)
   }
 
-  /** The persisted manifest of a [[writeShards]] layout. */
+  /** The committed manifest of a [[writeShards]] layout: resolves the
+    * [[IndexVersions]] pointer to the current generation (a legacy
+    * pre-pointer layout's flat `_graft_manifest` files are generation
+    * zero and stay readable unchanged).
+    */
   def readManifest(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(manifestDir(outDir))
+    spark.read.parquet(
+      IndexVersions.resolvePath(spark, manifestRoot(outDir)))
+
+  /** Manifest-directed corpus read: exactly the shards the committed
+    * manifest describes, via a partition-pruning `shard IN (…)` filter
+    * (the id list is ≤ #shards — bounded driver-side, same contract as
+    * the capped probe literals elsewhere). Correct in EVERY crash
+    * window — orphan dirs from a crashed append and retracted dirs
+    * from an interrupted compaction are filtered out even before
+    * [[healLayout]] removes them.
+    */
+  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
+    val ids = readManifest(spark, outDir)
+      .select(col("shard").cast("long")).collect().map(_.getLong(0))
+    if (ids.isEmpty)
+      sys.error(s"empty shard layout at $outDir — nothing to read")
+    spark.read.parquet(outDir)
+      .filter(col("shard").cast("long").isin(ids.toIndexedSeq: _*))
+  }
+
+  /** Delete `shard=N` dirs the committed manifest does not describe —
+    * a crashed append's uncommitted orphans (above the manifest max)
+    * or an interrupted compaction's retracted sources (the post-flip
+    * delete didn't finish). Both are dead by the manifest-is-commit-
+    * record contract; removing them makes the raw
+    * `spark.read.parquet(outDir)` read agree with [[readCorpus]]
+    * again. Every mutating entry point runs this first. Returns the
+    * deleted shard ids.
+    */
+  def healLayout(spark: SparkSession, outDir: String): Seq[Long] = {
+    val committed = readManifest(spark, outDir)
+      .select(col("shard").cast("long")).collect().map(_.getLong(0)).toSet
+    val fs = fsOf(spark, outDir)
+    shardDirsOnDisk(spark, outDir).filterNot(committed).map { sid =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(outDir, s"shard=$sid"), true)
+      sid
+    }
+  }
 
   /** APPEND a new batch of documents to an existing [[writeShards]]
     * layout — the serialization leg of an incremental pipeline (an
@@ -94,19 +151,26 @@ object Shards {
     * once is the upstream's contract (the ingest stream's three dedup
     * stages are exactly that machinery). The manifest is extended with
     * the new shards' rows (computed by reading back ONLY the new,
-    * partition-pruned dirs) and rewritten whole (≤ #shards rows).
+    * partition-pruned dirs) and committed as the next [[IndexVersions]]
+    * generation — the pointer flip is the LAST step, so a crash at any
+    * earlier point leaves the previous manifest committed and only
+    * uncommitted orphan dirs on disk, which the heal pass of the next
+    * mutation (or a retry of this one) deletes before numbering.
     *
     * Assignment inside the batch is [[shardByMass]] verbatim, so batch
     * shards have the same size bounds and determinism as a fresh
-    * layout's; only the shard NUMBERING is offset. Returns the updated
-    * read-back manifest.
+    * layout's; only the shard NUMBERING is offset. An empty batch
+    * commits an unchanged manifest. Returns the updated read-back
+    * manifest.
     */
   def appendShards(df: DataFrame, outDir: String, idCol: String,
       mass: Column, shardMass: Long, buckets: Int = 0,
       knownCount: Long = -1L, epoch: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    healLayout(spark, outDir): Unit
+    // coalesce: an empty manifest (bootstrap layout) numbers from 0
     val base = readManifest(spark, outDir)
-      .agg(max(col("shard"))).head().getLong(0) + 1L
+      .agg(coalesce(max(col("shard")), lit(-1L))).head().getLong(0) + 1L
     val assigned = shardByMass(df, idCol, mass, shardMass, buckets,
         knownCount, epoch)
       .withColumn("shard", col("shard") + lit(base))
@@ -120,15 +184,77 @@ object Shards {
     // manifest update reads back ONLY the new shard dirs (the shard >=
     // base filter partition-prunes the listing) and unions the old
     // rows — appending a batch must never re-scan the whole layout
-    val newRows = spark.read.parquet(outDir)
-      .filter(col("shard") >= base)
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("docs"), sum(col("doc_mass")).as("mass"))
+    val newRows =
+      if (shardDirsOnDisk(spark, outDir).isEmpty) emptyManifest(spark)
+      else manifestRows(
+        spark.read.parquet(outDir).filter(col("shard") >= base))
     val updated = readManifest(spark, outDir)
       .filter(col("shard") < base).unionByName(newRows)
-      .localCheckpoint(true) // sever the read-before-overwrite cycle
-    updated.write.mode("overwrite").parquet(manifestDir(outDir))
-    readManifest(spark, outDir).localCheckpoint(true)
+      .localCheckpoint(true) // sever the read-before-commit cycle
+    commitManifest(spark, outDir, updated)
+  }
+
+  /** COMPACT the small tail a stream of [[appendShards]] batches
+    * accumulates: every append ends its fresh mass line with one
+    * under-target shard, so a long-running ingest→serialize loop grows
+    * an unbounded set of tiny shards (bad training-loader granularity,
+    * bad file sizes). Shards with mass < `minMass` (default
+    * `shardMass / 2` — the classic LSM half-full rule; pass `shardMass`
+    * to also fold barely-under-target shards) are folded: their rows
+    * are re-assigned by [[shardByMass]] on ONE fresh mass line (so the
+    * fold yields target-mass shards again, at most one short tail),
+    * written as new dirs numbered from maxShard+1, and the manifest —
+    * the folded rows replacing the source shards' — is committed via
+    * the pointer flip BEFORE the source dirs are deleted. Crash
+    * windows: before the flip, the old manifest stays committed and
+    * the new dirs are unreferenced orphans (healed); after the flip,
+    * the manifest is already correct and the undeleted source dirs are
+    * retracted-but-present (healed; [[readCorpus]] is exact
+    * throughout). Fold cost is proportional to the SMALL shards' mass,
+    * never the corpus — the partition-pruned `shard IN` read.
+    *
+    * Folding renumbers, so shard ids stop being contiguous — the
+    * manifest, not the numbering, is the loader contract. Fewer than 2
+    * small shards is a no-op (folding one shard only renames it).
+    * Returns the committed manifest.
+    */
+  def compactShards(spark: SparkSession, outDir: String, idCol: String,
+      shardMass: Long, minMass: Long = -1L, buckets: Int = 0,
+      epoch: Int = 0): DataFrame = {
+    require(shardMass >= 1, s"shardMass must be >= 1: $shardMass")
+    val threshold = if (minMass >= 0) minMass else shardMass / 2
+    healLayout(spark, outDir): Unit
+    val manifest = readManifest(spark, outDir).localCheckpoint(true)
+    val small = manifest.filter(col("mass") < threshold)
+      .select(col("shard").cast("long")).collect().map(_.getLong(0))
+    if (small.length < 2) return manifest
+    val base = manifest.agg(max(col("shard"))).head().getLong(0) + 1L
+    // stored rows already carry doc_mass; shardByMass re-derives it
+    // from itself (withColumn replaces in place) on the fresh line
+    val folded = shardByMass(
+        spark.read.parquet(outDir)
+          .filter(col("shard").cast("long").isin(small.toIndexedSeq: _*))
+          .drop("shard", "cum_mass"),
+        idCol, col("doc_mass"), shardMass, buckets, epoch = epoch)
+      .withColumn("shard", col("shard") + lit(base))
+    folded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("cum_mass"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(outDir)
+    val newRows = manifestRows(
+      spark.read.parquet(outDir).filter(col("shard") >= base))
+    val updated = manifest
+      .filter(!col("shard").isin(small.toIndexedSeq: _*))
+      .unionByName(newRows).localCheckpoint(true)
+    val committed = commitManifest(spark, outDir, updated)
+    // sources are retracted from the committed manifest — delete LAST
+    val fs = fsOf(spark, outDir)
+    small.foreach { sid =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(outDir, s"shard=$sid"), true): Unit
+    }
+    committed
   }
 
   /** One shard of a [[writeShards]] layout, in serialization order —
@@ -143,6 +269,53 @@ object Shards {
       .filter(col("shard") === shard)
       .sort(col("cum_mass"))
 
-  private def manifestDir(outDir: String): String =
+  /** (shard, docs, mass) rows for a (subset of a) read-back layout.
+    * Partition-dir inference reads shard= back as INT; the manifest
+    * contract is BIGINT like the assignment that produced it. */
+  private def manifestRows(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("doc_mass")).as("mass"))
+
+  /** Write `rows` as the next manifest generation and flip the pointer
+    * (the [[IndexVersions]] protocol: version dir beside the previous
+    * one, monotonic marker + atomic rename LAST). Returns the read-back
+    * committed manifest, snapshotted (localCheckpoint) so the returned
+    * frame survives a LATER append/compaction replacing the files. */
+  private def commitManifest(spark: SparkSession, outDir: String,
+      rows: DataFrame): DataFrame = {
+    val root = manifestRoot(outDir)
+    val v = IndexVersions.nextVersion(spark, root)
+    rows.write.mode("overwrite")
+      .parquet(IndexVersions.versionDir(root, v))
+    IndexVersions.commit(spark, root, v)
+    readManifest(spark, outDir).localCheckpoint(true)
+  }
+
+  private def emptyManifest(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("shard", LongType),
+        StructField("docs", LongType), StructField("mass", LongType))))
+
+  /** The `shard=N` ids present on disk (one FS listing — #shards
+    * entries, no data read). */
+  private def shardDirsOnDisk(spark: SparkSession,
+      outDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = fsOf(spark, outDir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("shard=") &&
+        n.stripPrefix("shard=").nonEmpty &&
+        n.stripPrefix("shard=").forall(_.isDigit))
+      .map(_.stripPrefix("shard=").toLong)
+  }
+
+  private def fsOf(spark: SparkSession, outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestRoot(outDir: String): String =
     s"$outDir/_graft_manifest"
 }

@@ -773,4 +773,200 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(one.agg(org.apache.spark.sql.functions.sum($"doc_mass"))
       .head().getLong(0) === man(1)._3)
   }
+
+  test("compactShards: folds the small tail into target-mass shards; " +
+      "corpus preserved row-for-row; manifest describes exactly what " +
+      "is on disk; deterministic; < 2 small shards is a no-op") {
+    import graft.operators.Shards
+    import org.apache.spark.sql.functions.sum
+    val shardMass = 25000L
+    val out = tmpDir("shards-compact")
+    val base = (1L to 2000L).map(i => (i, (i % 301) + 20))
+      .toDF("doc_id", "m")
+    Shards.writeShards(base, out, "doc_id", $"m", shardMass,
+      buckets = 16): Unit
+    // three small arrivals -> three tiny tail shards (the accumulation
+    // compaction exists to stop)
+    (0 until 3).foreach { k =>
+      val b = (3001L + k * 40L to 3040L + k * 40L).map(i =>
+        (i, (i % 301) + 20)).toDF("doc_id", "m")
+      Shards.appendShards(b, out, "doc_id", $"m", shardMass,
+        buckets = 16): Unit
+    }
+    val before = Shards.readManifest(spark, out).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("docs"),
+        r.getAs[Long]("mass")))
+    val smallBefore = before.filter(_._3 < shardMass / 2)
+    assert(smallBefore.length >= 3,
+      s"appends must have accumulated small shards: ${before.toSeq}")
+    val totalDocs = before.map(_._2).sum
+    val totalMass = before.map(_._3).sum
+    val corpusBefore = spark.read.parquet(out)
+      .select($"doc_id", $"doc_mass").orderBy($"doc_id").collect().toSeq
+
+    val man = Shards.compactShards(spark, out, "doc_id", shardMass)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("docs"),
+        r.getAs[Long]("mass"))).sortBy(_._1)
+    // nothing lost, nothing duplicated — (doc_id, doc_mass) multiset
+    // identical before/after the fold
+    assert(man.map(_._2).sum === totalDocs)
+    assert(man.map(_._3).sum === totalMass)
+    val corpusAfter = spark.read.parquet(out)
+      .select($"doc_id", $"doc_mass").orderBy($"doc_id").collect().toSeq
+    assert(corpusAfter === corpusBefore)
+    // the small set shrank: folded into at most ceil(smallMass/target)
+    // target-mass shards (+1 short tail)
+    val smallAfter = man.filter(_._3 < shardMass / 2)
+    assert(smallAfter.length <= 1,
+      s"fold must leave at most one short tail: ${man.toSeq}")
+    // manifest ≡ disk: the shard= dirs on disk are exactly the
+    // manifest's ids, and per-shard (docs, mass) agree
+    val disk = spark.read.parquet(out)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("docs"),
+        sum($"doc_mass").as("mass"))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("docs"),
+        r.getAs[Long]("mass"))).sortBy(_._1)
+    assert(disk.toSeq === man.toSeq,
+      "manifest must describe exactly what is on disk")
+    // readCorpus (manifest-directed) agrees with the raw read
+    assert(Shards.readCorpus(spark, out).count() === totalDocs)
+    // compacting again: the fold left < 2 small shards -> no-op
+    val man2 = Shards.compactShards(spark, out, "doc_id", shardMass)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("docs"),
+        r.getAs[Long]("mass"))).sortBy(_._1)
+    assert(man2.toSeq === man.toSeq, "a compacted layout is a fixpoint")
+  }
+
+  test("shard layout crash shapes: a crashed append's orphan dirs are " +
+      "healed before the next (smaller) append numbers; an interrupted " +
+      "compaction's retracted dirs never reach readCorpus") {
+    import graft.operators.Shards
+    import org.apache.spark.sql.functions.sum
+    val shardMass = 25000L
+    val out = tmpDir("shards-crash")
+    val base = (1L to 1000L).map(i => (i, (i % 301) + 20))
+      .toDF("doc_id", "m")
+    val man0 = Shards.writeShards(base, out, "doc_id", $"m", shardMass,
+      buckets = 16)
+    val max0 = man0.agg(org.apache.spark.sql.functions.max($"shard"))
+      .head().getLong(0)
+    val docs0 = man0.agg(sum($"docs")).head().getLong(0)
+    // simulate the crash window: a big append wrote shard dirs but died
+    // before the manifest pointer flip — orphan dirs above the
+    // committed max, absent from the manifest
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(out, s"shard=$max0")
+    Seq(max0 + 1, max0 + 2).foreach { orphan =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(out, s"shard=$orphan"),
+        false, spark.sparkContext.hadoopConfiguration): Unit
+    }
+    // raw read now disagrees with the manifest (the divergence the
+    // round-14 verdict filed); readCorpus must already be exact
+    assert(Shards.readCorpus(spark, out).count() === docs0)
+    assert(spark.read.parquet(out).count() > docs0)
+    // the next append carries a SMALLER batch (one shard) — it must
+    // heal the orphans, then number from the COMMITTED max
+    val b = (5001L to 5050L).map(i => (i, (i % 301) + 20))
+      .toDF("doc_id", "m")
+    val man1 = Shards.appendShards(b, out, "doc_id", $"m", shardMass,
+      buckets = 16)
+    val ids = man1.select($"shard".cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L to max0 + 1).toSeq,
+      "append must heal orphans and continue numbering from the " +
+        s"committed max: ${ids.toSeq}")
+    assert(man1.agg(sum($"docs")).head().getLong(0) === docs0 + 50L)
+    // corpus ≡ manifest again, by raw read too
+    assert(spark.read.parquet(out).count() === docs0 + 50L)
+
+    // interrupted COMPACTION: sources retracted from the committed
+    // manifest but their dirs not yet deleted — stage it by copying a
+    // small dir back after the fold
+    (0 until 2).foreach { k =>
+      val bb = (6001L + k * 40L to 6040L + k * 40L).map(i =>
+        (i, (i % 301) + 20)).toDF("doc_id", "m")
+      Shards.appendShards(bb, out, "doc_id", $"m", shardMass,
+        buckets = 16): Unit
+    }
+    val manPre = Shards.readManifest(spark, out)
+    val smallIds = manPre.filter($"mass" < shardMass / 2)
+      .select($"shard".cast("long")).collect().map(_.getLong(0))
+    assert(smallIds.length >= 2)
+    val keep = new org.apache.hadoop.fs.Path(out, s"shard=${smallIds.head}")
+    val stash = new org.apache.hadoop.fs.Path(out + "-stash")
+    org.apache.hadoop.fs.FileUtil.copy(fs, keep, fs, stash, false,
+      spark.sparkContext.hadoopConfiguration): Unit
+    val manC = Shards.compactShards(spark, out, "doc_id", shardMass)
+    val total = manC.agg(sum($"docs")).head().getLong(0)
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash, fs, keep, true,
+      spark.sparkContext.hadoopConfiguration): Unit
+    // the retracted dir is back on disk; manifest-directed read is
+    // exact, and the next mutation's heal removes it for raw readers
+    assert(Shards.readCorpus(spark, out).count() === total)
+    assert(Shards.healLayout(spark, out) === Seq(smallIds.head))
+    assert(spark.read.parquet(out).count() === total)
+  }
+
+  test("writeShards bootstraps from an EMPTY corpus (empty committed " +
+      "manifest, no dirs) and appendShards grows it from shard 0") {
+    import graft.operators.Shards
+    import org.apache.spark.sql.functions.sum
+    val out = tmpDir("shards-bootstrap")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "m")
+    val man0 = Shards.writeShards(empty, out, "doc_id", $"m", 25000L,
+      buckets = 4)
+    assert(man0.count() === 0L,
+      "empty corpus must commit an empty manifest")
+    assert(man0.columns.toSeq === Seq("shard", "docs", "mass"))
+    // an empty append against the empty layout is a committed no-op
+    val manE = Shards.appendShards(empty, out, "doc_id", $"m", 25000L,
+      buckets = 4)
+    assert(manE.count() === 0L)
+    // first real batch numbers from 0
+    val b = (1L to 200L).map(i => (i, (i % 301) + 20)).toDF("doc_id", "m")
+    val man1 = Shards.appendShards(b, out, "doc_id", $"m", 25000L,
+      buckets = 4)
+    assert(man1.select($"shard".cast("long")).collect().map(_.getLong(0))
+      .min === 0L)
+    assert(man1.agg(sum($"docs")).head().getLong(0) === 200L)
+  }
+
+  test("prefixMass guards: a negative mass raises per-row instead of " +
+      "silently corrupting the mass line; only the UNGROUPED offsets " +
+      "frame carries a broadcast hint") {
+    val df = Seq((1L, 10L), (2L, -5L), (3L, 7L)).toDF("doc_id", "m")
+    val ex = intercept[Exception] {
+      Sampling.prefixMass(df, "doc_id", $"m").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" "))
+    assert(rootMsg(ex).contains("negative mass"),
+      s"expected the negative-mass guard, got: ${rootMsg(ex)}")
+    // hint audit: unbounded groups x buckets must not be forced
+    // through the driver (AQE decides at runtime); the ungrouped
+    // ≤buckets frame keeps the hint
+    def hasHint(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val ok = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("doc_id", "m", "g")
+    assert(hasHint(Sampling.prefixMass(ok, "doc_id", $"m")))
+    assert(!hasHint(Sampling.prefixMass(ok, "doc_id", $"m",
+      groupCols = Seq("g"))))
+    // grouped result stays exact without the hint
+    val big = (1L to 600L).map(i => (i, (i % 50) + 1L,
+      s"g${i % 7}")).toDF("doc_id", "m", "g")
+    val got = Sampling.prefixMass(big, "doc_id", $"m",
+        groupCols = Seq("g"))
+      .groupBy($"g")
+      .agg(org.apache.spark.sql.functions.max($"cum_mass").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (1L to 600L).map(i => (s"g${i % 7}", (i % 50) + 1L))
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).sum }
+    assert(got === want)
+  }
 }

@@ -519,6 +519,90 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal perceptual near-dup: blockhash kernel matches a " +
+      "reference implementation; planted transcode replicas all " +
+      "surface within the distance budget; banding honors the " +
+      "pigeonhole guarantee") {
+    import graft.functions.{MediaExprs, MediaOps}
+    // kernel vs an independent reference formulation
+    def refHash(bytes: Array[Byte]): Long = {
+      val L = bytes.length
+      if (L == 0) 0L
+      else {
+        val vals = bytes.map(_ & 0xff)
+        val byBlock = vals.zipWithIndex
+          .groupBy { case (_, p) => (p.toLong * 64 / L).toInt }
+        val total = vals.map(_.toLong).sum
+        (0 until 64).map { i =>
+          val blk = byBlock.getOrElse(i, Array.empty)
+          val s = blk.map(_._1.toLong).sum
+          if (s * L > total * blk.length) 1L << i else 0L
+        }.reduce(_ | _)
+      }
+    }
+    val samples = Seq("", "a", "hello world", "x" * 200,
+      (0 until 300).map(i => ('a' + i % 26).toChar).mkString)
+    samples.foreach { s =>
+      assert(MediaOps.blockHash64(s.getBytes("UTF-8")) ===
+        refHash(s.getBytes("UTF-8")), s"payload: ${s.take(20)}")
+    }
+    // expression path (codegen) agrees with the static kernel
+    val viaExpr = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("media_id", "t")
+      .select($"media_id", MediaExprs.blockHash64($"t".cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(viaExpr(i.toLong) === refHash(s.getBytes("UTF-8")))
+    }
+
+    // RECALL vs planted transcode-style perturbations: every replica
+    // (one byte rewritten) must pair with its original within dist 8
+    val media = Multimodal.demoPerturbedMedia(docs)
+    val planted = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val pairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualSig(media), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val found = pairs.collect {
+      case (a, b, _) if b == a + 10000000L => a
+    }.toSet
+    assert(found === planted,
+      s"all ${planted.size} planted replicas must surface, " +
+        s"found ${found.size}")
+    pairs.filter { case (a, b, _) => b == a + 10000000L }
+      .foreach { case (a, _, d) =>
+        assert(d <= 8, s"planted pair for $a at dist $d")
+      }
+    // structurally unrelated payloads stay far: none of these
+    // pseudo-random strings pair with each other or with the corpus
+    val noise = (0 until 20).map { i =>
+      (900000L + i, (0 until 120)
+        .map(j => ((i * 31 + j * 17) % 26 + 'a').toChar).mkString)
+    }.toDF("media_id", "t")
+      .select($"media_id", $"t".cast("binary").as("content"))
+    val noisy = Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualSig(media.unionByName(noise)), maxDist = 8)
+      .filter($"id_a" >= 900000L)
+      .count()
+    assert(noisy === 0L, "unrelated payloads must not pair")
+
+    // pigeonhole on synthetic signatures: dist < bands is ALWAYS
+    // found (some band is untouched); a pair spread across every band
+    // is legitimately missed by banding even inside the budget
+    val base = 0x0123456789abcdefL
+    val threeBits = base ^ (1L << 1) ^ (1L << 20) ^ (1L << 40)
+    val everyBand = base ^ (1L << 1) ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)
+    val sigs = Seq((1L, base), (2L, threeBits), (3L, everyBand))
+      .toDF("media_id", "phash")
+    val got = Multimodal.perceptualNearDupPairs(sigs, maxDist = 8)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "dist 3 < 4 bands must be found")
+    assert(!got.contains((1L, 3L)),
+      "a pair perturbed in all 4 bands has no clean band — banding " +
+        "is the documented approximation")
+  }
+
   test("cosine expression matches a reference implementation") {
     val rows = embeddings.limit(3).select($"embedding").as[Seq[Float]].collect()
     val sparkCos = embeddings.limit(3)

@@ -1086,6 +1086,38 @@ class StreamingSpec extends SparkSpec {
         "an all-dup batch must serialize nothing")
       assert(man2.count() === man1.count(),
         "an empty append must not create shards")
+
+      // MID-STREAM COMPACTION: more small arrivals accumulate tiny
+      // tail shards; compacting folds them without stopping the loop —
+      // corpus totals preserved, and the next arrival appends against
+      // the compacted manifest seamlessly
+      (0 until 3).foreach { k =>
+        val bk = IngestStream.applyBatch(spark,
+          Seq((7100001L + k * 10, synthText(s"m$k")),
+            (7100002L + k * 10, synthText(s"n$k")))
+            .toDF("doc_id", "text"),
+          None, idxPrefix, "doc_id", "text", 3, 0.5)
+        Shards.appendShards(bk, shardDir, "doc_id",
+          length($"text"), shardMass = 20000L, buckets = 8): Unit
+      }
+      val manPre = Shards.readManifest(spark, shardDir)
+      val preDocs = manPre.agg(sum($"docs")).head().getLong(0)
+      val preShards = manPre.count()
+      assert(preDocs === baseDocs + 7L)
+      val manC = Shards.compactShards(spark, shardDir, "doc_id", 20000L)
+      assert(manC.agg(sum($"docs")).head().getLong(0) === preDocs,
+        "mid-stream compaction must not lose or duplicate documents")
+      assert(manC.count() < preShards,
+        "compaction must shrink the small tail")
+      // loop continues: next accepted batch appends above the
+      // compacted numbering, integrity holds end-to-end
+      val b3 = IngestStream.applyBatch(spark,
+        Seq((7200001L, synthText("post"))).toDF("doc_id", "text"),
+        None, idxPrefix, "doc_id", "text", 3, 0.5)
+      val man3 = Shards.appendShards(b3, shardDir, "doc_id",
+        length($"text"), shardMass = 20000L, buckets = 8)
+      assert(man3.agg(sum($"docs")).head().getLong(0) === preDocs + 1L)
+      assert(Shards.readCorpus(spark, shardDir).count() === preDocs + 1L)
     } finally {
       Seq("df", "prefix", "shingles").foreach { s =>
         Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")

@@ -14,11 +14,25 @@ import org.apache.spark.sql.functions._
   * bookkeeping (checkpointing, file tracking, listing the accepted
   * dirs), which must stay noise next to the probe cost itself.
   *
-  * Usage: IngestStreamBench <sfStyleDir> [text|embed|both]
+  * Usage: IngestStreamBench <sfStyleDir> [text|embed|both|serialize]
   *   SPARK_GRAFT_BATCH_MOD  (default 10): id % MOD == 0 arrives, the
   *                          rest is the frozen corpus (gate convention)
   *   SPARK_GRAFT_N_BATCHES  (default 4): arrival micro-batches
   * Emits one JSON line per mode.
+  *
+  * `serialize` is the SERIALIZATION leg of the loop at scale: base
+  * corpus → [[graft.operators.Shards.writeShards]], then the arrival
+  * stream through the REAL engine (file source, one file per
+  * micro-batch, foreachBatch → appendShards), a MID-STREAM
+  * [[graft.operators.Shards.compactShards]] between the two arrival
+  * waves (the second wave resumes from the same checkpoint — stream
+  * recovery across a compaction), and a full corpus ≡ manifest
+  * integrity audit at the end (doc/mass totals, raw read vs
+  * manifest-directed read, per-shard disk aggregate row-for-row equal
+  * to the manifest). The dedup stages are priced by `text` mode;
+  * composing them ahead of the appender is the gate/spec-covered
+  * loop — this phase isolates what serialization itself costs and
+  * proves its durability story under real micro-batches.
   */
 object IngestStreamBench {
 
@@ -194,6 +208,96 @@ object IngestStreamBench {
       Seq("df", "prefix", "shingles").foreach { s =>
         graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
       }
+    }
+
+    if (mode == "serialize") {
+      import graft.operators.Shards
+      val d = Tables(spark, dir, "documents").select($"doc_id", $"text")
+      val corpus = d.filter(pmod($"doc_id", lit(batchMod)) =!= 0)
+      val arrivals = d.filter(pmod($"doc_id", lit(batchMod)) === 0)
+      val nC = corpus.count(); val nA = arrivals.count()
+      val expMass = d.agg(sum(length($"text"))).head().getLong(0)
+      // ~200 target shards over the FULL corpus at any scale; arrival
+      // batches are ~1/(MOD·N_BATCHES) of that mass, so each appended
+      // wave leaves the under-target tail compaction exists to fold
+      val shardMass = math.max(1L, expMass / 200L)
+      val shardDir = s"$scratch/ser_shards"
+      val tb = System.nanoTime()
+      Shards.writeShards(corpus, shardDir, "doc_id", length($"text"),
+        shardMass, knownCount = nC): Unit
+      val baseSec = (System.nanoTime() - tb) / 1e9
+
+      // stage arrival slices as single files; wave 2 lands in the SAME
+      // source dir after wave 1's run, so the resumed stream (same
+      // checkpoint) picks up exactly the new files
+      val srcDir = s"$scratch/ser_src"
+      def stageSlices(ids: Range): Unit = ids.foreach { i =>
+        val slice = arrivals.filter(
+          pmod($"doc_id".divide(batchMod).cast("long"), lit(nBatches)) === i)
+        slice.coalesce(1).write.parquet(s"$srcDir/b$i")
+        val part = new java.io.File(s"$srcDir/b$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$srcDir/b$i.parquet")
+        require(part.renameTo(dst), s"rename failed for ser b$i")
+        require(dst.setLastModified(
+          System.currentTimeMillis() - (nBatches - i) * 60000L))
+        new java.io.File(s"$srcDir/b$i").listFiles().foreach(_.delete())
+        new java.io.File(s"$srcDir/b$i").delete(): Unit
+      }
+      val docSchema = d.schema
+      def runWave(expectBatches: Int): (Double, Seq[(Long, Long)]) = {
+        val lst = new BatchTimes
+        spark.streams.addListener(lst)
+        val t = System.nanoTime()
+        val q = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            // fixed bucket count: a micro-batch must not pay a sizing
+            // count job per trigger (batches are small by construction)
+            Shards.appendShards(b, shardDir, "doc_id",
+              length(col("text")), shardMass, buckets = cpus.toInt): Unit
+          }
+          .option("checkpointLocation", s"$scratch/ser_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t) / 1e9
+        val times = lst.drain(expectBatches)
+        spark.streams.removeListener(lst)
+        (wall, times)
+      }
+
+      val half = math.max(1, nBatches / 2)
+      stageSlices(0 until half)
+      val (w1, t1s) = runWave(half)
+      val tailBefore = Shards.readManifest(spark, shardDir)
+        .filter($"mass" < shardMass / 2).count()
+      val tc = System.nanoTime()
+      Shards.compactShards(spark, shardDir, "doc_id", shardMass,
+        buckets = cpus.toInt): Unit
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      val tailAfter = Shards.readManifest(spark, shardDir)
+        .filter($"mass" < shardMass / 2).count()
+      stageSlices(half until nBatches)
+      val (w2, t2s) = runWave(nBatches - half)
+
+      // integrity audit: manifest ≡ corpus, three independent reads
+      val man = Shards.readManifest(spark, shardDir)
+        .localCheckpoint(true)
+      val tots = man.agg(sum($"docs").as("d"), sum($"mass").as("m"))
+        .head()
+      val (manDocs, manMass) = (tots.getLong(0), tots.getLong(1))
+      val rawDocs = spark.read.parquet(shardDir).count()
+      val corpusDocs = Shards.readCorpus(spark, shardDir).count()
+      val diskAgg = spark.read.parquet(shardDir)
+        .groupBy($"shard".cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs"), sum($"doc_mass").as("mass"))
+      val manMismatch = diskAgg.exceptAll(man).count() +
+        man.exceptAll(diskAgg).count()
+      val ok = manDocs == nC + nA && manMass == expMass &&
+        rawDocs == manDocs && corpusDocs == manDocs && manMismatch == 0L
+      println(f"""{"mode":"serialize","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"shard_mass":$shardMass,"base_write_sec":$baseSec%.1f,"wave1_sec":$w1%.1f,"compact_sec":$compactSec%.1f,"wave2_sec":$w2%.1f,"batch_sec":${fmtBatches(t1s ++ t2s)},"small_tail_before_compact":$tailBefore,"small_tail_after_compact":$tailAfter,"manifest_docs":$manDocs,"manifest_mass":$manMass,"raw_read_docs":$rawDocs,"manifest_read_docs":$corpusDocs,"per_shard_mismatch_rows":$manMismatch,"integrity_ok":$ok}""")
     }
 
     if (mode == "embed" || mode == "both") {

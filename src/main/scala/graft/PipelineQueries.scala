@@ -78,6 +78,15 @@ object PipelineQueries {
     s"graft_ngram_bkt_$digest"
   }
 
+  /** Same lifecycle contract as [[bucketedIndexName]], for the
+    * `mm_near_dedup_incremental` gate's perceptual index. */
+  private def phashIndexName(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_phash_idx_$digest"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- text analysis ----------------
@@ -118,6 +127,30 @@ object PipelineQueries {
           TF.stopwordHits($"text", TF.StopwordsByLang.head._2).as("stop_hits"))
         .withColumn("stop_ratio",
           $"stop_hits".cast("double") / $"n_tokens".cast("double"))
+    },
+
+    // LEARNED quality scorer seam: a broadcast-weights linear model
+    // over hashed word uni+bigrams (fastText supervised shape) as ONE
+    // codegen'd kernel pass — exact fixed-point BIGINT accumulation,
+    // so the dot product is bit-reproducible and fully oracled. The
+    // gate pins the kernel with a reproducible synthetic weight
+    // vector (a trained model swaps the array, nothing else); `keep`
+    // is the budget predicate pipeline_quality_* would consume.
+    "text_quality_model" -> { (s, dir) =>
+      import s.implicits._
+      val weights = Seq.tabulate(4096)(b =>
+        ((b.toLong * 2654435761L) % 2000001L) - 1000000L)
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          graft.functions.TextExprs.linearTextScore($"text", weights)
+            .as("m"))
+        .select($"doc_id", $"m.n_terms".as("n_terms"),
+          $"m.score_q".as("score_q"))
+        .withColumn("model_score",
+          when($"n_terms" === 0, lit(0.0))
+            .otherwise($"score_q".cast("double") /
+              ($"n_terms".cast("double") * lit(1.0e7))))
+        .withColumn("keep", $"score_q" > 0L)
     },
 
     // Gopher-style repetition rules: top n-gram multiplicity per doc
@@ -1463,6 +1496,25 @@ object PipelineQueries {
         maxDist = 8)
     },
 
+    // INCREMENTAL perceptual dedup through the PERSISTED phash index
+    // (the media mirror of the text n-gram / embedding sign indexes):
+    // the original corpus's banded signature rows are written bucketed
+    // by band key once; the transcode-style arrivals probe with a
+    // batch-side-only shuffle (corpus side Exchange-free by bucketing)
+    // + popcount verify. Oracle replays the full corpus×batch banding.
+    "mm_near_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val all = Multimodal.demoPerturbedMedia(Tables(s, dir, "documents"))
+      val corpus = all.filter($"media_id" < 10000000L)
+      val batch = all.filter($"media_id" >= 10000000L)
+      val table = phashIndexName(dir)
+      Multimodal.writePhashIndex(corpus, table, buckets = 8)
+      val res = Multimodal.probePhashIndex(s, table, batch, maxDist = 8)
+        .localCheckpoint(true)
+      graft.operators.Bucketed.dropBucketed(s, table)
+      res
+    },
+
     // Aspect-preserving resize PLAN over the decoded image metadata
     // (fit within 960x540, never upscale) — the metadata leg of the
     // stubbed pixel-resample seam; identical IEEE double ops replay in
@@ -1611,6 +1663,56 @@ object PipelineQueries {
       |      ELSE 0 END AS BIGINT) AS duration_ms,
       |    CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate
       |  FROM h)""".stripMargin
+
+  /** Shared CTE for the perceptual-hash oracles: the blockhash kernel
+    * replayed per byte (ASCII payloads — ord = byte), the 64-bit
+    * signature assembled from two 32-bit halves through HUGEINT with
+    * the signed correction, and the 4×16-bit band keys by HUGEINT
+    * division. Ends at `bands(media_id, phash, key, band)`.
+    */
+  private val mmPhashCte: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text AS payload FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS media_id,
+      |    'Z' || substr(text, 2) AS payload
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |chars AS (
+      |  SELECT media_id, length(payload) AS L, p,
+      |    ord(substr(payload, CAST(p AS INT) + 1, 1)) AS v
+      |  FROM (SELECT media_id, payload,
+      |          CAST(unnest(range(length(payload))) AS BIGINT) AS p
+      |        FROM media)),
+      |bs AS (
+      |  SELECT media_id, L, (p * 64) // L AS b, SUM(v) AS s,
+      |    COUNT(*) AS n
+      |  FROM chars GROUP BY media_id, L, (p * 64) // L),
+      |tot AS (SELECT media_id, SUM(s) AS t FROM bs GROUP BY media_id),
+      |bits AS (
+      |  SELECT bs.media_id, bs.b,
+      |    CASE WHEN bs.s * bs.L > tot.t * bs.n THEN 1 ELSE 0 END AS bit
+      |  FROM bs JOIN tot USING (media_id)),
+      |halves AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << CAST(b AS INT))
+      |        ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << CAST(b - 32 AS INT))
+      |        ELSE 0 END) AS hi
+      |  FROM bits GROUP BY media_id),
+      |sigs AS (
+      |  SELECT media_id,
+      |    hi::HUGEINT * 4294967296 + lo AS u,
+      |    CAST(CASE WHEN hi::HUGEINT * 4294967296 + lo >= 9223372036854775808
+      |      THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
+      |      ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS phash
+      |  FROM halves),
+      |bands AS (
+      |  SELECT s.media_id, s.phash,
+      |    CAST((s.u // (CASE k.k WHEN 0 THEN 1 WHEN 1 THEN 65536
+      |      WHEN 2 THEN 4294967296
+      |      ELSE 281474976710656 END)::HUGEINT) % 65536 AS BIGINT) AS key,
+      |    k.k AS band
+      |  FROM sigs s, (SELECT unnest([0, 1, 2, 3]) AS k) k)""".stripMargin
 
   /** Full re-derivation of the Rademacher-LSH index, parameterized on
     * plane count and shared by the in-memory (`sim_topk_lsh`, 8 planes)
@@ -1771,48 +1873,7 @@ object PipelineQueries {
     // (the mmMetaCte signed-correction trick), 16-bit band keys by
     // HUGEINT division, popcount filter at 8.
     "mm_near_dedup" ->
-      """WITH media AS (
-        |  SELECT doc_id AS media_id, text AS payload FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS media_id,
-        |    'Z' || substr(text, 2) AS payload
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |chars AS (
-        |  SELECT media_id, length(payload) AS L, p,
-        |    ord(substr(payload, CAST(p AS INT) + 1, 1)) AS v
-        |  FROM (SELECT media_id, payload,
-        |          CAST(unnest(range(length(payload))) AS BIGINT) AS p
-        |        FROM media)),
-        |bs AS (
-        |  SELECT media_id, L, (p * 64) // L AS b, SUM(v) AS s,
-        |    COUNT(*) AS n
-        |  FROM chars GROUP BY media_id, L, (p * 64) // L),
-        |tot AS (SELECT media_id, SUM(s) AS t FROM bs GROUP BY media_id),
-        |bits AS (
-        |  SELECT bs.media_id, bs.b,
-        |    CASE WHEN bs.s * bs.L > tot.t * bs.n THEN 1 ELSE 0 END AS bit
-        |  FROM bs JOIN tot USING (media_id)),
-        |halves AS (
-        |  SELECT media_id,
-        |    SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << CAST(b AS INT))
-        |        ELSE 0 END) AS lo,
-        |    SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << CAST(b - 32 AS INT))
-        |        ELSE 0 END) AS hi
-        |  FROM bits GROUP BY media_id),
-        |sigs AS (
-        |  SELECT media_id,
-        |    hi::HUGEINT * 4294967296 + lo AS u,
-        |    CAST(CASE WHEN hi::HUGEINT * 4294967296 + lo >= 9223372036854775808
-        |      THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
-        |      ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS phash
-        |  FROM halves),
-        |bands AS (
-        |  SELECT s.media_id, s.phash,
-        |    CAST((s.u // (CASE k.k WHEN 0 THEN 1 WHEN 1 THEN 65536
-        |      WHEN 2 THEN 4294967296
-        |      ELSE 281474976710656 END)::HUGEINT) % 65536 AS BIGINT) AS key,
-        |    k.k AS band
-        |  FROM sigs s, (SELECT unnest([0, 1, 2, 3]) AS k) k),
+      (mmPhashCte + """,
         |cands AS (
         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
         |    a.phash AS pa, b.phash AS pb
@@ -1820,7 +1881,22 @@ object PipelineQueries {
         |    ON a.band = b.band AND a.key = b.key
         |      AND a.media_id < b.media_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS dist
-        |FROM cands WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin,
+        |FROM cands WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin),
+
+    // The same banding, restricted to corpus (originals) × batch
+    // (transcode arrivals) — exactly what the persisted-index probe
+    // computes.
+    "mm_near_dedup_incremental" ->
+      (mmPhashCte + """,
+        |cands AS (
+        |  SELECT DISTINCT b.media_id AS media_id, a.media_id AS dup_of,
+        |    b.phash AS pb, a.phash AS pa
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key
+        |  WHERE a.media_id < 10000000 AND b.media_id >= 10000000)
+        |SELECT media_id, dup_of,
+        |  CAST(bit_count(xor(pa, pb)) AS INT) AS dist
+        |FROM cands WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin),
 
     // The same LEAST/double-scale/floor arithmetic, integer outputs.
     "mm_resize" ->
@@ -1940,6 +2016,36 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|in|is|that|with)\b')) AS DOUBLE)
         |    / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE) AS stop_ratio
         |FROM documents""".stripMargin,
+
+    // Full dot-product replay: every uni+bigram term hashes by the
+    // 60-bit md5-prefix rule, the weight of its bucket comes from the
+    // same residue formula the Spark gate tabulates, and the BIGINT
+    // sum + one final division reproduce score_q / model_score
+    // bit-for-bit.
+    "text_quality_model" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |terms AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM t
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+        |    CAST(SUM(
+        |      ((('0x'||substr(md5(w),1,15))::BIGINT % 4096)
+        |        * 2654435761) % 2000001 - 1000000) AS BIGINT) AS score_q
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_terms, 0) AS n_terms,
+        |  COALESCE(s.score_q, 0) AS score_q,
+        |  CASE WHEN COALESCE(s.n_terms, 0) = 0 THEN 0.0
+        |       ELSE CAST(s.score_q AS DOUBLE)
+        |         / (CAST(s.n_terms AS DOUBLE) * 10000000.0) END AS model_score,
+        |  COALESCE(s.score_q, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS text_hash,

@@ -51,6 +51,59 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Hash bucket of a term: the top 60 bits of md5(term) (= the first
+    * 15 hex chars of the digest string, the repo's established
+    * SQL-replayable hash — DuckDB: `('0x'||substr(md5(w),1,15))::BIGINT
+    * % buckets`), mod the bucket count. Non-negative by construction.
+    * A production deployment that doesn't need cross-engine replay
+    * would swap murmur3/xxhash here AND train with the same hash — the
+    * hash is part of the model artifact, not of the kernel contract.
+    */
+  def hashBucket(term: String, buckets: Int): Int = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var k = 0
+    while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+    (h % buckets).toInt
+  }
+
+  /** fastText-style LINEAR text score over hashed word n-grams: one
+    * token scan; every unigram (and, with `bigrams`, every adjacent
+    * pair) hashes to a bucket of the broadcast weight vector and its
+    * quantized weight joins an exact BIGINT accumulation — order-free,
+    * so the sum is bit-identical across engines and partitionings
+    * (the float-summation-order trap the centroid kernels also avoid).
+    * Returns (n_terms, score_q); the caller divides ONCE for the real-
+    * valued score. Weights are fixed-point at 1e7 like the embedding
+    * quantization.
+    */
+  def linearScore(text: UTF8String, weights: Array[Long],
+      bigrams: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    val b = weights.length
+    var score = 0L
+    var terms = 0
+    var i = 0
+    while (i < toks.length) {
+      score += weights(hashBucket(toks(i), b))
+      terms += 1
+      if (bigrams && i + 1 < toks.length) {
+        score += weights(hashBucket(toks(i) + " " + toks(i + 1), b))
+        terms += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](terms, score))
+  }
+
   /** Ordered-distinct word n-gram shingles; < n tokens → one whole-doc
     * shingle (matches the Column formulation in TextFunctions exactly).
     */
@@ -550,6 +603,35 @@ case class StopwordHitsExpr(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** linear_text_score(string) → struct(n_terms int, score_q bigint):
+  * the learned-classifier seam for quality scoring — a broadcast-
+  * weights linear model over hashed word n-grams (the fastText
+  * supervised shape: Joulin et al. 2016), as one codegen'd pass.
+  * The heuristic quality rules (Gopher/C4 style) stay; this is the
+  * kernel a TRAINED model plugs into: the weight vector is the model
+  * artifact (here a reference object, on a cluster a broadcast), the
+  * hash is [[TextOps.hashBucket]] (SQL-replayable by construction so
+  * the driver gate can verify the full dot product), and scoring is
+  * exact fixed-point BIGINT — deterministic under any partitioning.
+  */
+case class LinearTextScoreExpr(child: Expression, weights: Seq[Long],
+    bigrams: Boolean) extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_terms", IntegerType, nullable = false),
+    StructField("score_q", LongType, nullable = false)))
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.linearScore(t.asInstanceOf[UTF8String], wArr, bigrams)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", wArr, "long[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextOps.linearScore($t, $ref, $bigrams)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** lang_id(string) → string: single-pass heuristic language ID. */
 case class LangIdExpr(child: Expression, langWords: Seq[(String, Seq[String])])
     extends UnaryExpression {
@@ -592,6 +674,9 @@ object TextExprs {
     toCol(LangIdExpr(toExpr(text), langWords))
   def repetitionStats(text: Column): Column =
     toCol(RepetitionStatsExpr(toExpr(text)))
+  def linearTextScore(text: Column, weights: Seq[Long],
+      bigrams: Boolean = true): Column =
+    toCol(LinearTextScoreExpr(toExpr(text), weights, bigrams))
   def deletionVariants(text: Column, k: Int): Column =
     toCol(DeletionVariantsExpr(toExpr(text), k))
 }

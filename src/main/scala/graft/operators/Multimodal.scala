@@ -148,15 +148,8 @@ object Multimodal {
     */
   def perceptualNearDupPairs(sigs: DataFrame, maxDist: Int,
       bands: Int = 4): DataFrame = {
-    require(bands >= 2 && 64 % bands == 0,
-      s"bands must divide 64 and be >= 2: $bands")
     require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
-    val bits = 64 / bands
-    val mask = (1L << bits) - 1L
-    val keys = (0 until bands).map(i =>
-      shiftrightunsigned(col("phash"), i * bits).bitwiseAND(lit(mask)))
-    val banded = sigs.select(col("media_id"), col("phash"),
-      posexplode(array(keys: _*)).as(Seq("band", "key")))
+    val banded = bandedKeys(sigs, bands)
     val a = banded.select(col("band"), col("key"),
       col("media_id").as("id_a"), col("phash").as("pa"))
     val b = banded.select(col("band"), col("key"),
@@ -165,6 +158,57 @@ object Multimodal {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** (media_id, phash, band, key) — one row per signature band. */
+  private def bandedKeys(sigs: DataFrame, bands: Int): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2: $bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
+    val keys = (0 until bands).map(i =>
+      shiftrightunsigned(col("phash"), i * bits).bitwiseAND(lit(mask)))
+    sigs.select(col("media_id"), col("phash"),
+      posexplode(array(keys: _*)).as(Seq("band", "key")))
+  }
+
+  /** PERSIST the perceptual index: the corpus's banded signature rows,
+    * bucketed by band key in the warehouse catalog ([[Bucketed]] —
+    * sidecar-carried bucket config, mismatch refusal). Media arrivals
+    * then dedup against a 100 TB frozen corpus WITHOUT touching it:
+    * [[probePhashIndex]] joins the batch's ≤ bands·|batch| key rows
+    * against the bucketed scan — the corpus side never shuffles
+    * (Exchange-free by bucketing), the batch side shuffles only
+    * itself. The media mirror of the text n-gram / embedding sign
+    * indexes; build once, probe per arrival.
+    */
+  def writePhashIndex(media: DataFrame, table: String, buckets: Int,
+      bands: Int = 4): Unit =
+    Bucketed.writeBucketed(
+      bandedKeys(perceptualSig(media), bands), table, "key", buckets)
+
+  /** Probe a [[writePhashIndex]] layout with an arriving batch: every
+    * (batch, corpus) pair sharing a band within `maxDist` Hamming —
+    * (media_id = the arrival, dup_of = the corpus asset, dist).
+    * `bands` must match the build (the key layout is the contract;
+    * the sidecar pins the bucket count, the caller pins the bands).
+    */
+  def probePhashIndex(spark: SparkSession, table: String,
+      batch: DataFrame, maxDist: Int, bands: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
+    require(Bucketed.registerBucketed(spark, table, "key"),
+      s"no phash index at $table")
+    val idx = spark.table(table)
+    val qb = bandedKeys(perceptualSig(batch), bands)
+      .withColumnRenamed("media_id", "q_id")
+      .withColumnRenamed("phash", "q_phash")
+    idx.join(qb, Seq("band", "key"))
+      .select(col("q_id").as("media_id"),
+        col("media_id").as("dup_of"),
+        bit_count(col("q_phash").bitwiseXOR(col("phash")))
+          .cast("int").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -603,6 +603,44 @@ class PipelineSpec extends SparkSpec {
         "is the documented approximation")
   }
 
+  test("persisted phash index: probe finds every planted transcode " +
+      "arrival against the frozen corpus; probe == the pair operator " +
+      "restricted to corpus x batch; corpus side is Exchange-free") {
+    import graft.operators.Bucketed
+    val all = Multimodal.demoPerturbedMedia(docs)
+    val corpus = all.filter($"media_id" < 10000000L)
+    val batch = all.filter($"media_id" >= 10000000L)
+    val table = "phash_idx_spec"
+    try {
+      Multimodal.writePhashIndex(corpus, table, buckets = 4)
+      val got = Multimodal.probePhashIndex(spark, table, batch,
+          maxDist = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // every arrival is a perturbed replica of media_id - 10000000:
+      // the probe must surface that original within the budget
+      val planted = batch.select($"media_id").as[Long].collect().toSet
+      val foundSelf = got.collect {
+        case (m, d, _) if d == m - 10000000L => m
+      }.toSet
+      assert(foundSelf === planted,
+        s"${planted.size} planted, found ${foundSelf.size}")
+      // probe ≡ the in-memory pair operator restricted to corpus×batch
+      val direct = Multimodal.perceptualNearDupPairs(
+          Multimodal.perceptualSig(all), maxDist = 8)
+        .filter($"id_a" < 10000000L && $"id_b" >= 10000000L)
+        .select($"id_b".as("media_id"), $"id_a".as("dup_of"), $"dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.toSet === direct.toSet)
+      // plan shape: the index side reads the bucketed layout (its scan
+      // reports Bucketed: true — the Exchange-free join contract the
+      // BucketedSpec family pins in depth)
+      val plan = Multimodal.probePhashIndex(spark, table, batch,
+        maxDist = 8).queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must be bucketed:\n$plan")
+    } finally Bucketed.dropBucketed(spark, table)
+  }
+
   test("cosine expression matches a reference implementation") {
     val rows = embeddings.limit(3).select($"embedding").as[Seq[Float]].collect()
     val sparkCos = embeddings.limit(3)

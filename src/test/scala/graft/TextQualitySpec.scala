@@ -420,4 +420,57 @@ class TextQualitySpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan)  // no explode
     assert(!plan.contains("Exchange"), plan)  // narrow per-doc kernel
   }
+
+  test("linearScore: kernel matches an independent reference (md5-hex " +
+      "hash, uni+bigram terms, exact BIGINT dot); empty -> (0, 0); " +
+      "weights are genuinely pluggable; plan stays narrow") {
+    import graft.functions.{TextExprs => TE, TextOps}
+    val B = 64
+    val w = Array.tabulate(B)(b => (b.toLong * 7919L % 997L) - 498L)
+    // independent reference: hash = first 15 hex chars of md5 parsed
+    // base-16 (the DuckDB formulation), terms = whitespace unigrams +
+    // adjacent bigrams
+    def refBucket(term: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % B).toInt
+    }
+    def refScore(text: String): (Int, Long) = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val terms = toks.toSeq ++ toks.toSeq.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))
+      (terms.length, terms.map(t => w(refBucket(t))).sum)
+    }
+    val samples = Seq("the quick brown fox", "a", "", "   ",
+      "repeated repeated repeated", "x y z w v u t s")
+    samples.foreach { s =>
+      val got = Seq(s).toDF("t")
+        .select(TE.linearTextScore($"t", w.toIndexedSeq).as("m"))
+        .select($"m.n_terms", $"m.score_q").head()
+      assert((got.getInt(0), got.getLong(1)) === refScore(s),
+        s"payload: '$s'")
+    }
+    // a different weight vector changes the score (the model is the
+    // array, not the kernel)
+    val w2 = w.map(_ + 1L)
+    val s1 = Seq("the quick brown fox").toDF("t")
+      .select(TE.linearTextScore($"t", w.toIndexedSeq).as("m"))
+      .select($"m.score_q").head().getLong(0)
+    val s2 = Seq("the quick brown fox").toDF("t")
+      .select(TE.linearTextScore($"t", w2.toIndexedSeq).as("m"))
+      .select($"m.score_q").head().getLong(0)
+    // 4 unigrams + 3 bigrams = 7 terms, each +1
+    assert(s2 === s1 + 7L)
+    // hashBucket is non-negative for adversarial terms
+    Seq("", "é世", "a" * 1000).foreach { t =>
+      assert(TextOps.hashBucket(t, B) >= 0)
+    }
+    // scoring is a narrow projection: no shuffle, no generate
+    val plan = Tables(spark, sf001, "documents")
+      .select($"doc_id", TE.linearTextScore($"text", w.toIndexedSeq).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
 }

@@ -153,6 +153,27 @@ object PipelineQueries {
         .withColumn("keep", $"score_q" > 0L)
     },
 
+    // MODEL-SCORED curation budget — the composition the learned
+    // scorer exists for: model scores ORDER each language's documents,
+    // token counts (n_chars) BUDGET them — keep the best-scoring half
+    // of every language's token mass (Sampling.qualityMassBy, exact
+    // BIGINT prefix rule; scores may be negative, only the mass axis
+    // must be non-negative). Oracle replays the full dot product AND
+    // the budget window.
+    "pipeline_quality_model_budget" -> { (s, dir) =>
+      import s.implicits._
+      val weights = Seq.tabulate(4096)(b =>
+        ((b.toLong * 2654435761L) % 2000001L) - 1000000L)
+      val scored = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars",
+          graft.functions.TextExprs.linearTextScore($"text", weights)
+            .as("m"))
+        .select($"doc_id", $"lang", $"n_chars", $"m.score_q".as("score_q"))
+      Sampling.qualityMassBy(scored, "lang", "doc_id", $"score_q",
+          $"n_chars", Map.empty, defaultPct = 50)
+        .select($"doc_id", $"lang", $"score_q", $"cum_mass", $"grp_mass")
+    },
+
     // Gopher-style repetition rules: top n-gram multiplicity per doc
     // from one native-kernel scan (operators/TextQuality.repetition).
     "text_repetition" -> { (s, dir) =>
@@ -1496,6 +1517,23 @@ object PipelineQueries {
         maxDist = 8)
     },
 
+    // Perceptual CLUSTERS → keepers: the transcode pair set collapsed
+    // to one representative per connected component (min media_id —
+    // the same min-propagation operator the text components gate
+    // pins), i.e. the drop-list a media dedup stage actually applies.
+    "mm_near_dedup_groups" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualSig(
+          Multimodal.demoPerturbedMedia(Tables(s, dir, "documents"))),
+        maxDist = 8).select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs)
+      val sizes = comp.groupBy($"comp".as("c"))
+        .agg(count(lit(1)).as("grp_size"))
+      comp.join(sizes, $"comp" === $"c")
+        .select($"id".as("media_id"), $"comp".as("keep_id"), $"grp_size")
+    },
+
     // INCREMENTAL perceptual dedup through the PERSISTED phash index
     // (the media mirror of the text n-gram / embedding sign indexes):
     // the original corpus's banded signature rows are written bucketed
@@ -1883,6 +1921,28 @@ object PipelineQueries {
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS dist
         |FROM cands WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin),
 
+    // Min-label components over the banded pair set (recursive reach,
+    // the ComponentsOracle construction on media pairs).
+    "mm_near_dedup_groups" ->
+      (mmPhashCte.replaceFirst("WITH media", "WITH RECURSIVE media") + """,
+        |pairs AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key
+        |      AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS keep_id FROM reach GROUP BY id),
+        |sizes AS (SELECT keep_id AS c, CAST(count(*) AS BIGINT) AS grp_size
+        |          FROM comp GROUP BY keep_id)
+        |SELECT comp.id AS media_id, comp.keep_id, sizes.grp_size
+        |FROM comp JOIN sizes ON comp.keep_id = sizes.c""".stripMargin),
+
     // The same banding, restricted to corpus (originals) × batch
     // (transcode arrivals) — exactly what the persisted-index probe
     // computes.
@@ -2046,6 +2106,40 @@ object PipelineQueries {
         |         / (CAST(s.n_terms AS DOUBLE) * 10000000.0) END AS model_score,
         |  COALESCE(s.score_q, 0) > 0 AS keep
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+
+    // The scorer replay feeding the per-language budget window: order
+    // by (score_q DESC, idScore, doc_id), accumulate n_chars, keep
+    // while cum·100 ≤ total·50 — identical BIGINT arithmetic.
+    "pipeline_quality_model_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |terms AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM t
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(
+        |      ((('0x'||substr(md5(w),1,15))::BIGINT % 4096)
+        |        * 2654435761) % 2000001 - 1000000) AS BIGINT) AS score_q
+        |  FROM terms GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS m,
+        |    COALESCE(s.score_q, 0) AS score_q
+        |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+        |wnd AS (
+        |  SELECT doc_id, lang, score_q,
+        |    CAST(SUM(m) OVER (PARTITION BY lang
+        |      ORDER BY score_q DESC,
+        |        ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+        |    CAST(SUM(m) OVER (PARTITION BY lang) AS BIGINT) AS grp_mass
+        |  FROM sc)
+        |SELECT doc_id, lang, score_q, cum_mass, grp_mass
+        |FROM wnd WHERE cum_mass * 100 <= grp_mass * 50""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS text_hash,

@@ -601,6 +601,48 @@ object Sampling {
       .filter(col("cum_mass") * lit(100L) <= col("grp_mass") * pct)
   }
 
+  /** [[qualityMass]] generalized to an INDEPENDENT mass axis: per
+    * group, keep the best documents by `score` until the kept `mass`
+    * (tokens, bytes — not the score) reaches `pct` percent of the
+    * group's total — "keep each language's best-scoring half of its
+    * TOKENS", the curation rule a learned quality model
+    * ([[graft.functions.TextExprs.linearTextScore]]) feeds: model
+    * scores order, token counts budget. [[qualityMass]] is the
+    * score-as-mass special case and keeps its own gate; scores may be
+    * NEGATIVE here (a linear model's are), only the mass must be
+    * non-negative for the prefix arithmetic.
+    *
+    * Order: (`score` DESC, [[idScore]], id); prefix rule on BIGINT
+    * mass (`cum·100 ≤ total·pct`) — kept mass never exceeds the
+    * fraction, selection nests across pct. EXACT path (per-group
+    * window — one hot group serializes); the 100 TB shape is the
+    * [[qualityMassThresholded]] construction on this score axis with
+    * the mass aggregated per (group, score) bucket.
+    *
+    * Output: input columns + `cum_mass` + `grp_mass`.
+    */
+  def qualityMassBy(df: DataFrame, groupCol: String, idCol: String,
+      score: Column, mass: Column, pctByGroup: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: pctByGroup.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "pct must be 0..100")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(score.cast("long").desc, idScore(col(idCol)), col(idCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val m = mass.cast("long")
+    val guarded = when(m < 0L, raise_error(concat(
+      lit(s"qualityMassBy: negative mass for $idCol="),
+      col(idCol).cast("string")))).otherwise(m)
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.withColumn("cum_mass", sum(guarded).over(w))
+      .withColumn("grp_mass", sum(guarded).over(wAll))
+      .filter(col("cum_mass") * lit(100L) <= col("grp_mass") * pct)
+  }
+
   /** Thresholded quality mass — the scale path, the
     * [[tokenBudgetThresholded]] trick on a DESCENDING score axis: one
     * aggregation computes the mass per (group, score value) — bounded

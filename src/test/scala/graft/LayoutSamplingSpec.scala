@@ -934,6 +934,40 @@ class LayoutSamplingSpec extends SparkSpec {
     assert(man1.agg(sum($"docs")).head().getLong(0) === 200L)
   }
 
+  test("qualityMassBy: independent score/mass axes — keeps the " +
+      "best-scoring docs until the MASS fraction; negative scores " +
+      "order correctly; selection nests across pct; negative mass " +
+      "raises") {
+    // group g: scores 5,3,-1,-4 with masses 10,30,20,40 (total 100)
+    val df = Seq(
+      (1L, "g", 5L, 10L), (2L, "g", 3L, 30L),
+      (3L, "g", -1L, 20L), (4L, "g", -4L, 40L),
+      (5L, "h", -2L, 50L), (6L, "h", -9L, 50L)
+    ).toDF("doc_id", "grp", "s", "m")
+    def kept(pct: Int): Set[Long] =
+      Sampling.qualityMassBy(df, "grp", "doc_id", $"s", $"m",
+        Map.empty, defaultPct = pct).select($"doc_id").as[Long]
+        .collect().toSet
+    // 40%: g keeps docs 1 (cum 10) and 2 (cum 40); doc 3 would be 60.
+    // h keeps doc 5 (its better NEGATIVE score; cum 50 = 50 > 40? no —
+    // 50*100 <= 100*40 is false) -> h keeps nothing at 40
+    assert(kept(40) === Set(1L, 2L))
+    // 50%: h's best doc now fits exactly (50*100 <= 100*50)
+    assert(kept(50) === Set(1L, 2L, 5L))
+    // nesting: every pct-40 doc survives at 60 and 100
+    assert(kept(40).subsetOf(kept(60)) && kept(60).subsetOf(kept(100)))
+    assert(kept(100) === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val ex = intercept[Exception] {
+      Sampling.qualityMassBy(
+        Seq((1L, "g", 1L, -5L)).toDF("doc_id", "grp", "s", "m"),
+        "grp", "doc_id", $"s", $"m", Map.empty).collect()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+    assert(msg(ex).contains("negative mass"))
+  }
+
   test("prefixMass guards: a negative mass raises per-row instead of " +
       "silently corrupting the mass line; only the UNGROUPED offsets " +
       "frame carries a broadcast hint") {

@@ -174,6 +174,26 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"score_q", $"cum_mass", $"grp_mass")
     },
 
+    // The 100 TB shape of the model budget: kept mass aggregated per
+    // (lang, score value) — bounded by distinct scores, never the
+    // corpus — running mass picks each language's score cutoff, the
+    // corpus-side selection is a narrow score ≥ cutoff filter. No
+    // per-group document sort anywhere
+    // (Sampling.qualityMassByThresholded).
+    "pipeline_quality_model_budget_approx" -> { (s, dir) =>
+      import s.implicits._
+      val weights = Seq.tabulate(4096)(b =>
+        ((b.toLong * 2654435761L) % 2000001L) - 1000000L)
+      val scored = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars",
+          graft.functions.TextExprs.linearTextScore($"text", weights)
+            .as("m"))
+        .select($"doc_id", $"lang", $"n_chars", $"m.score_q".as("score_q"))
+      Sampling.qualityMassByThresholded(scored, "lang", "doc_id",
+          $"score_q", $"n_chars", Map.empty, defaultPct = 50)
+        .select($"doc_id", $"lang", $"score_q")
+    },
+
     // Gopher-style repetition rules: top n-gram multiplicity per doc
     // from one native-kernel scan (operators/TextQuality.repetition).
     "text_repetition" -> { (s, dir) =>
@@ -2140,6 +2160,44 @@ object PipelineQueries {
         |  FROM sc)
         |SELECT doc_id, lang, score_q, cum_mass, grp_mass
         |FROM wnd WHERE cum_mass * 100 <= grp_mass * 50""".stripMargin,
+
+    // Same scorer replay; the cutoff construction instead of the
+    // per-doc window — mass per (lang, score) bucket, running over
+    // score DESC, min fully-kept score, narrow >= filter.
+    "pipeline_quality_model_budget_approx" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |terms AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM t
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(
+        |      ((('0x'||substr(md5(w),1,15))::BIGINT % 4096)
+        |        * 2654435761) % 2000001 - 1000000) AS BIGINT) AS score_q
+        |  FROM terms GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS m,
+        |    COALESCE(s.score_q, 0) AS score_q
+        |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+        |mb AS (
+        |  SELECT lang, score_q AS s, CAST(SUM(m) AS BIGINT) AS bm
+        |  FROM sc GROUP BY lang, score_q),
+        |cut AS (
+        |  SELECT lang, MIN(s) AS cut_score FROM (
+        |    SELECT lang, s,
+        |      CAST(SUM(bm) OVER (PARTITION BY lang ORDER BY s DESC
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |      CAST(SUM(bm) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |    FROM mb)
+        |  WHERE cum * 100 <= total * 50 GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.score_q
+        |FROM sc JOIN cut USING (lang)
+        |WHERE sc.score_q >= cut.cut_score""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS text_hash,

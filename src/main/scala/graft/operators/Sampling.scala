@@ -643,6 +643,49 @@ object Sampling {
       .filter(col("cum_mass") * lit(100L) <= col("grp_mass") * pct)
   }
 
+  /** The 100 TB shape of [[qualityMassBy]] — the
+    * [[qualityMassThresholded]] construction with the INDEPENDENT mass
+    * axis: one aggregation computes kept-mass per (group, score value)
+    * (bounded by the distinct score count, never the corpus), the
+    * running mass over that aggregate picks each group's lowest
+    * fully-kept score, and the corpus-side selection is a narrow
+    * `score ≥ cutoff` filter — no per-group document sort anywhere.
+    * Kept set is a SUBSET of [[qualityMassBy]]'s truncated at a
+    * score-value boundary (stops one partial score bucket early;
+    * shortfall ≤ the heaviest single (group, score) mass bucket).
+    * Same nesting property; negative scores legal, mass guarded
+    * non-negative.
+    */
+  def qualityMassByThresholded(df: DataFrame, groupCol: String,
+      idCol: String, score: Column, mass: Column,
+      pctByGroup: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: pctByGroup.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "pct must be 0..100")
+    import org.apache.spark.sql.expressions.Window
+    val m = mass.cast("long")
+    val guarded = when(m < 0L, raise_error(concat(
+      lit(s"qualityMassByThresholded: negative mass for $idCol="),
+      col(idCol).cast("string")))).otherwise(m)
+    val buckets = df
+      .select(col(groupCol).as("grp"), score.cast("long").as("s"),
+        guarded.as("m"))
+      .groupBy(col("grp"), col("s"))
+      .agg(sum(col("m")).as("bucket_mass"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(col("grp") === g, lit(p)).otherwise(acc)
+    }
+    val cut = buckets
+      .withColumn("cum", sum(col("bucket_mass")).over(w))
+      .withColumn("total", sum(col("bucket_mass")).over(wAll))
+      .filter(col("cum") * lit(100L) <= col("total") * pct)
+      .groupBy(col("grp")).agg(min(col("s")).as("cut_score"))
+    df.join(cut.withColumnRenamed("grp", groupCol), Seq(groupCol))
+      .filter(score.cast("long") >= col("cut_score"))
+  }
+
   /** Thresholded quality mass — the scale path, the
     * [[tokenBudgetThresholded]] trick on a DESCENDING score axis: one
     * aggregation computes the mass per (group, score value) — bounded

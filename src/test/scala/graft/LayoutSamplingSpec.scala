@@ -966,6 +966,25 @@ class LayoutSamplingSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
     assert(msg(ex).contains("negative mass"))
+    // the thresholded scale path: kept set is a SUBSET of the exact
+    // prefix (truncated at a score-value boundary) with the same
+    // nesting, and its plan has no per-document window — the only
+    // sort runs over the (group, score) bucket aggregate
+    val big = (1L to 500L).map(i =>
+      (i, s"g${i % 3}", (i * 37 % 101) - 50, (i % 40) + 1))
+      .toDF("doc_id", "grp", "s", "m")
+    def exact(pct: Int): Set[Long] =
+      Sampling.qualityMassBy(big, "grp", "doc_id", $"s", $"m",
+        Map.empty, pct).select($"doc_id").as[Long].collect().toSet
+    def approx(pct: Int): Set[Long] =
+      Sampling.qualityMassByThresholded(big, "grp", "doc_id", $"s",
+        $"m", Map.empty, pct).select($"doc_id").as[Long].collect().toSet
+    Seq(30, 60, 90).foreach { pct =>
+      assert(approx(pct).subsetOf(exact(pct)),
+        s"thresholded must be a subset of exact at pct=$pct")
+    }
+    assert(approx(30).subsetOf(approx(60)) &&
+      approx(60).subsetOf(approx(90)))
   }
 
   test("prefixMass guards: a negative mass raises per-row instead of " +

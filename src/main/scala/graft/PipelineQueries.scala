@@ -1723,10 +1723,14 @@ object PipelineQueries {
       |  FROM h)""".stripMargin
 
   /** Shared CTE for the perceptual-hash oracles: the blockhash kernel
-    * replayed per byte (ASCII payloads — ord = byte), the 64-bit
-    * signature assembled from two 32-bit halves through HUGEINT with
-    * the signed correction, and the 4×16-bit band keys by HUGEINT
-    * division. Ends at `bands(media_id, phash, key, band)`.
+    * replayed per BYTE (the payload is hex-encoded and each byte
+    * re-parsed from its hex pair, so non-ASCII payloads hash their
+    * UTF-8 bytes exactly like the Spark kernel — ord()/length() would
+    * count codepoints), the 64-bit signature assembled from two 32-bit
+    * halves through HUGEINT with the signed correction (an EMPTY
+    * payload produces no byte rows and left-joins to phash 0, matching
+    * `blockHash64`'s empty→0 contract), and the 4×16-bit band keys by
+    * HUGEINT division. Ends at `bands(media_id, phash, key, band)`.
     */
   private val mmPhashCte: String =
     """WITH media AS (
@@ -1736,10 +1740,11 @@ object PipelineQueries {
       |    'Z' || substr(text, 2) AS payload
       |  FROM documents WHERE doc_id % 7 = 0),
       |chars AS (
-      |  SELECT media_id, length(payload) AS L, p,
-      |    ord(substr(payload, CAST(p AS INT) + 1, 1)) AS v
-      |  FROM (SELECT media_id, payload,
-      |          CAST(unnest(range(length(payload))) AS BIGINT) AS p
+      |  SELECT media_id, L, p,
+      |    ('0x' || substr(hx, CAST(p AS INT) * 2 + 1, 2))::INT AS v
+      |  FROM (SELECT media_id, hex(encode(payload)) AS hx,
+      |          CAST(octet_length(encode(payload)) AS BIGINT) AS L,
+      |          CAST(unnest(range(octet_length(encode(payload)))) AS BIGINT) AS p
       |        FROM media)),
       |bs AS (
       |  SELECT media_id, L, (p * 64) // L AS b, SUM(v) AS s,
@@ -1757,13 +1762,15 @@ object PipelineQueries {
       |    SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << CAST(b - 32 AS INT))
       |        ELSE 0 END) AS hi
       |  FROM bits GROUP BY media_id),
+      |uh AS (
+      |  SELECT m.media_id,
+      |    COALESCE(h.hi, 0)::HUGEINT * 4294967296 + COALESCE(h.lo, 0) AS u
+      |  FROM media m LEFT JOIN halves h USING (media_id)),
       |sigs AS (
-      |  SELECT media_id,
-      |    hi::HUGEINT * 4294967296 + lo AS u,
-      |    CAST(CASE WHEN hi::HUGEINT * 4294967296 + lo >= 9223372036854775808
-      |      THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
-      |      ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS phash
-      |  FROM halves),
+      |  SELECT media_id, u,
+      |    CAST(CASE WHEN u >= 9223372036854775808
+      |      THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS phash
+      |  FROM uh),
       |bands AS (
       |  SELECT s.media_id, s.phash,
       |    CAST((s.u // (CASE k.k WHEN 0 THEN 1 WHEN 1 THEN 65536

@@ -154,12 +154,17 @@ object Multimodal {
       col("media_id").as("id_a"), col("phash").as("pa"))
     val b = banded.select(col("band"), col("key"),
       col("media_id").as("id_b"), col("phash").as("pb"))
+    // dist ≤ maxDist BEFORE the dedup shuffle: dist is a pure function
+    // of the pair, so filtering first is semantically identical and the
+    // distinct() only ever shuffles pairs that can survive — in the
+    // hot-bucket regime the doc comment warns about, far pairs dominate
+    // the candidate mass and would otherwise ride the exchange for free
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** (media_id, phash, band, key) — one row per signature band. */
@@ -183,25 +188,87 @@ object Multimodal {
     * (Exchange-free by bucketing), the batch side shuffles only
     * itself. The media mirror of the text n-gram / embedding sign
     * indexes; build once, probe per arrival.
+    *
+    * The BAND count is part of the key layout: a probe banding with a
+    * different count computes differently-shaped (band, key) rows and
+    * silently finds ~nothing — the same recall-collapse failure mode
+    * the `_graft_sign_meta.json` / `_graft_buckets.json` sidecars were
+    * built against. So the build records `(bands, kernel)` in a
+    * `_graft_phash_meta.json` sidecar inside the table directory and
+    * [[probePhashIndex]] self-configures from it (or REFUSES an
+    * explicit mismatch). `kernel` names the signature function for
+    * forward evolution — a future dHash index must not be probed with
+    * blockhash keys either.
     */
   def writePhashIndex(media: DataFrame, table: String, buckets: Int,
-      bands: Int = 4): Unit =
+      bands: Int = 4): Unit = {
     Bucketed.writeBucketed(
       bandedKeys(perceptualSig(media), bands), table, "key", buckets)
+    val spark = media.sparkSession
+    val p = new org.apache.hadoop.fs.Path(tableLocation(spark, table),
+      PhashMetaFile)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(
+      s"""{"bands":$bands,"kernel":"$PhashKernel"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private val PhashMetaFile = "_graft_phash_meta.json"
+  private val PhashKernel = "blockhash64"
+
+  private def tableLocation(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+
+  /** The (bands, kernel) a [[writePhashIndex]] layout was written with,
+    * from its sidecar — None for a pre-sidecar index. */
+  def phashIndexMeta(spark: SparkSession,
+      table: String): Option[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(tableLocation(spark, table),
+      PhashMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"bands":(\d+),"kernel":"([^"]*)"""".r
+      re.findFirstMatchIn(txt).map(m => (m.group(1).toInt, m.group(2)))
+    }
+  }
 
   /** Probe a [[writePhashIndex]] layout with an arriving batch: every
     * (batch, corpus) pair sharing a band within `maxDist` Hamming —
     * (media_id = the arrival, dup_of = the corpus asset, dist).
-    * `bands` must match the build (the key layout is the contract;
-    * the sidecar pins the bucket count, the caller pins the bands).
+    * `bands` ≤ 0 (the default) self-configures from the build's
+    * sidecar; an explicit value is validated against it and a mismatch
+    * REFUSED — a bands-mismatched probe would band the query
+    * signatures into keys the index never wrote and return ~empty
+    * instead of erroring.
     */
   def probePhashIndex(spark: SparkSession, table: String,
-      batch: DataFrame, maxDist: Int, bands: Int = 4): DataFrame = {
+      batch: DataFrame, maxDist: Int, bands: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
     require(Bucketed.registerBucketed(spark, table, "key"),
       s"no phash index at $table")
+    val meta = phashIndexMeta(spark, table)
+    meta.foreach { case (mb, mk) =>
+      require(mk == PhashKernel,
+        s"phash index $table was written with kernel `$mk`; this probe " +
+          s"computes `$PhashKernel` signatures")
+      if (bands > 0) require(mb == bands,
+        s"phash index $table was written with $mb bands; probe called " +
+          s"with $bands — mismatched banding silently finds nothing")
+    }
+    val effBands = if (bands > 0) bands
+      else meta.map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"no $PhashMetaFile under phash index $table — pass bands " +
+          "explicitly"))
     val idx = spark.table(table)
-    val qb = bandedKeys(perceptualSig(batch), bands)
+    val qb = bandedKeys(perceptualSig(batch), effBands)
       .withColumnRenamed("media_id", "q_id")
       .withColumnRenamed("phash", "q_phash")
     idx.join(qb, Seq("band", "key"))
@@ -209,8 +276,8 @@ object Multimodal {
         col("media_id").as("dup_of"),
         bit_count(col("q_phash").bitwiseXOR(col("phash")))
           .cast("int").as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") <= maxDist) // before distinct: drop far pairs
+      .distinct()                     // ahead of the dedup shuffle
   }
 
   /** Resize plan for images: pure metadata transform preserving aspect

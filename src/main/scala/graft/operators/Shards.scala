@@ -103,20 +103,28 @@ object Shards {
       IndexVersions.resolvePath(spark, manifestRoot(outDir)))
 
   /** Manifest-directed corpus read: exactly the shards the committed
-    * manifest describes, via a partition-pruning `shard IN (…)` filter
-    * (the id list is ≤ #shards — bounded driver-side, same contract as
-    * the capped probe literals elsewhere). Correct in EVERY crash
-    * window — orphan dirs from a crashed append and retracted dirs
-    * from an interrupted compaction are filtered out even before
-    * [[healLayout]] removes them.
+    * manifest describes. Correct in EVERY crash window — orphan dirs
+    * from a crashed append and retracted dirs from an interrupted
+    * compaction are filtered out even before [[healLayout]] removes
+    * them — but the filter is built from the DIFFERENCE between the
+    * on-disk dirs and the manifest, not from the manifest itself: the
+    * healthy-layout read (the common case, and the only one a reader
+    * ever sees after any mutation's heal pass) carries NO filter at
+    * all, and a crash-window read excludes only the few dead dirs. A
+    * `shard IN (all committed)` literal list would put ~10⁵ literals
+    * into the analyzer/codegen path on a 100 TB layout (~1 GB/shard)
+    * for pure overhead; the exclusion list is sized by the crash, not
+    * the corpus. Both shapes partition-prune at listing time.
     */
   def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
-    val ids = readManifest(spark, outDir)
-      .select(col("shard").cast("long")).collect().map(_.getLong(0))
-    if (ids.isEmpty)
+    val committed = readManifest(spark, outDir)
+      .select(col("shard").cast("long")).collect().map(_.getLong(0)).toSet
+    if (committed.isEmpty)
       sys.error(s"empty shard layout at $outDir — nothing to read")
-    spark.read.parquet(outDir)
-      .filter(col("shard").cast("long").isin(ids.toIndexedSeq: _*))
+    val dead = shardDirsOnDisk(spark, outDir).filterNot(committed)
+    val raw = spark.read.parquet(outDir)
+    if (dead.isEmpty) raw
+    else raw.filter(!col("shard").cast("long").isin(dead: _*))
   }
 
   /** Delete `shard=N` dirs the committed manifest does not describe —
@@ -279,9 +287,14 @@ object Shards {
 
   /** Write `rows` as the next manifest generation and flip the pointer
     * (the [[IndexVersions]] protocol: version dir beside the previous
-    * one, monotonic marker + atomic rename LAST). Returns the read-back
-    * committed manifest, snapshotted (localCheckpoint) so the returned
-    * frame survives a LATER append/compaction replacing the files. */
+    * one, monotonic marker + atomic rename LAST). Generations older
+    * than N−1 are dropped after the flip — a manifest row set is tiny
+    * but an append-per-micro-batch ingest loop commits one generation
+    * PER BATCH, so unbounded retention accumulates unbounded small
+    * dirs under `_graft_manifest`; current + one rollback target is
+    * the bound. Returns the read-back committed manifest, snapshotted
+    * (localCheckpoint) so the returned frame survives a LATER
+    * append/compaction replacing the files. */
   private def commitManifest(spark: SparkSession, outDir: String,
       rows: DataFrame): DataFrame = {
     val root = manifestRoot(outDir)
@@ -289,6 +302,7 @@ object Shards {
     rows.write.mode("overwrite")
       .parquet(IndexVersions.versionDir(root, v))
     IndexVersions.commit(spark, root, v)
+    IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
     readManifest(spark, outDir).localCheckpoint(true)
   }
 

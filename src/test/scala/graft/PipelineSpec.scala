@@ -641,6 +641,31 @@ class PipelineSpec extends SparkSpec {
     } finally Bucketed.dropBucketed(spark, table)
   }
 
+  test("phash index pins its band count: a bands-mismatched probe is " +
+      "REFUSED instead of silently finding nothing") {
+    import graft.operators.Bucketed
+    val all = Multimodal.demoPerturbedMedia(docs)
+    val corpus = all.filter($"media_id" < 10000000L)
+    val batch = all.filter($"media_id" >= 10000000L)
+    val table = "phash_idx_bands_spec"
+    try {
+      Multimodal.writePhashIndex(corpus, table, buckets = 4, bands = 4)
+      assert(Multimodal.phashIndexMeta(spark, table)
+        === Some((4, "blockhash64")))
+      val ex = intercept[IllegalArgumentException] {
+        Multimodal.probePhashIndex(spark, table, batch,
+          maxDist = 8, bands = 2)
+      }
+      assert(ex.getMessage.contains("4 bands"), ex.getMessage)
+      // matching explicit bands and sidecar self-config agree
+      val explicit = Multimodal.probePhashIndex(spark, table, batch,
+        maxDist = 8, bands = 4).count()
+      val fromSidecar = Multimodal.probePhashIndex(spark, table, batch,
+        maxDist = 8).count()
+      assert(explicit === fromSidecar && explicit > 0)
+    } finally Bucketed.dropBucketed(spark, table)
+  }
+
   test("cosine expression matches a reference implementation") {
     val rows = embeddings.limit(3).select($"embedding").as[Seq[Float]].collect()
     val sparkCos = embeddings.limit(3)

@@ -1573,6 +1573,60 @@ object PipelineQueries {
       res
     },
 
+    // MEDIA ingest COMPACTION end-to-end — the perceptual mirror of
+    // dedup_compaction: phash-index(C0) → arrival wave B1 (originals
+    // %10=5 + 'Z'-transcodes of %10=1) runs the stream's batch stages
+    // (sha256 exact → index probe) and its survivors are accepted as
+    // batch=0 → MediaIngestStream.compact folds C0 ∪ accepted into
+    // index GENERATION 2 through the version pointer and clears the
+    // batch dirs (require()d inside the gate) → wave B2 (originals
+    // %10=0 + 'Y'-transcodes of B1's originals) probes the COMPACTED
+    // index with an EMPTY accepted set. A transcode of an accepted B1
+    // asset is caught by the rebuilt INDEX alone — the compaction
+    // claim — and the oracle replays both generations from raw bytes
+    // (blockhash → banding → popcount, the mmPhashCte machinery over
+    // this gate's three-wave media universe).
+    "mm_compaction" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val m10 = pmod($"doc_id", lit(10))
+      val c0 = d.filter(m10 =!= 0 && m10 =!= 5)
+        .select($"doc_id".as("media_id"),
+          $"text".cast("binary").as("content"))
+      val b1 = d.filter(m10 === 5)
+        .select($"doc_id".as("media_id"),
+          $"text".cast("binary").as("content"))
+        .unionByName(d.filter(m10 === 1)
+          .select(($"doc_id" + lit(10000000L)).as("media_id"),
+            concat(lit("Z"), expr("substring(text, 2)"))
+              .cast("binary").as("content")))
+      val b2 = d.filter(m10 === 0)
+        .select($"doc_id".as("media_id"),
+          $"text".cast("binary").as("content"))
+        .unionByName(d.filter(m10 === 5)
+          .select(($"doc_id" + lit(20000000L)).as("media_id"),
+            concat(lit("Y"), expr("substring(text, 2)"))
+              .cast("binary").as("content")))
+      val table = phashIndexName(dir) + "_cmp"
+      val outDir = tmpIndexPath(dir, "graft_mm_cmp_out")
+      val stream = graft.streaming.MediaIngestStream
+      stream.dropPhashIndex(s, table) // re-run starts from nothing
+      Multimodal.writePhashIndex(c0, table, buckets = 8, bands = 4)
+      val a1 = stream.applyBatch(s, b1, None, table, maxDist = 8)
+      a1.write.mode("overwrite").parquet(s"$outDir/batch=0")
+      stream.compact(s, c0, table, outDir)
+      val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .count(_.getPath.getName.startsWith("batch="))
+      require(leftover == 0,
+        s"media compact left $leftover accepted batch dirs behind")
+      val res = stream.applyBatch(s, b2, None, table, maxDist = 8)
+        .select($"media_id").localCheckpoint(true)
+      stream.dropPhashIndex(s, table)
+      res
+    },
+
     // Aspect-preserving resize PLAN over the decoded image metadata
     // (fit within 960x540, never upscale) — the metadata leg of the
     // stubbed pixel-resample seam; identical IEEE double ops replay in
@@ -1732,14 +1786,8 @@ object PipelineQueries {
     * `blockHash64`'s empty→0 contract), and the 4×16-bit band keys by
     * HUGEINT division. Ends at `bands(media_id, phash, key, band)`.
     */
-  private val mmPhashCte: String =
-    """WITH media AS (
-      |  SELECT doc_id AS media_id, text AS payload FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 10000000 AS media_id,
-      |    'Z' || substr(text, 2) AS payload
-      |  FROM documents WHERE doc_id % 7 = 0),
-      |chars AS (
+  private val mmPhashTail: String =
+    """
       |  SELECT media_id, L, p,
       |    ('0x' || substr(hx, CAST(p AS INT) * 2 + 1, 2))::INT AS v
       |  FROM (SELECT media_id, hex(encode(payload)) AS hx,
@@ -1778,6 +1826,19 @@ object PipelineQueries {
       |      ELSE 281474976710656 END)::HUGEINT) % 65536 AS BIGINT) AS key,
       |    k.k AS band
       |  FROM sigs s, (SELECT unnest([0, 1, 2, 3]) AS k) k)""".stripMargin
+
+  private def mmPhashCteFor(mediaBody: String): String =
+    s"""WITH media AS (
+      |$mediaBody),
+      |chars AS (""".stripMargin + mmPhashTail
+
+  private val mmPhashCte: String = mmPhashCteFor(
+    """  SELECT doc_id AS media_id, text AS payload FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS media_id,
+      |    'Z' || substr(text, 2) AS payload
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin)
+
 
   /** Full re-derivation of the Rademacher-LSH index, parameterized on
     * plane count and shared by the in-memory (`sim_topk_lsh`, 8 planes)
@@ -1932,11 +1993,12 @@ object PipelineQueries {
         |  media_id <> MIN(media_id) OVER (PARTITION BY sha256) AS is_dup
         |FROM meta""".stripMargin),
 
-    // Blockhash replay: per-byte values (ASCII payloads — ord = byte),
-    // balanced 64-block partition by (p*64)//L, exact-integer mean
-    // bits, signature assembled from two 32-bit halves through HUGEINT
-    // (the mmMetaCte signed-correction trick), 16-bit band keys by
-    // HUGEINT division, popcount filter at 8.
+    // Blockhash replay: per-byte values (hex-pair extraction over the
+    // UTF-8 encoding — byte-exact on any payload), balanced 64-block
+    // partition by (p*64)//L, exact-integer mean bits, signature
+    // assembled from two 32-bit halves through HUGEINT (the mmMetaCte
+    // signed-correction trick), 16-bit band keys by HUGEINT division,
+    // popcount filter at 8.
     "mm_near_dedup" ->
       (mmPhashCte + """,
         |cands AS (
@@ -1984,6 +2046,65 @@ object PipelineQueries {
         |SELECT media_id, dup_of,
         |  CAST(bit_count(xor(pa, pb)) AS INT) AS dist
         |FROM cands WHERE bit_count(xor(pa, pb)) <= 8""".stripMargin),
+
+    // Two-generation media-compaction replay over this gate's
+    // three-wave universe: B1 = exact keepers (min id per payload) of
+    // originals %10=5 + 'Z'-transcodes of %10=1, dropped when any band
+    // collides with C0 at Hamming <= 8; generation 2 = C0 union B1
+    // survivors; B2 = exact keepers of originals %10=0 +
+    // 'Y'-transcodes of %10=5, surviving the same banding against
+    // generation 2. The phash machinery is the shared byte-exact CTE.
+    "mm_compaction" ->
+      (mmPhashCteFor(
+        """  SELECT doc_id AS media_id, text AS payload FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000000 AS media_id,
+          |    'Z' || substr(text, 2) AS payload
+          |  FROM documents WHERE doc_id % 10 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 20000000 AS media_id,
+          |    'Y' || substr(text, 2) AS payload
+          |  FROM documents WHERE doc_id % 10 = 5""".stripMargin) + """,
+        |c0b AS (
+        |  SELECT * FROM bands
+        |  WHERE media_id < 10000000 AND media_id % 10 NOT IN (0, 5)),
+        |b1m AS (
+        |  SELECT media_id, payload FROM media
+        |  WHERE (media_id < 10000000 AND media_id % 10 = 5)
+        |     OR (media_id >= 10000000 AND media_id < 20000000)),
+        |b1x AS (
+        |  SELECT media_id FROM (
+        |    SELECT media_id,
+        |      MIN(media_id) OVER (PARTITION BY payload) AS kp
+        |    FROM b1m) WHERE media_id = kp),
+        |b1drop AS (
+        |  SELECT DISTINCT q.media_id
+        |  FROM bands q JOIN b1x USING (media_id)
+        |  JOIN c0b c ON q.band = c.band AND q.key = c.key
+        |  WHERE bit_count(xor(q.phash, c.phash)) <= 8),
+        |acc1 AS (
+        |  SELECT media_id FROM b1x
+        |  WHERE media_id NOT IN (SELECT media_id FROM b1drop)),
+        |g2b AS (
+        |  SELECT * FROM c0b
+        |  UNION ALL
+        |  SELECT b.* FROM bands b JOIN acc1 USING (media_id)),
+        |b2m AS (
+        |  SELECT media_id, payload FROM media
+        |  WHERE (media_id < 10000000 AND media_id % 10 = 0)
+        |     OR media_id >= 20000000),
+        |b2x AS (
+        |  SELECT media_id FROM (
+        |    SELECT media_id,
+        |      MIN(media_id) OVER (PARTITION BY payload) AS kp
+        |    FROM b2m) WHERE media_id = kp),
+        |b2drop AS (
+        |  SELECT DISTINCT q.media_id
+        |  FROM bands q JOIN b2x USING (media_id)
+        |  JOIN g2b c ON q.band = c.band AND q.key = c.key
+        |  WHERE bit_count(xor(q.phash, c.phash)) <= 8)
+        |SELECT media_id FROM b2x
+        |WHERE media_id NOT IN (SELECT media_id FROM b2drop)""".stripMargin),
 
     // The same LEAST/double-scale/floor arithmetic, integer outputs.
     "mm_resize" ->

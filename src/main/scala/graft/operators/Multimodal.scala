@@ -167,6 +167,29 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual near-dup pairs ACROSS two frames — (id_a from `a`,
+    * id_b from `b`, dist ≤ maxDist) by the same banded-Hamming
+    * candidate generation as [[perceptualNearDupPairs]], restricted to
+    * a×b (never a×a or b×b). The accepted-set probe stage of the media
+    * ingest stream: `a` is the accepted set, `b` the arriving batch,
+    * so the join cost is accepted×batch band keys, not corpus-sized.
+    */
+  def perceptualNearDupPairsAcross(a: DataFrame, b: DataFrame,
+      maxDist: Int, bands: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
+    val ka = bandedKeys(perceptualSig(a), bands)
+      .select(col("band"), col("key"),
+        col("media_id").as("id_a"), col("phash").as("pa"))
+    val kb = bandedKeys(perceptualSig(b), bands)
+      .select(col("band"), col("key"),
+        col("media_id").as("id_b"), col("phash").as("pb"))
+    ka.join(kb, Seq("band", "key"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** (media_id, phash, band, key) — one row per signature band. */
   private def bandedKeys(sigs: DataFrame, bands: Int): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
@@ -212,10 +235,34 @@ object Multimodal {
     try out.write(
       s"""{"bands":$bands,"kernel":"$PhashKernel"}""".getBytes("UTF-8"))
     finally out.close()
+    // a FRESH flat build resets the index to generation zero: a stale
+    // version pointer from an earlier compaction would silently shadow
+    // the table just written. Cleared LAST — while the write is in
+    // flight the stale pointer keeps probes on the committed
+    // generation (pointer-flip-last discipline; for a VERSIONED build
+    // the compaction passes `<table>_ixvN` whose own root has no
+    // pointer, so this is a no-op there)
+    IndexVersions.clearPointer(spark, phashIndexRoot(spark, table))
   }
 
   private val PhashMetaFile = "_graft_phash_meta.json"
   private val PhashKernel = "blockhash64"
+
+  /** The version-pointer root of a phash index: the would-be warehouse
+    * directory of `<table>_ixroot` — NEVER a real table, so a flat
+    * rebuild of generation zero (whose [[Bucketed.writeBucketed]]
+    * deletes the bare table's own directory before writing) cannot
+    * wipe the pointer mid-write. The bare-prefix convention of the
+    * n-gram index, adapted to an index whose generation zero IS the
+    * bare table. */
+  def phashIndexRoot(spark: SparkSession, table: String): String =
+    IndexVersions.tableRoot(spark, s"${table}_ixroot")
+
+  /** Resolve a phash index name to its committed generation's table —
+    * `<table>_ixvN` after a compaction, the bare table before one. */
+  def resolvePhashTable(spark: SparkSession, table: String): String =
+    IndexVersions.currentVersion(spark, phashIndexRoot(spark, table))
+      .map(v => IndexVersions.versionPrefix(table, v)).getOrElse(table)
 
   private def tableLocation(spark: SparkSession,
       table: String): org.apache.hadoop.fs.Path =
@@ -224,10 +271,14 @@ object Multimodal {
         spark.sessionState.sqlParser.parseTableIdentifier(table)))
 
   /** The (bands, kernel) a [[writePhashIndex]] layout was written with,
-    * from its sidecar — None for a pre-sidecar index. */
+    * from its sidecar — None for a pre-sidecar index. `table` may be a
+    * COMPACTED index's base name: resolution goes through the
+    * [[IndexVersions]] pointer to the committed generation's sidecar,
+    * same as the sign-index meta lookup. */
   def phashIndexMeta(spark: SparkSession,
       table: String): Option[(Int, String)] = {
-    val p = new org.apache.hadoop.fs.Path(tableLocation(spark, table),
+    val p = new org.apache.hadoop.fs.Path(
+      tableLocation(spark, resolvePhashTable(spark, table)),
       PhashMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -252,9 +303,13 @@ object Multimodal {
   def probePhashIndex(spark: SparkSession, table: String,
       batch: DataFrame, maxDist: Int, bands: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
-    require(Bucketed.registerBucketed(spark, table, "key"),
+    // a compacted index resolves through its version pointer to the
+    // committed generation's table; an uncompacted one to itself —
+    // probes pick up a committed fold with no caller involvement
+    val resolved = resolvePhashTable(spark, table)
+    require(Bucketed.registerBucketed(spark, resolved, "key"),
       s"no phash index at $table")
-    val meta = phashIndexMeta(spark, table)
+    val meta = phashIndexMeta(spark, resolved)
     meta.foreach { case (mb, mk) =>
       require(mk == PhashKernel,
         s"phash index $table was written with kernel `$mk`; this probe " +
@@ -267,7 +322,7 @@ object Multimodal {
       else meta.map(_._1).getOrElse(throw new IllegalArgumentException(
         s"no $PhashMetaFile under phash index $table — pass bands " +
           "explicitly"))
-    val idx = spark.table(table)
+    val idx = spark.table(resolved)
     val qb = bandedKeys(perceptualSig(batch), effBands)
       .withColumnRenamed("media_id", "q_id")
       .withColumnRenamed("phash", "q_phash")

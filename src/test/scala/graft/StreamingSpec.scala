@@ -1154,4 +1154,139 @@ class StreamingSpec extends SparkSpec {
     assert(IndexVersions.currentVersion(spark, root).isEmpty,
       "rollback to generation zero clears pointer and markers")
   }
+
+  test("media ingest stream: within-batch sha256 + vs-phash-index + " +
+      "vs-accepted perceptual dedup == the sequential batch replay; " +
+      "compaction folds accepted media into index generation 2") {
+    import graft.operators.Multimodal
+    import graft.streaming.{IngestStream, MediaIngestStream}
+    // deterministic synthetic payloads: per-stem seeded random bytes
+    // (two stems land ~32 bits apart — far beyond maxDist 8), and a
+    // "transcode" of a payload flips ONE byte (a handful of block-mean
+    // bits at most — the perturbation class the perceptual stage owns)
+    def payload(stem: String): Array[Byte] = {
+      val b = new Array[Byte](256)
+      new scala.util.Random(stem.hashCode.toLong).nextBytes(b)
+      b
+    }
+    def transcode(p: Array[Byte]): Array[Byte] = {
+      val c = p.clone(); c(0) = (c(0) + 1).toByte; c
+    }
+    val corpus = (1L to 20L).map(i => (i, payload(s"c$i")))
+      .toDF("media_id", "content")
+    val table = "media_ingest_test_idx"
+    try {
+      MediaIngestStream.dropPhashIndex(spark, table)
+      Multimodal.writePhashIndex(corpus, table, buckets = 4, bands = 4)
+      val a = payload("malpha"); val b = payload("mbeta")
+      val srcDir = tmpDir("mingest-src")
+      val f1 = Seq(
+        (1000001L, a),                       // fresh -> accepted
+        (1000002L, transcode(payload("c5"))), // transcode of corpus -> dropped
+        (1000003L, b), (1000004L, b)          // exact pair -> min id kept
+      ).toDF("media_id", "content")
+      val f2 = Seq(
+        (1000005L, transcode(a)),  // transcode of batch-1 acceptance ->
+                                   // only the accepted probe catches it
+        (1000006L, payload("mgamma")) // fresh -> accepted
+      ).toDF("media_id", "content")
+      f1.coalesce(1).write.parquet(s"$srcDir/f1")
+      f2.coalesce(1).write.parquet(s"$srcDir/f2")
+      def promote(sub: String, age: Long): Unit = {
+        val part = new java.io.File(s"$srcDir/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$srcDir/$sub.parquet")
+        assert(part.renameTo(dst))
+        assert(dst.setLastModified(System.currentTimeMillis() - age))
+        new java.io.File(s"$srcDir/$sub").listFiles().foreach(_.delete())
+        new java.io.File(s"$srcDir/$sub").delete(): Unit
+      }
+      promote("f1", 60000); promote("f2", 30000)
+
+      val outDir = tmpDir("mingest-out")
+      val ckptDir = tmpDir("mingest-ckpt")
+      MediaIngestStream.run(spark, srcDir, table, outDir = outDir,
+        checkpointDir = ckptDir, maxFilesPerTrigger = 1)
+      val got = MediaIngestStream.accepted(spark, outDir).get
+        .select($"media_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1000001L, 1000003L, 1000006L),
+        s"accepted set diverged: $got")
+      // stream run == sequential applyBatch replay
+      val r1 = MediaIngestStream.applyBatch(spark,
+        spark.read.parquet(s"$srcDir/f1.parquet"), None, table)
+      val r2 = MediaIngestStream.applyBatch(spark,
+        spark.read.parquet(s"$srcDir/f2.parquet"), Some(r1), table)
+      val replay = (r1.select($"media_id").collect() ++
+        r2.select($"media_id").collect()).map(_.getLong(0)).toSet
+      assert(replay === got)
+
+      // fresh-checkpoint restart over a non-empty outDir is refused
+      val guard = intercept[IllegalArgumentException] {
+        MediaIngestStream.run(spark, srcDir, table, outDir = outDir,
+          checkpointDir = tmpDir("mingest-ckpt-fresh"),
+          maxFilesPerTrigger = 1)
+      }
+      assert(guard.getMessage.contains("next batch id"))
+
+      // COMPACTION: fold accepted media into index GENERATION 2
+      // through the version pointer; stage 3 restarts empty
+      val folded = MediaIngestStream.compact(spark, corpus, table, outDir)
+      assert(folded >= 0L)
+      assert(MediaIngestStream.accepted(spark, outDir).isEmpty,
+        "accepted-set probe must be empty after compaction")
+      assert(Multimodal.resolvePhashTable(spark, table) === s"${table}_ixv1",
+        "probe resolution must land on the committed generation")
+      val archived = spark.read.parquet(s"$outDir/compacted")
+        .select($"media_id").collect().map(_.getLong(0)).toSet
+      assert(archived === got)
+      // a transcode of a PRE-compaction acceptance is caught by the
+      // rebuilt INDEX alone (applyBatch with NO accepted set)
+      val f3 = Seq(
+        (1000007L, transcode(a)),    // transcode of folded acceptance
+        (1000008L, payload("mdelta")) // fresh -> accepted
+      ).toDF("media_id", "content")
+      val r3 = MediaIngestStream.applyBatch(spark, f3, None, table)
+      assert(r3.select($"media_id").collect().map(_.getLong(0)).toSet ===
+        Set(1000008L), "rebuilt index must catch the compacted transcode")
+      // and through the ENGINE: resume with the ORIGINAL checkpoint
+      f3.coalesce(1).write.parquet(s"$srcDir/f3")
+      promote("f3", 1000)
+      MediaIngestStream.run(spark, srcDir, table, outDir = outDir,
+        checkpointDir = ckptDir, maxFilesPerTrigger = 1)
+      val got3 = MediaIngestStream.accepted(spark, outDir).get
+        .select($"media_id").collect().map(_.getLong(0)).toSet
+      assert(got3 === Set(1000008L), s"post-compaction ingest: $got3")
+    } finally MediaIngestStream.dropPhashIndex(spark, table)
+  }
+
+  test("media within-batch PERCEPTUAL resolution (opt-in stage 1.5): " +
+      "min-id keeper per transcode cluster; default keeps near twins") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaIngestStream
+    def payload(stem: String): Array[Byte] = {
+      val b = new Array[Byte](256)
+      new scala.util.Random(stem.hashCode.toLong).nextBytes(b)
+      b
+    }
+    val corpus = (1L to 20L).map(i => (i, payload(s"n$i")))
+      .toDF("media_id", "content")
+    val table = "media_near15_test_idx"
+    try {
+      MediaIngestStream.dropPhashIndex(spark, table)
+      Multimodal.writePhashIndex(corpus, table, buckets = 4, bands = 4)
+      val a = payload("nalpha")
+      val aNear = a.clone(); aNear(0) = (aNear(0) + 1).toByte
+      val batch = Seq((5000001L, a), (5000002L, aNear),
+        (5000003L, payload("nbeta"))).toDF("media_id", "content")
+      // default: byte-exact-only stage 1 keeps BOTH transcode twins
+      val noOpt = MediaIngestStream.applyBatch(spark, batch, None, table)
+      assert(noOpt.select($"media_id").collect().map(_.getLong(0)).toSet
+        === Set(5000001L, 5000002L, 5000003L))
+      // opted in: the cluster collapses to its min id
+      val opt = MediaIngestStream.applyBatch(spark, batch, None, table,
+        nearWithinBatch = true)
+      assert(opt.select($"media_id").collect().map(_.getLong(0)).toSet
+        === Set(5000001L, 5000003L))
+    } finally MediaIngestStream.dropPhashIndex(spark, table)
+  }
 }

@@ -140,16 +140,49 @@ object PipelineQueries {
       import s.implicits._
       val weights = Seq.tabulate(4096)(b =>
         ((b.toLong * 2654435761L) % 2000001L) - 1000000L)
-      Tables(s, dir, "documents")
-        .select($"doc_id",
-          graft.functions.TextExprs.linearTextScore($"text", weights)
-            .as("m"))
-        .select($"doc_id", $"m.n_terms".as("n_terms"),
-          $"m.score_q".as("score_q"))
+      // the weights travel through the VERSIONED MODEL ARTIFACT, not
+      // an inline array: published as generation N+1 (pointer-flip
+      // commit), loaded back dense via the sidecar-pinned bucket
+      // count — the gate now covers the publish→load→score loop, with
+      // the same oracle (same weights, same dot product)
+      val path = tmpIndexPath(dir, "graft_textmodel_demo")
+      graft.operators.TextModel.writeModel(
+        weights.zipWithIndex.map { case (w, b) => (b, w) }
+          .toDF("bucket", "weight"),
+        path, buckets = 4096, bigrams = true)
+      graft.operators.TextModel.score(s,
+          Tables(s, dir, "documents").select($"doc_id", $"text"),
+          "text", path)
+        .select($"doc_id", $"n_terms", $"score_q")
         .withColumn("model_score",
           when($"n_terms" === 0, lit(0.0))
             .otherwise($"score_q".cast("double") /
               ($"n_terms".cast("double") * lit(1.0e7))))
+        .withColumn("keep", $"score_q" > 0L)
+    },
+
+    // IN-ENGINE TRAINER end-to-end: hashed-bucket log-odds weights
+    // learned from labeled docs (label = lang == 'en'; train split
+    // doc_id % 5 != 0), published as a versioned model artifact,
+    // loaded back dense, and scored over the HELD-OUT split — one
+    // count aggregate keyed by the 4-byte bucket id, weights
+    // round(1e7·ln((pos+1)/(neg+1))), scoring the zero-shuffle codegen
+    // kernel. The oracle replays counts, log-odds, and the full dot
+    // product independently.
+    "text_quality_train" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val path = tmpIndexPath(dir, "graft_textmodel_train")
+      val w = graft.operators.TextModel.trainLogOdds(
+        d.filter(pmod($"doc_id", lit(5)) =!= 0), "text",
+        $"lang" === "en", buckets = 4096)
+      graft.operators.TextModel.writeModel(w, path,
+        buckets = 4096, bigrams = true)
+      graft.operators.TextModel.score(s,
+          d.filter(pmod($"doc_id", lit(5)) === 0)
+            .select($"doc_id", $"text"),
+          "text", path)
+        .select($"doc_id", $"n_terms", $"score_q")
         .withColumn("keep", $"score_q" > 0L)
     },
 
@@ -2254,6 +2287,54 @@ object PipelineQueries {
         |         / (CAST(s.n_terms AS DOUBLE) * 10000000.0) END AS model_score,
         |  COALESCE(s.score_q, 0) > 0 AS keep
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+
+    // Full trainer replay: term stream (uni+bigram occurrences) of the
+    // TRAIN split hashed by the 60-bit md5-prefix rule, (bucket, label)
+    // counts, weights round(1e7·ln((pos+1)/(neg+1))) — ln over the
+    // exactly-rounded IEEE quotient, same as the engine — then the
+    // held-out split's dot product re-assembled bucket by bucket.
+    "text_quality_train" ->
+      """WITH tr AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> '' AND doc_id % 5 <> 0),
+        |trt AS (
+        |  SELECT doc_id, lang, unnest(toks) AS w FROM tr
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM tr),
+        |cnt AS (
+        |  SELECT ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS neg
+        |  FROM trt GROUP BY 1),
+        |wts AS (
+        |  SELECT bucket,
+        |    CAST(round(10000000.0 * ln((pos + 1.0) / (neg + 1.0)))
+        |      AS BIGINT) AS wt
+        |  FROM cnt),
+        |te AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> '' AND doc_id % 5 = 0),
+        |tet AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM te
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM te),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+        |    CAST(SUM(COALESCE(wts.wt, 0)) AS BIGINT) AS score_q
+        |  FROM (SELECT doc_id,
+        |          ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket
+        |        FROM tet) t
+        |  LEFT JOIN wts USING (bucket) GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_terms, 0) AS n_terms,
+        |  COALESCE(sc.score_q, 0) AS score_q,
+        |  COALESCE(sc.score_q, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.doc_id % 5 = 0""".stripMargin,
 
     // The scorer replay feeding the per-language budget window: order
     // by (score_q DESC, idScore, doc_id), accumulate n_chars, keep

@@ -104,6 +104,35 @@ object TextOps {
       Array[Any](terms, score))
   }
 
+  /** The exact term stream [[linearScore]] accumulates — every unigram
+    * plus (with `bigrams`) every adjacent pair, in order, WITH
+    * multiplicity. The trainer tokenizes through THIS kernel so
+    * training and scoring share one term definition by construction
+    * (a tokenizer drift between the two would silently skew every
+    * weight).
+    */
+  def scoreTerms(text: UTF8String, bigrams: Boolean): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](
+      if (bigrams) toks.length * 2 - 1 else toks.length)
+    var i = 0
+    var o = 0
+    while (i < toks.length) {
+      out(o) = UTF8String.fromString(toks(i)); o += 1
+      if (bigrams && i + 1 < toks.length) {
+        out(o) = UTF8String.fromString(toks(i) + " " + toks(i + 1)); o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[hashBucket]] over the engine's native string type — the codegen
+    * entry point of [[graft.functions.HashBucketExpr]]. */
+  def hashBucketU(term: UTF8String, buckets: Int): Int =
+    hashBucket(term.toString, buckets)
+
   /** Ordered-distinct word n-gram shingles; < n tokens → one whole-doc
     * shingle (matches the Column formulation in TextFunctions exactly).
     */
@@ -632,6 +661,38 @@ case class LinearTextScoreExpr(child: Expression, weights: Seq[Long],
     copy(child = newChild)
 }
 
+/** score_terms(string) → array<string>: the term stream the linear
+  * scorer accumulates (uni + adjacent bigrams, in order, with
+  * multiplicity) — the trainer's tokenizer, shared with
+  * [[LinearTextScoreExpr]] at the kernel level. */
+case class ScoreTermsExpr(child: Expression, bigrams: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.scoreTerms(t.asInstanceOf[UTF8String], bigrams)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextOps.scoreTerms($t, $bigrams)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** hash_bucket(string) → int: the 60-bit md5-prefix bucket of a term —
+  * [[TextOps.hashBucket]] as a codegen'd column, so the trainer's
+  * count aggregate buckets exactly like the scorer's weight lookup. */
+case class HashBucketExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, s"buckets must be positive: $buckets")
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(t: Any): Any =
+    TextOps.hashBucketU(t.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextOps.hashBucketU($t, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** lang_id(string) → string: single-pass heuristic language ID. */
 case class LangIdExpr(child: Expression, langWords: Seq[(String, Seq[String])])
     extends UnaryExpression {
@@ -677,6 +738,10 @@ object TextExprs {
   def linearTextScore(text: Column, weights: Seq[Long],
       bigrams: Boolean = true): Column =
     toCol(LinearTextScoreExpr(toExpr(text), weights, bigrams))
+  def scoreTerms(text: Column, bigrams: Boolean = true): Column =
+    toCol(ScoreTermsExpr(toExpr(text), bigrams))
+  def hashBucket(term: Column, buckets: Int): Column =
+    toCol(HashBucketExpr(toExpr(term), buckets))
   def deletionVariants(text: Column, k: Int): Column =
     toCol(DeletionVariantsExpr(toExpr(text), k))
 }

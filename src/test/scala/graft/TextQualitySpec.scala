@@ -473,4 +473,69 @@ class TextQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Generate"), plan)
   }
+
+  test("TextModel: log-odds trainer learns the planted signal; " +
+      "versioned artifact round-trips; retrain publishes generation 2; " +
+      "sidecar-less path refused") {
+    import graft.operators.{IndexVersions, TextModel}
+    import graft.functions.{TextExprs => TE}
+    // planted signal: positives speak goodtok, negatives badtok, both
+    // share neutraltok — the learned weights must separate them
+    val labeled = (1L to 40L).map { i =>
+      val pos = i % 2 == 0
+      val body = if (pos) "goodtok" else "badtok"
+      (i, s"$body neutraltok $body neutraltok $body", pos)
+    }.toDF("doc_id", "text", "lab")
+    val w = TextModel.trainLogOdds(labeled, "text", $"lab", buckets = 512)
+    val path = tmpDir("textmodel-artifact")
+    TextModel.writeModel(w, path, buckets = 512, bigrams = true)
+    assert(IndexVersions.currentVersion(spark, path) === Some(1))
+    assert(TextModel.modelMeta(spark, path) === Some((512, true)))
+    val scored = TextModel.score(spark,
+        Seq((100L, "goodtok goodtok"), (101L, "badtok badtok"),
+          (102L, "")).toDF("doc_id", "text"),
+        "text", path)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(100L) > 0L, s"positive doc must score > 0: $scored")
+    assert(scored(101L) < 0L, s"negative doc must score < 0: $scored")
+    assert(scored(102L) === 0L, "empty doc scores 0")
+    // trainer == declarative replay: per-bucket counts from an explode
+    // over the SAME term kernel
+    val replay = labeled
+      .select($"lab", explode(TE.scoreTerms($"text")).as("term"))
+      .select(TE.hashBucket($"term", 512).as("bucket"), $"lab")
+      .groupBy($"bucket")
+      .agg(sum(when($"lab", 1L).otherwise(0L)).as("pos"),
+        sum(when(!$"lab", 1L).otherwise(0L)).as("neg"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val trained = w.collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(trained === replay)
+    // RETRAIN publishes generation 2 beside 1 and the pointer flips:
+    // readers pick up the new weights with no caller involvement
+    val w2 = TextModel.trainLogOdds(labeled, "text", !$"lab", buckets = 512)
+    TextModel.writeModel(w2, path, buckets = 512, bigrams = true)
+    assert(IndexVersions.currentVersion(spark, path) === Some(2))
+    val flipped = TextModel.score(spark,
+        Seq((100L, "goodtok goodtok")).toDF("doc_id", "text"),
+        "text", path)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(flipped(100L) < 0L,
+      "inverted retrain must flip the sign through the pointer")
+    // a third publish drops generation 1 (current + one rollback kept)
+    TextModel.writeModel(w, path, buckets = 512, bigrams = true)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_ixv1")),
+      "retention must drop generations older than N-1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_ixv2")))
+    // a sidecar-less directory is not a model artifact
+    val bare = tmpDir("textmodel-bare")
+    Seq((0, 1L)).toDF("bucket", "weight").write.parquet(s"$bare/_ixv1")
+    IndexVersions.commit(spark, bare, 1)
+    val ex = intercept[IllegalArgumentException] {
+      TextModel.readWeights(spark, bare)
+    }
+    assert(ex.getMessage.contains("not a model artifact"))
+  }
 }

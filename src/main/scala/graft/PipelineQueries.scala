@@ -1660,6 +1660,21 @@ object PipelineQueries {
       res
     },
 
+    // VIDEO-level perceptual dedup: per-frame blockhash (frames = the
+    // decode seam's 64-byte sample segments) → banded frame pairs
+    // (2×32-bit keys) → per-(video, video) near-identical-frame
+    // containment, kept at ≥50% of either side's distinct signatures
+    // (exact integer cross-multiplication). The transcode replicas
+    // perturb one byte — frame 0 may drift, every other frame matches
+    // at dist 0 — the query that catches them as WHOLE videos. Oracle
+    // replays frame segmentation, per-frame blockhash, banding, and
+    // the containment aggregate from raw bytes.
+    "mm_video_near_dedup" -> { (s, dir) =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.demoPerturbedMedia(Tables(s, dir, "documents")),
+        frameBytes = 64, maxDist = 6, bands = 2, minContainPct = 50)
+    },
+
     // Aspect-preserving resize PLAN over the decoded image metadata
     // (fit within 960x540, never upscale) — the metadata leg of the
     // stubbed pixel-resample seam; identical IEEE double ops replay in
@@ -2138,6 +2153,80 @@ object PipelineQueries {
         |  WHERE bit_count(xor(q.phash, c.phash)) <= 8)
         |SELECT media_id FROM b2x
         |WHERE media_id NOT IN (SELECT media_id FROM b2drop)""".stripMargin),
+
+    // Frame-level blockhash replay: bytes partitioned into 64-byte
+    // frames (byte position p → frame p//64, in-frame offset p%64),
+    // each frame hashed by the same exact-integer block-mean rule over
+    // ITS length, distinct signatures per video, 2×32-bit banding,
+    // popcount ≤ 6, containment ≥ 50% by integer cross-multiplication.
+    "mm_video_near_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS media_id,
+        |    'Z' || substr(text, 2) AS payload
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |bytes AS (
+        |  SELECT media_id, p // 64 AS f, p,
+        |    ('0x' || substr(hx, CAST(p AS INT) * 2 + 1, 2))::INT AS v
+        |  FROM (SELECT media_id, hex(encode(payload)) AS hx,
+        |          CAST(unnest(range(octet_length(encode(payload)))) AS BIGINT) AS p
+        |        FROM media WHERE octet_length(encode(payload)) > 0)),
+        |fl AS (
+        |  SELECT media_id, f, COUNT(*) AS lf FROM bytes
+        |  GROUP BY media_id, f),
+        |bs AS (
+        |  SELECT b.media_id, b.f, fl.lf,
+        |    ((b.p - b.f * 64) * 64) // fl.lf AS blk,
+        |    SUM(b.v) AS s, COUNT(*) AS n
+        |  FROM bytes b JOIN fl ON fl.media_id = b.media_id AND fl.f = b.f
+        |  GROUP BY b.media_id, b.f, fl.lf, ((b.p - b.f * 64) * 64) // fl.lf),
+        |tot AS (
+        |  SELECT media_id, f, SUM(s) AS t FROM bs GROUP BY media_id, f),
+        |bits AS (
+        |  SELECT bs.media_id, bs.f, bs.blk,
+        |    CASE WHEN bs.s * bs.lf > tot.t * bs.n THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN tot ON tot.media_id = bs.media_id AND tot.f = bs.f),
+        |halves AS (
+        |  SELECT media_id, f,
+        |    SUM(CASE WHEN blk < 32 THEN bit * (1::BIGINT << CAST(blk AS INT))
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN blk >= 32 THEN bit * (1::BIGINT << CAST(blk - 32 AS INT))
+        |        ELSE 0 END) AS hi
+        |  FROM bits GROUP BY media_id, f),
+        |sigs AS (
+        |  SELECT DISTINCT media_id,
+        |    hi::HUGEINT * 4294967296 + lo AS u,
+        |    CAST(CASE WHEN hi::HUGEINT * 4294967296 + lo >= 9223372036854775808
+        |      THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
+        |      ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS phash
+        |  FROM halves),
+        |nf AS (
+        |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS frames
+        |  FROM sigs GROUP BY media_id),
+        |bands AS (
+        |  SELECT media_id, phash,
+        |    CAST((u // (CASE k.k WHEN 0 THEN 1
+        |      ELSE 4294967296 END)::HUGEINT) % 4294967296 AS BIGINT) AS key,
+        |    k.k AS band
+        |  FROM sigs, (SELECT unnest([0, 1]) AS k) k),
+        |mp AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+        |agg AS (
+        |  SELECT id_a, id_b,
+        |    CAST(COUNT(DISTINCT pa) AS BIGINT) AS matched_a,
+        |    CAST(COUNT(DISTINCT pb) AS BIGINT) AS matched_b
+        |  FROM mp GROUP BY id_a, id_b)
+        |SELECT agg.id_a, agg.id_b, agg.matched_a, na.frames AS frames_a,
+        |  agg.matched_b, nb.frames AS frames_b
+        |FROM agg JOIN nf na ON na.media_id = agg.id_a
+        |  JOIN nf nb ON nb.media_id = agg.id_b
+        |WHERE agg.matched_a * 100 >= na.frames * 50
+        |   OR agg.matched_b * 100 >= nb.frames * 50""".stripMargin,
 
     // The same LEAST/double-scale/floor arithmetic, integer outputs.
     "mm_resize" ->

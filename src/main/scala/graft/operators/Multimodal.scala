@@ -335,6 +335,69 @@ object Multimodal {
       .distinct()                     // ahead of the dedup shuffle
   }
 
+  /** VIDEO-level perceptual near-dup: two videos are near-duplicates
+    * when a large fraction of their FRAMES are near-identical — the
+    * actual video-dedup query (a re-encode perturbs every frame a
+    * little; a trim/overlay shares most frames exactly). Composition
+    * of the gated parts: per-frame blockhash over the decode seam's
+    * sample stream (frames = contiguous `frameBytes`-byte segments —
+    * a real decoder substitutes decoded frame luma and the rest of
+    * the plan is unchanged), DISTINCT frame signatures per video,
+    * banded-Hamming frame pairs (never all-pairs — the
+    * [[perceptualNearDupPairs]] candidate shape with 2×32-bit keys:
+    * frame corpora are ~duration× larger than asset corpora, so the
+    * tighter keys matter here), then per-(video, video) containment
+    * counted on distinct matched signatures — the
+    * [[Decontaminate.overlapPairs]] shape with frames for shingles.
+    *
+    * Output: (id_a, id_b, matched_a, frames_a, matched_b, frames_b),
+    * id_a < id_b, kept when either side's matched fraction reaches
+    * `minContainPct` — exact integer cross-multiplication, no float
+    * ratio. frames_* count distinct signatures; matched_* count the
+    * side's distinct signatures with ≥1 partner within `maxDist`.
+    */
+  def videoNearDupPairs(media: DataFrame, frameBytes: Int = 64,
+      maxDist: Int = 6, bands: Int = 2,
+      minContainPct: Int = 50): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes: $frameBytes")
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
+    require(minContainPct >= 0 && minContainPct <= 100,
+      s"minContainPct: $minContainPct")
+    val sigs = media.filter(length(col("content")) > 0)
+      .select(col("media_id"),
+        explode(expr(
+          s"transform(sequence(0, int((length(content) - 1) div " +
+            s"$frameBytes)), i -> substring(content, " +
+            s"i * $frameBytes + 1, $frameBytes))")).as("frame"))
+      .select(col("media_id"),
+        graft.functions.MediaExprs.blockHash64(col("frame")).as("phash"))
+      .distinct()
+    val nf = sigs.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("frames"))
+    val banded = bandedKeys(sigs, bands)
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("phash").as("pa"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("phash").as("pb"))
+    val matched = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("pa")).as("matched_a"),
+        countDistinct(col("pb")).as("matched_b"))
+    matched
+      .join(nf.select(col("media_id").as("id_a"),
+        col("frames").as("frames_a")), Seq("id_a"))
+      .join(nf.select(col("media_id").as("id_b"),
+        col("frames").as("frames_b")), Seq("id_b"))
+      .filter(col("matched_a") * 100 >= col("frames_a") * minContainPct ||
+        col("matched_b") * 100 >= col("frames_b") * minContainPct)
+      .select(col("id_a"), col("id_b"), col("matched_a"),
+        col("frames_a"), col("matched_b"), col("frames_b"))
+  }
+
   /** Resize plan for images: pure metadata transform preserving aspect
     * ratio to fit within (maxW, maxH); the pixel resample is the stubbed
     * seam.

@@ -641,6 +641,40 @@ class PipelineSpec extends SparkSpec {
     } finally Bucketed.dropBucketed(spark, table)
   }
 
+  test("video near-dup: a one-byte transcode matches its original at " +
+      "high frame containment; unrelated videos produce no pair; " +
+      "operator == brute-force frame replay") {
+    // three synthetic "videos" of 4 frames (256 bytes, deterministic
+    // random): B = A with ONE byte flipped (a re-encode artifact — at
+    // most frame 0 drifts), C unrelated
+    def payload(stem: String): Array[Byte] = {
+      val b = new Array[Byte](256)
+      new scala.util.Random(stem.hashCode.toLong).nextBytes(b)
+      b
+    }
+    val a = payload("vidA")
+    val b = a.clone(); b(3) = (b(3) + 1).toByte
+    val media = Seq((1L, a), (2L, b), (3L, payload("vidC")))
+      .toDF("media_id", "content")
+    val got = Multimodal.videoNearDupPairs(media, frameBytes = 64,
+        maxDist = 6, bands = 2, minContainPct = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set((1L, 2L)),
+      s"only the transcode pair must surface: ${got.keySet}")
+    val (ma, fa, mb, fb) = got((1L, 2L))
+    assert(fa === 4L && fb === 4L)
+    assert(ma >= 3L && mb >= 3L,
+      s"all but the perturbed frame must match: $ma/$fa, $mb/$fb")
+    // == brute-force: per-frame blockhash pairs without banding
+    import graft.functions.MediaOps
+    def sigs(p: Array[Byte]): Set[Long] =
+      p.grouped(64).map(MediaOps.blockHash64).toSet
+    val bruteMatchedA = sigs(a).count(sa =>
+      sigs(b).exists(sb => java.lang.Long.bitCount(sa ^ sb) <= 6))
+    assert(ma === bruteMatchedA.toLong)
+  }
+
   test("phash index pins its band count: a bands-mismatched probe is " +
       "REFUSED instead of silently finding nothing") {
     import graft.operators.Bucketed

@@ -937,6 +937,45 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
     },
 
+    // CURATION AUDIT over pipeline_hygiene's stages: which stage
+    // dropped how many docs / how much mass of which source —
+    // production curation's first debugging question, answered by ONE
+    // bounded aggregate over the stage keep-lists the hygiene job
+    // already computes (operators/Audit.curationAudit). Stage flags:
+    // decontaminate (vs the %23 bench), cluster representatives
+    // (PPJoin pairs → components → best keeper + singletons), per-
+    // source top-10 cap. Oracle replays every stage membership and the
+    // per-(stage, source) split independently.
+    "pipeline_audit" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter($"doc_id" % 23 =!= 0)
+      val bench = d.filter($"doc_id" % 23 === 0)
+      val contaminated = graft.operators.Decontaminate.overlapPairs(
+          corpus, bench, "doc_id", "text", n = 3, minShared = 3)
+        .select($"doc_id").distinct().withColumn("__c", lit(true))
+      val clean = corpus.join(contaminated.select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      val pairs = Dedup.ngramJaccardPairs(clean, "doc_id", "text",
+        n = 3, threshold = 0.5).select($"id_a", $"id_b")
+      val keep = Dedup.clusterRepresentatives(clean, pairs, "doc_id",
+          $"n_chars")
+        .select($"keep_id".as("doc_id")).withColumn("__r", lit(true))
+      val capped = Sampling.capPerGroup(
+          clean.join(keep.select($"doc_id"), "doc_id"),
+          "source", "doc_id", $"n_chars", n = 10)
+        .select($"doc_id").withColumn("__k", lit(true))
+      graft.operators.Audit.curationAudit(
+        corpus
+          .join(contaminated, Seq("doc_id"), "left")
+          .join(keep, Seq("doc_id"), "left")
+          .join(capped, Seq("doc_id"), "left"),
+        "source", $"n_chars", Seq(
+          "decontaminate" -> $"__c".isNull,
+          "representatives" -> $"__r".isNotNull,
+          "cap_per_source" -> $"__k".isNotNull))
+    },
+
     // Context-window chunking: 50-token windows, stride 40 (overlap
     // 10) — narrow generator expansion, chunk text reassembled with
     // builtin slice/concat_ws.
@@ -3091,6 +3130,88 @@ object PipelineQueries {
         |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM capped GROUP BY 1, 2""".stripMargin),
+
+    // The hygiene stage replay (flag/clean/comp/reps/keepids/capped —
+    // shared construction with pipeline_hygiene's oracle) aggregated
+    // per stage: in = survivors of earlier stages, kept/dropped split
+    // by this stage's membership, masses from n_chars.
+    "pipeline_audit" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS ngram
+        |      FROM sh WHERE doc_id % 23 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS ngram
+        |      FROM sh WHERE doc_id % 23 <> 0),
+        |flag AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id, b.bench_id, COUNT(*) AS ns
+        |    FROM c JOIN b USING (ngram) GROUP BY 1, 2)
+        |  WHERE ns >= 3),
+        |clean AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 23 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flag)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM sh a, sh b2 WHERE a.doc_id < b2.doc_id
+        |    AND a.doc_id IN (SELECT doc_id FROM clean)
+        |    AND b2.doc_id IN (SELECT doc_id FROM clean)
+        |    AND CAST(len(list_intersect(a.sh,b2.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b2.sh)-len(list_intersect(a.sh,b2.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT comp.id, comp.comp, documents.n_chars
+        |  FROM comp JOIN documents ON comp.id = documents.doc_id),
+        |reps AS (SELECT id AS doc_id FROM (
+        |    SELECT id, row_number() OVER (PARTITION BY comp
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |keepids AS (SELECT doc_id FROM reps
+        |  UNION ALL
+        |  SELECT doc_id FROM clean
+        |  WHERE doc_id NOT IN (SELECT id FROM comp)),
+        |capped AS (SELECT doc_id FROM (
+        |    SELECT d.doc_id,
+        |      row_number() OVER (PARTITION BY d.source
+        |        ORDER BY CAST(d.n_chars AS DOUBLE) DESC, d.doc_id ASC)
+        |        AS rn
+        |    FROM documents d JOIN keepids USING (doc_id)) WHERE rn <= 10),
+        |aud0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx,
+        |    'decontaminate' AS stage, d.source,
+        |    CAST(COUNT(*) AS BIGINT) AS in_docs,
+        |    CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |    CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dropped_docs,
+        |    CAST(SUM(CASE WHEN f.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_mass,
+        |    CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 0 ELSE d.n_chars END) AS BIGINT) AS dropped_mass
+        |  FROM documents d LEFT JOIN flag f USING (doc_id)
+        |  WHERE d.doc_id % 23 <> 0 GROUP BY d.source),
+        |aud1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx,
+        |    'representatives' AS stage, d.source,
+        |    CAST(COUNT(*) AS BIGINT) AS in_docs,
+        |    CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS kept_docs,
+        |    CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+        |    CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE d.n_chars END) AS BIGINT) AS kept_mass,
+        |    CAST(SUM(CASE WHEN k.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS dropped_mass
+        |  FROM documents d JOIN clean USING (doc_id)
+        |  LEFT JOIN keepids k USING (doc_id) GROUP BY d.source),
+        |aud2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS stage_idx,
+        |    'cap_per_source' AS stage, d.source,
+        |    CAST(COUNT(*) AS BIGINT) AS in_docs,
+        |    CAST(SUM(CASE WHEN cp.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS kept_docs,
+        |    CAST(SUM(CASE WHEN cp.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+        |    CAST(SUM(CASE WHEN cp.doc_id IS NULL THEN 0 ELSE d.n_chars END) AS BIGINT) AS kept_mass,
+        |    CAST(SUM(CASE WHEN cp.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS dropped_mass
+        |  FROM documents d JOIN keepids USING (doc_id)
+        |  LEFT JOIN capped cp USING (doc_id) GROUP BY d.source)
+        |SELECT * FROM aud0 UNION ALL
+        |SELECT * FROM aud1 UNION ALL
+        |SELECT * FROM aud2""".stripMargin),
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id AS id,

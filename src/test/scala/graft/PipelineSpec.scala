@@ -641,6 +641,31 @@ class PipelineSpec extends SparkSpec {
     } finally Bucketed.dropBucketed(spark, table)
   }
 
+  test("curationAudit: known-answer per-stage accounting; dropped rows " +
+      "never re-enter a later stage") {
+    import graft.operators.Audit
+    val df = Seq(
+      // (id, grp, mass, s1 keeps, s2 keeps)
+      (1L, "a", 10L, true, true),
+      (2L, "a", 20L, false, true), // s2 flag true but already dropped
+      (3L, "a", 30L, true, false),
+      (4L, "b", 40L, true, true)
+    ).toDF("id", "grp", "mass", "k1", "k2")
+    val got = Audit.curationAudit(df, "grp", $"mass",
+        Seq("s1" -> $"k1", "s2" -> $"k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    // stage s1: group a in=3 kept=2 (ids 1,3; mass 40) dropped=1 (20)
+    assert(got((0L, "s1", "a")) === ((3L, 2L, 1L, 40L, 20L)))
+    assert(got((0L, "s1", "b")) === ((1L, 1L, 0L, 40L, 0L)))
+    // stage s2 sees only s1 survivors: a in=2 kept=1 (id 1) dropped=1
+    // (id 3, mass 30) — id 2's k2=true must NOT resurrect it
+    assert(got((1L, "s2", "a")) === ((2L, 1L, 1L, 10L, 30L)))
+    assert(got((1L, "s2", "b")) === ((1L, 1L, 0L, 40L, 0L)))
+    assert(got.size === 4)
+  }
+
   test("video near-dup: a one-byte transcode matches its original at " +
       "high frame containment; unrelated videos produce no pair; " +
       "operator == brute-force frame replay") {

@@ -22,9 +22,18 @@ import org.apache.spark.sql.functions._
   *    balance. Uniform keys are the honest benchmark frame: real
   *    signature clustering moves cost onto bucket occupancy, which is
   *    exactly the documented bands-vs-corpus-size guidance (16-bit
-  *    keys to ~2^16 assets, 32-bit keys beyond).
+  *    keys to ~2^16 assets, 32-bit keys beyond). An explicit 4th arg
+  *    restricts the band set (at 100M rows the 4-band occupancy is
+  *    ~1.5e11 candidates — the measured wall itself; only the 2-band
+  *    line is run at that decade, per the operator's own guidance).
+  *  - `probe`: the INCREMENTAL path at scale — build the persisted
+  *    phash index over N uniform corpus signatures (2 bands, 32-bit
+  *    keys), then probe it with a 20k-signature arrival batch (half
+  *    planted dist-1 transcodes of corpus rows, half fresh). Build
+  *    and probe are timed separately: the deployment split is
+  *    build-once / probe-per-arrival.
   *
-  * Usage: KernelScaleBench <rows> <score|sig|pairs> [passes]
+  * Usage: KernelScaleBench <rows> <score|sig|pairs|probe> [passes] [bands]
   */
 object KernelScaleBench {
   def main(args: Array[String]): Unit = {
@@ -69,7 +78,9 @@ object KernelScaleBench {
     if (mode == "pairs") {
       val sigs = spark.range(1L, rows + 1L)
         .select(col("id").as("media_id"), xxhash64(col("id")).as("phash"))
-      Seq(4, 2).foreach { bands =>
+      val bandSet =
+        if (args.length > 3) Seq(args(3).toInt) else Seq(4, 2)
+      bandSet.foreach { bands =>
         (1 to passes).foreach { p =>
           val t0 = System.nanoTime()
           val n = graft.operators.Multimodal
@@ -79,6 +90,51 @@ object KernelScaleBench {
           println(f"""{"bench":"kernel_scale","mode":"pairs","bands":$bands,"rows":$rows,"pass":$p,"pairs":$n,"sec":$secs%.3f}""")
         }
       }
+      spark.stop(); return
+    }
+
+    if (mode == "probe") {
+      import graft.operators.Multimodal
+      val table = "kernel_scale_phash_idx"
+      val corpusSigs = spark.range(1L, rows + 1L)
+        .select(col("id").as("media_id"), xxhash64(col("id")).as("phash"))
+      // bucket width scaled to corpus band-row count (2 rows/sig)
+      val buckets = math.max(32, (rows / 2000000L).toInt)
+      graft.streaming.MediaIngestStream.dropPhashIndex(spark, table)
+      val tb0 = System.nanoTime()
+      Multimodal.writePhashIndexSigs(corpusSigs, table, buckets, bands = 2)
+      val buildSecs = (System.nanoTime() - tb0) / 1e9
+      println(f"""{"bench":"kernel_scale","mode":"probe_build","bands":2,"rows":$rows,"buckets":$buckets,"sec":$buildSecs%.3f}""")
+      // 20k arrivals: even ids are dist-1 transcodes of corpus rows
+      // (low bit flipped), odd ids fresh uniform signatures (hashed
+      // from ABOVE the corpus id range, so they are corpus members
+      // only by genuine 64-bit coincidence, never by construction)
+      val batch = spark.range(1L, 20001L)
+        .select((col("id") + lit(1000000000L)).as("media_id"),
+          when(pmod(col("id"), lit(2)) === 0,
+            xxhash64(pmod(col("id"), lit(rows)) + 1)
+              .bitwiseXOR(lit(1L)))
+            .otherwise(xxhash64(col("id") + lit(rows) + lit(7777777L)))
+            .as("phash"))
+      (1 to passes).foreach { p =>
+        val t0 = System.nanoTime()
+        val n = Multimodal.probePhashIndexSigs(spark, table, batch,
+          maxDist = 8).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"kernel_scale","mode":"probe","bands":2,"rows":$rows,"pass":$p,"hits":$n,"sec":$secs%.3f}""")
+      }
+      // the always-on-stream shape: a 200-arrival micro-batch fits the
+      // key-literal cap, so the probe bucket-prunes the index scan
+      // instead of reading the corpus
+      val small = batch.limit(200)
+      (1 to passes).foreach { p =>
+        val t0 = System.nanoTime()
+        val n = Multimodal.probePhashIndexSigs(spark, table, small,
+          maxDist = 8).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"bench":"kernel_scale","mode":"probe_small","bands":2,"rows":$rows,"pass":$p,"hits":$n,"sec":$secs%.3f}""")
+      }
+      graft.streaming.MediaIngestStream.dropPhashIndex(spark, table)
       spark.stop(); return
     }
 

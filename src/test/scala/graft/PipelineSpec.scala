@@ -700,6 +700,39 @@ class PipelineSpec extends SparkSpec {
     assert(ma === bruteMatchedA.toLong)
   }
 
+  test("phash probe bucket-prunes for small batches: the capped key " +
+      "literals reach the bucketed scan (SelectedBucketsCount) and the " +
+      "pruned probe == the unpruned probe") {
+    import graft.operators.Bucketed
+    val all = Multimodal.demoPerturbedMedia(docs)
+    val corpus = all.filter($"media_id" < 10000000L)
+    val batch = all.filter($"media_id" >= 10000000L).limit(2)
+    val table = "phash_idx_prune_spec"
+    def selected(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+      val re = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      val m = re.findFirstMatchIn(plan).getOrElse(
+        fail(s"no bucketed scan in plan:\n$plan"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    try {
+      // 2 arrivals x 4 bands = <= 8 distinct keys over 64 buckets: the
+      // IN filter must prune most bucket files from the scan
+      Multimodal.writePhashIndex(corpus, table, buckets = 64, bands = 4)
+      val pruned = Multimodal.probePhashIndex(spark, table, batch,
+        maxDist = 8)
+      val (sel, tot) = selected(pruned)
+      assert(tot === 64 && sel <= 8 && sel > 0,
+        s"small-batch probe must bucket-prune: read $sel of $tot")
+      val unpruned = Multimodal.probePhashIndex(spark, table, batch,
+        maxDist = 8, maxKeyLiterals = 0)
+      val (selU, totU) = selected(unpruned)
+      assert(selU === totU, "literal-capped-out probe reads every bucket")
+      assert(pruned.collect().map(_.toSeq).toSet ===
+        unpruned.collect().map(_.toSeq).toSet)
+    } finally Bucketed.dropBucketed(spark, table)
+  }
+
   test("phash index pins its band count: a bands-mismatched probe is " +
       "REFUSED instead of silently finding nothing") {
     import graft.operators.Bucketed

@@ -210,6 +210,79 @@ object IngestStreamBench {
       }
     }
 
+    if (mode == "media") {
+      // the MEDIA arrival pipeline at scale: phash-index the corpus,
+      // stream arrivals (fresh assets + 'Z'-transcodes of corpus
+      // members — the perturbation class the perceptual stages own)
+      // through the REAL engine, replay the same slices sequentially,
+      // then price the compaction fold into index generation 2
+      import graft.operators.Multimodal
+      import graft.streaming.MediaIngestStream
+      val d = Tables(spark, dir, "documents")
+      val media = d.select($"doc_id".as("media_id"),
+        $"text".cast("binary").as("content"))
+      val corpus = media.filter(pmod($"media_id", lit(batchMod)) =!= 0)
+      val arrivals = media.filter(pmod($"media_id", lit(batchMod)) === 0)
+        .unionByName(d.filter(pmod($"doc_id", lit(batchMod)) === 1)
+          .select(($"doc_id" + lit(10000000000L)).as("media_id"),
+            concat(lit("Z"), expr("substring(text, 2)"))
+              .cast("binary").as("content")))
+      val nC = corpus.count(); val nA = arrivals.count()
+      val table = "ingest_stream_bench_phash"
+      val buckets = math.max(cpus.toInt, (nC / 2000000L).toInt)
+      MediaIngestStream.dropPhashIndex(spark, table)
+      val tb0 = System.nanoTime()
+      Multimodal.writePhashIndex(corpus, table, buckets, bands = 4)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val srcDir = stageArrivals(arrivals, "media_id", "media_src")
+      val lst = new BatchTimes
+      spark.streams.addListener(lst)
+      val t0 = System.nanoTime()
+      MediaIngestStream.run(spark, srcDir, table,
+        outDir = s"$scratch/media_out",
+        checkpointDir = s"$scratch/media_ckpt")
+      val streamSec = (System.nanoTime() - t0) / 1e9
+      val batchTimes = lst.drain(nBatches)
+      spark.streams.removeListener(lst)
+      val accepted = MediaIngestStream
+        .accepted(spark, s"$scratch/media_out").map(_.count()).getOrElse(0L)
+      // sequential replay of the same slices, no streaming engine
+      val t1 = System.nanoTime()
+      var acc: Option[org.apache.spark.sql.DataFrame] = None
+      (0 until nBatches).foreach { i =>
+        val b = spark.read.parquet(s"$srcDir/b$i.parquet")
+        val r = MediaIngestStream.applyBatch(spark, b, acc, table)
+        r.write.mode("overwrite").parquet(s"$scratch/media_replay/b$i")
+        val dirs = (0 to i).map(j => s"$scratch/media_replay/b$j")
+        acc = Some(spark.read.parquet(dirs: _*))
+      }
+      val replaySec = (System.nanoTime() - t1) / 1e9
+      val replayAccepted = acc.map(_.count()).getOrElse(0L)
+      require(replayAccepted == accepted,
+        s"engine ($accepted) and replay ($replayAccepted) accepted " +
+          "sets diverged")
+      // compaction: fold the accepted media into index GENERATION 2
+      val tc0 = System.nanoTime()
+      MediaIngestStream.compact(spark, corpus, table,
+        s"$scratch/media_out")
+      val compactSec = (System.nanoTime() - tc0) / 1e9
+      val gen = graft.operators.IndexVersions.currentVersion(spark,
+        Multimodal.phashIndexRoot(spark, table)).getOrElse(0)
+      // a post-compaction probe hits the NEW generation: a transcode
+      // of a folded acceptance must be caught by the index alone
+      val tp0 = System.nanoTime()
+      val postHits = Multimodal.probePhashIndex(spark, table,
+        spark.read.parquet(
+            (0 until nBatches).map(j => s"$scratch/media_replay/b$j"): _*)
+          .limit(200)
+          .select(($"media_id" + lit(20000000000L)).as("media_id"),
+            $"content"),
+        maxDist = 8).count()
+      val postProbeSec = (System.nanoTime() - tp0) / 1e9
+      MediaIngestStream.dropPhashIndex(spark, table)
+      println(f"""{"mode":"media","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"buckets":$buckets,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"compact_sec":$compactSec%.1f,"post_compact_generation":$gen,"post_probe_hits":$postHits,"post_probe_sec":$postProbeSec%.1f,"batch_sec":${fmtBatches(batchTimes)}}""")
+    }
+
     if (mode == "serialize") {
       import graft.operators.Shards
       val d = Tables(spark, dir, "documents").select($"doc_id", $"text")

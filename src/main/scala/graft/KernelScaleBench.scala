@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *    per-term kernel cost: md5 bucket hash + one array add.
   *  - `sig`: [[graft.operators.Multimodal.perceptualSig]] over N
   *    ~300-byte synthetic payloads — per-byte blockhash cost.
+  *  - `train`: [[graft.operators.TextModel.trainLogOdds]] over N
+  *    labeled docs — the trainer's one bucket-keyed count aggregate;
+  *    the shuffle carries ≤ buckets×2 partial sums per task.
   *  - `pairs`: [[graft.operators.Multimodal.perceptualNearDupPairs]]
   *    over N UNIFORM pseudo-random signatures (xxhash64(id)) at 4 and
   *    2 bands — the banding/popcount machinery at best-case bucket
@@ -51,12 +54,17 @@ object KernelScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ~50 tokens/doc, vocabulary ~100k, token mix varies per doc (the
-    // id-scaled multipliers decorrelate adjacent docs' term sets)
+    // id-scaled multipliers decorrelate adjacent docs' term sets).
+    // Modular-arithmetic form: (a·b) mod m = ((a mod m)(b mod m)) mod m
+    // — identical token values to the direct product, but the
+    // intermediate stays ≤ 100002² (the direct doc_id·(j·2654435761)
+    // overflows BIGINT past ~70M rows)
     def docs = spark.range(1L, rows + 1L).toDF("doc_id")
       .withColumn("text", concat_ws(" ",
         (1 to 50).map(j =>
-          format_string("w%d", pmod(col("doc_id") * lit(j * 2654435761L),
-            lit(100003L)))): _*))
+          format_string("w%d",
+            pmod(pmod(col("doc_id"), lit(100003L)) *
+              lit((j * 2654435761L) % 100003L), lit(100003L)))): _*))
 
     def run(): Unit = mode match {
       case "score" =>
@@ -71,6 +79,14 @@ object KernelScaleBench {
         graft.operators.Multimodal.perceptualSig(
             docs.select(col("doc_id").as("media_id"),
               col("text").cast("binary").as("content")))
+          .write.format("noop").mode("overwrite").save()
+      case "train" =>
+        // the trainer's ONE count aggregate at corpus scale: labels
+        // alternate by id, term stream ~99 terms/doc — the shuffle
+        // carries <= 4096 x 2 partial sums per task, never the terms
+        graft.operators.TextModel.trainLogOdds(
+            docs.withColumn("lab", pmod(col("doc_id"), lit(2)) === 0),
+            "text", col("lab"), buckets = 4096)
           .write.format("noop").mode("overwrite").save()
       case other => sys.error(s"unknown mode: $other")
     }

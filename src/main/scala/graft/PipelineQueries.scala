@@ -1714,6 +1714,29 @@ object PipelineQueries {
         frameBytes = 64, maxDist = 6, bands = 2, minContainPct = 50)
     },
 
+    // INCREMENTAL video dedup through the PERSISTED frame index: the
+    // catalog's distinct frame signatures written bucketed once (frame-
+    // granularity kernel id in the sidecar — an asset-level probe is
+    // refused), arriving videos probe with batch-side frames only and
+    // report per-(arrival, catalog video) containment. The upload-time
+    // "is this a re-encode of anything?" query. Oracle replays frame
+    // segmentation, banding, popcount, and the arrival-side containment
+    // restricted to batch × catalog.
+    "mm_video_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val all = Multimodal.demoPerturbedMedia(Tables(s, dir, "documents"))
+      val corpus = all.filter($"media_id" < 10000000L)
+      val batch = all.filter($"media_id" >= 10000000L)
+      val table = phashIndexName(dir) + "_vf"
+      Multimodal.writeVideoFrameIndex(corpus, table, buckets = 8,
+        frameBytes = 64, bands = 2)
+      val res = Multimodal.probeVideoFrameIndex(s, table, batch,
+          frameBytes = 64, maxDist = 6, minContainPct = 50)
+        .localCheckpoint(true)
+      graft.operators.Bucketed.dropBucketed(s, table)
+      res
+    },
+
     // Aspect-preserving resize PLAN over the decoded image metadata
     // (fit within 960x540, never upscale) — the metadata leg of the
     // stubbed pixel-resample seam; identical IEEE double ops replay in
@@ -2266,6 +2289,75 @@ object PipelineQueries {
         |  JOIN nf nb ON nb.media_id = agg.id_b
         |WHERE agg.matched_a * 100 >= na.frames * 50
         |   OR agg.matched_b * 100 >= nb.frames * 50""".stripMargin,
+
+    // Frame replay restricted to batch × catalog with ARRIVAL-side
+    // containment: distinct matched arrival signatures per
+    // (arrival, catalog video), kept at >= 50% of the arrival's
+    // distinct signature count.
+    "mm_video_incremental" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS media_id,
+        |    'Z' || substr(text, 2) AS payload
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |bytes AS (
+        |  SELECT media_id, p // 64 AS f, p,
+        |    ('0x' || substr(hx, CAST(p AS INT) * 2 + 1, 2))::INT AS v
+        |  FROM (SELECT media_id, hex(encode(payload)) AS hx,
+        |          CAST(unnest(range(octet_length(encode(payload)))) AS BIGINT) AS p
+        |        FROM media WHERE octet_length(encode(payload)) > 0)),
+        |fl AS (
+        |  SELECT media_id, f, COUNT(*) AS lf FROM bytes
+        |  GROUP BY media_id, f),
+        |bs AS (
+        |  SELECT b.media_id, b.f, fl.lf,
+        |    ((b.p - b.f * 64) * 64) // fl.lf AS blk,
+        |    SUM(b.v) AS s, COUNT(*) AS n
+        |  FROM bytes b JOIN fl ON fl.media_id = b.media_id AND fl.f = b.f
+        |  GROUP BY b.media_id, b.f, fl.lf, ((b.p - b.f * 64) * 64) // fl.lf),
+        |tot AS (
+        |  SELECT media_id, f, SUM(s) AS t FROM bs GROUP BY media_id, f),
+        |bits AS (
+        |  SELECT bs.media_id, bs.f, bs.blk,
+        |    CASE WHEN bs.s * bs.lf > tot.t * bs.n THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN tot ON tot.media_id = bs.media_id AND tot.f = bs.f),
+        |halves AS (
+        |  SELECT media_id, f,
+        |    SUM(CASE WHEN blk < 32 THEN bit * (1::BIGINT << CAST(blk AS INT))
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN blk >= 32 THEN bit * (1::BIGINT << CAST(blk - 32 AS INT))
+        |        ELSE 0 END) AS hi
+        |  FROM bits GROUP BY media_id, f),
+        |sigs AS (
+        |  SELECT DISTINCT media_id,
+        |    hi::HUGEINT * 4294967296 + lo AS u,
+        |    CAST(CASE WHEN hi::HUGEINT * 4294967296 + lo >= 9223372036854775808
+        |      THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
+        |      ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS phash
+        |  FROM halves),
+        |nf AS (
+        |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS frames
+        |  FROM sigs WHERE media_id >= 10000000 GROUP BY media_id),
+        |bands AS (
+        |  SELECT media_id, phash,
+        |    CAST((u // (CASE k.k WHEN 0 THEN 1
+        |      ELSE 4294967296 END)::HUGEINT) % 4294967296 AS BIGINT) AS key,
+        |    k.k AS band
+        |  FROM sigs, (SELECT unnest([0, 1]) AS k) k),
+        |mp AS (
+        |  SELECT DISTINCT q.media_id, q.phash AS qp, c.media_id AS dup_of
+        |  FROM bands q JOIN bands c
+        |    ON q.band = c.band AND q.key = c.key
+        |  WHERE q.media_id >= 10000000 AND c.media_id < 10000000
+        |    AND bit_count(xor(q.phash, c.phash)) <= 6),
+        |agg AS (
+        |  SELECT media_id, dup_of,
+        |    CAST(COUNT(DISTINCT qp) AS BIGINT) AS matched
+        |  FROM mp GROUP BY media_id, dup_of)
+        |SELECT agg.media_id, agg.dup_of, agg.matched, nf.frames
+        |FROM agg JOIN nf USING (media_id)
+        |WHERE agg.matched * 100 >= nf.frames * 50""".stripMargin,
 
     // The same LEAST/double-scale/floor arithmetic, integer outputs.
     "mm_resize" ->

@@ -229,9 +229,13 @@ object Multimodal {
 
   /** [[writePhashIndex]] from an already-computed (media_id, phash)
     * frame — the seam KernelScaleBench uses to measure the index
-    * machinery at 100M signatures without staging 100M payloads. */
+    * machinery at 100M signatures without staging 100M payloads.
+    * `kernel` names the signature function the sigs came from; probes
+    * declaring a different kernel are refused (an asset-level probe
+    * against a frame-level index shares the key SHAPE but none of the
+    * semantics — it would "work" and mean nothing). */
   private[graft] def writePhashIndexSigs(sigs: DataFrame, table: String,
-      buckets: Int, bands: Int): Unit = {
+      buckets: Int, bands: Int, kernel: String = PhashKernel): Unit = {
     Bucketed.writeBucketed(
       bandedKeys(sigs, bands), table, "key", buckets)
     val spark = sigs.sparkSession
@@ -240,7 +244,7 @@ object Multimodal {
     val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(p, true)
     try out.write(
-      s"""{"bands":$bands,"kernel":"$PhashKernel"}""".getBytes("UTF-8"))
+      s"""{"bands":$bands,"kernel":"$kernel"}""".getBytes("UTF-8"))
     finally out.close()
     // a FRESH flat build resets the index to generation zero: a stale
     // version pointer from an earlier compaction would silently shadow
@@ -331,6 +335,23 @@ object Multimodal {
       table: String, batchSigs: DataFrame, maxDist: Int,
       bands: Int = 0, maxKeyLiterals: Int = 1024): DataFrame = {
     require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
+    probeJoin(spark, table, batchSigs, bands, maxKeyLiterals, PhashKernel)
+      .select(col("q_id").as("media_id"),
+        col("media_id").as("dup_of"),
+        bit_count(col("q_phash").bitwiseXOR(col("phash")))
+          .cast("int").as("dist"))
+      .filter(col("dist") <= maxDist) // before distinct: drop far pairs
+      .distinct()                     // ahead of the dedup shuffle
+  }
+
+  /** Resolve, validate, prune, and band-join a probe against a
+    * persisted signature index — the shared core of the asset probe
+    * and the video frame probe. Output: the candidate rows
+    * (band, key, media_id, phash, q_id, q_phash), distance NOT yet
+    * verified. */
+  private def probeJoin(spark: SparkSession, table: String,
+      batchSigs: DataFrame, bands: Int, maxKeyLiterals: Int,
+      kernel: String): DataFrame = {
     require(maxKeyLiterals >= 0, s"maxKeyLiterals: $maxKeyLiterals")
     // a compacted index resolves through its version pointer to the
     // committed generation's table; an uncompacted one to itself —
@@ -340,9 +361,9 @@ object Multimodal {
       s"no phash index at $table")
     val meta = phashIndexMeta(spark, resolved)
     meta.foreach { case (mb, mk) =>
-      require(mk == PhashKernel,
+      require(mk == kernel,
         s"phash index $table was written with kernel `$mk`; this probe " +
-          s"computes `$PhashKernel` signatures")
+          s"computes `$kernel` signatures")
       if (bands > 0) require(mb == bands,
         s"phash index $table was written with $mb bands; probe called " +
           s"with $bands — mismatched banding silently finds nothing")
@@ -366,12 +387,6 @@ object Multimodal {
         raw.filter(col("key").isin(keys.toIndexedSeq: _*))
       else raw
     idx.join(qb, Seq("band", "key"))
-      .select(col("q_id").as("media_id"),
-        col("media_id").as("dup_of"),
-        bit_count(col("q_phash").bitwiseXOR(col("phash")))
-          .cast("int").as("dist"))
-      .filter(col("dist") <= maxDist) // before distinct: drop far pairs
-      .distinct()                     // ahead of the dedup shuffle
   }
 
   /** VIDEO-level perceptual near-dup: two videos are near-duplicates
@@ -402,15 +417,7 @@ object Multimodal {
     require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
     require(minContainPct >= 0 && minContainPct <= 100,
       s"minContainPct: $minContainPct")
-    val sigs = media.filter(length(col("content")) > 0)
-      .select(col("media_id"),
-        explode(expr(
-          s"transform(sequence(0, int((length(content) - 1) div " +
-            s"$frameBytes)), i -> substring(content, " +
-            s"i * $frameBytes + 1, $frameBytes))")).as("frame"))
-      .select(col("media_id"),
-        graft.functions.MediaExprs.blockHash64(col("frame")).as("phash"))
-      .distinct()
+    val sigs = frameSigs(media, frameBytes)
     val nf = sigs.groupBy(col("media_id"))
       .agg(count(lit(1)).as("frames"))
     val banded = bandedKeys(sigs, bands)
@@ -435,6 +442,76 @@ object Multimodal {
         col("matched_b") * 100 >= col("frames_b") * minContainPct)
       .select(col("id_a"), col("id_b"), col("matched_a"),
         col("frames_a"), col("matched_b"), col("frames_b"))
+  }
+
+  /** DISTINCT per-video frame signatures: contiguous `frameBytes`-byte
+    * segments of the sample stream, each blockhashed — the frame
+    * decomposition [[videoNearDupPairs]] and the frame index share.
+    * Empty payloads contribute no frames. */
+  private def frameSigs(media: DataFrame, frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes: $frameBytes")
+    media.filter(length(col("content")) > 0)
+      .select(col("media_id"),
+        explode(expr(
+          s"transform(sequence(0, int((length(content) - 1) div " +
+            s"$frameBytes)), i -> substring(content, " +
+            s"i * $frameBytes + 1, $frameBytes))")).as("frame"))
+      .select(col("media_id"),
+        graft.functions.MediaExprs.blockHash64(col("frame")).as("phash"))
+      .distinct()
+  }
+
+  private def frameKernel(frameBytes: Int): String =
+    s"$PhashKernel-frame$frameBytes"
+
+  /** PERSIST the video catalog's FRAME index: every video's distinct
+    * frame signatures, banded and bucketed exactly like the asset
+    * index ([[writePhashIndex]]) but under a frame-granularity kernel
+    * id — the sidecar refuses an asset-level probe (same key shape,
+    * none of the semantics). 2 bands by default: a frame corpus is
+    * ~duration× larger than its asset corpus, so the 32-bit keys are
+    * the right occupancy from the start. The incremental leg of
+    * [[videoNearDupPairs]]: catalog indexed once, every upload asks
+    * "is this a re-encode of anything?" without touching the catalog.
+    */
+  def writeVideoFrameIndex(media: DataFrame, table: String, buckets: Int,
+      frameBytes: Int = 64, bands: Int = 2): Unit =
+    writePhashIndexSigs(frameSigs(media, frameBytes), table, buckets,
+      bands, frameKernel(frameBytes))
+
+  /** Probe a [[writeVideoFrameIndex]] catalog with arriving videos:
+    * (media_id = the arrival, dup_of = the catalog video, matched =
+    * the arrival's distinct frame signatures with ≥1 catalog partner
+    * within `maxDist` in that video, frames = the arrival's distinct
+    * signature count), kept when matched reaches `minContainPct` of
+    * frames — the [[videoNearDupPairs]] containment rule, computed
+    * ARRIVAL-side only (the catalog's per-video frame counts never
+    * load). Small batches prune the index scan through the same
+    * capped key literals as [[probePhashIndex]]. `frameBytes` must
+    * match the build (validated via the kernel id in the sidecar).
+    */
+  def probeVideoFrameIndex(spark: SparkSession, table: String,
+      batch: DataFrame, frameBytes: Int = 64, maxDist: Int = 6,
+      minContainPct: Int = 50, bands: Int = 0,
+      maxKeyLiterals: Int = 1024): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist: $maxDist")
+    require(minContainPct >= 0 && minContainPct <= 100,
+      s"minContainPct: $minContainPct")
+    val qsigs = frameSigs(batch, frameBytes)
+    val nf = qsigs.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("frames"))
+    probeJoin(spark, table, qsigs, bands, maxKeyLiterals,
+        frameKernel(frameBytes))
+      .filter(bit_count(col("q_phash").bitwiseXOR(col("phash")))
+        <= maxDist)
+      .select(col("q_id"), col("q_phash"), col("media_id").as("dup_of"))
+      .distinct()
+      .groupBy(col("q_id").as("media_id"), col("dup_of"))
+      .agg(countDistinct(col("q_phash")).as("matched"))
+      .join(nf, Seq("media_id"))
+      .filter(col("matched") * 100 >= col("frames") * minContainPct)
+      .select(col("media_id"), col("dup_of"), col("matched"),
+        col("frames"))
   }
 
   /** Resize plan for images: pure metadata transform preserving aspect

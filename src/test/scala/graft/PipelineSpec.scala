@@ -641,6 +641,38 @@ class PipelineSpec extends SparkSpec {
     } finally Bucketed.dropBucketed(spark, table)
   }
 
+  test("video frame index: probe == the batch containment operator " +
+      "restricted to batch x catalog; an ASSET-level probe against a " +
+      "FRAME index is refused by the kernel id") {
+    import graft.operators.Bucketed
+    val all = Multimodal.demoPerturbedMedia(docs)
+    val corpus = all.filter($"media_id" < 10000000L)
+    val batch = all.filter($"media_id" >= 10000000L)
+    val table = "video_frame_idx_spec"
+    try {
+      Multimodal.writeVideoFrameIndex(corpus, table, buckets = 4,
+        frameBytes = 64, bands = 2)
+      val got = Multimodal.probeVideoFrameIndex(spark, table, batch,
+          frameBytes = 64, maxDist = 6, minContainPct = 50)
+        .collect().map(_.toSeq).toSet
+      // == the symmetric batch operator restricted to corpus x batch,
+      // re-oriented to the arrival side (id_b = arrival there)
+      val direct = Multimodal.videoNearDupPairs(all, frameBytes = 64,
+          maxDist = 6, bands = 2, minContainPct = 0)
+        .filter($"id_a" < 10000000L && $"id_b" >= 10000000L)
+        .filter($"matched_b" * 100 >= $"frames_b" * 50)
+        .select($"id_b", $"id_a", $"matched_b", $"frames_b")
+        .collect().map(_.toSeq).toSet
+      assert(got === direct && got.nonEmpty)
+      // the asset-level probe computes whole-payload signatures — same
+      // key shape, none of the semantics; the kernel id refuses it
+      val ex = intercept[IllegalArgumentException] {
+        Multimodal.probePhashIndex(spark, table, batch, maxDist = 8)
+      }
+      assert(ex.getMessage.contains("kernel"), ex.getMessage)
+    } finally Bucketed.dropBucketed(spark, table)
+  }
+
   test("curationAudit: known-answer per-stage accounting; dropped rows " +
       "never re-enter a later stage") {
     import graft.operators.Audit

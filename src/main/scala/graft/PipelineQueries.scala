@@ -186,6 +186,27 @@ object PipelineQueries {
         .withColumn("keep", $"score_q" > 0L)
     },
 
+    // MODEL EVAL: the held-out confusion frame a pipeline checks
+    // before promoting a scorer generation — trained weights (same
+    // construction as text_quality_train), held-out scoring, one
+    // aggregate row of counts + exact-IEEE rates at score_q > 0.
+    "text_quality_eval" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val path = tmpIndexPath(dir, "graft_textmodel_eval")
+      val w = graft.operators.TextModel.trainLogOdds(
+        d.filter(pmod($"doc_id", lit(5)) =!= 0), "text",
+        $"lang" === "en", buckets = 4096)
+      graft.operators.TextModel.writeModel(w, path,
+        buckets = 4096, bigrams = true)
+      graft.operators.TextModel.confusion(
+        graft.operators.TextModel.score(s,
+          d.filter(pmod($"doc_id", lit(5)) === 0)
+            .select($"doc_id", $"lang", $"text"),
+          "text", path),
+        $"lang" === "en", $"score_q")
+    },
+
     // MODEL-SCORED curation budget — the composition the learned
     // scorer exists for: model scores ORDER each language's documents,
     // token counts (n_chars) BUDGET them — keep the best-scoring half
@@ -1714,6 +1735,24 @@ object PipelineQueries {
         frameBytes = 64, maxDist = 6, bands = 2, minContainPct = 50)
     },
 
+    // LEAKAGE-SAFE MEDIA SPLIT: perceptual near-dup clusters move into
+    // train/val/test WHOLE — a transcode pair straddling an evaluation
+    // boundary is leakage exactly like a text near-dup pair
+    // (pipeline_leakage_split's contract on the perceptual pair set).
+    // Composes the gated banded pairs + components + grp-keyed hash
+    // split; oracle replays phash pairs, recursive components, and the
+    // split rule.
+    "mm_leakage_split" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.demoPerturbedMedia(Tables(s, dir, "documents"))
+      val pairs = Multimodal.perceptualNearDupPairs(
+          Multimodal.perceptualSig(media), maxDist = 8)
+        .select($"id_a", $"id_b")
+      Sampling.leakageSafeSplit(media.select($"media_id"), "media_id",
+          pairs)
+        .select($"media_id", $"grp", $"split")
+    },
+
     // INCREMENTAL video dedup through the PERSISTED frame index: the
     // catalog's distinct frame signatures written bucketed once (frame-
     // granularity kernel id in the sidecar — an asset-level probe is
@@ -2290,6 +2329,37 @@ object PipelineQueries {
         |WHERE agg.matched_a * 100 >= na.frames * 50
         |   OR agg.matched_b * 100 >= nb.frames * 50""".stripMargin,
 
+    // Phash pairs → recursive components → cluster-keyed hash split —
+    // the pipeline_leakage_split rule on the perceptual pair set.
+    "mm_leakage_split" ->
+      (mmPhashCteFor(
+        """  SELECT doc_id AS media_id, text AS payload FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000000 AS media_id,
+          |    'Z' || substr(text, 2) AS payload
+          |  FROM documents WHERE doc_id % 7 = 0""".stripMargin)
+        .replaceFirst("WITH media", "WITH RECURSIVE media") + """,
+        |pairs AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key
+        |      AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |g AS (SELECT m.media_id, coalesce(c.comp, m.media_id) AS grp
+        |      FROM media m LEFT JOIN comp c ON c.id = m.media_id)
+        |SELECT media_id, grp, CASE
+        |    WHEN ((grp % 1000003) * 2654435761) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN ((grp % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM g""".stripMargin),
+
     // Frame replay restricted to batch × catalog with ARRIVAL-side
     // containment: distinct matched arrival signatures per
     // (arrival, catalog video), kept at >= 50% of the arrival's
@@ -2555,6 +2625,65 @@ object PipelineQueries {
         |  COALESCE(sc.score_q, 0) > 0 AS keep
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |WHERE d.doc_id % 5 = 0""".stripMargin,
+
+    // Trainer replay + held-out confusion at score_q > 0 — counts via
+    // the same term/hash/log-odds construction, rates by exact IEEE
+    // division with the zero-denominator guard.
+    "text_quality_eval" ->
+      """WITH tr AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> '' AND doc_id % 5 <> 0),
+        |trt AS (
+        |  SELECT doc_id, lang, unnest(toks) AS w FROM tr
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM tr),
+        |cnt AS (
+        |  SELECT ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS neg
+        |  FROM trt GROUP BY 1),
+        |wts AS (
+        |  SELECT bucket,
+        |    CAST(round(10000000.0 * ln((pos + 1.0) / (neg + 1.0)))
+        |      AS BIGINT) AS wt
+        |  FROM cnt),
+        |te AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> '' AND doc_id % 5 = 0),
+        |tet AS (
+        |  SELECT doc_id, unnest(toks) AS w FROM te
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM te),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(SUM(COALESCE(wts.wt, 0)) AS BIGINT) AS score_q
+        |  FROM (SELECT doc_id,
+        |          ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket
+        |        FROM tet) t
+        |  LEFT JOIN wts USING (bucket) GROUP BY t.doc_id),
+        |ev AS (
+        |  SELECT d.lang = 'en' AS lab, COALESCE(sc.score_q, 0) > 0 AS pred
+        |  FROM documents d LEFT JOIN sc USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lab AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT lab AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN lab AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT lab AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM ev)
+        |SELECT n, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN 0.0
+        |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn = 0 THEN 0.0
+        |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy
+        |FROM c""".stripMargin,
 
     // The scorer replay feeding the per-language budget window: order
     // by (score_q DESC, idScore, doc_id), accumulate n_chars, keep

@@ -140,6 +140,31 @@ object TextModel {
     (scala.collection.immutable.ArraySeq.unsafeWrapArray(dense), bigrams)
   }
 
+  /** Model EVAL frame — the held-out confusion a training pipeline
+    * checks before promoting a scorer generation: one aggregate row of
+    * (n, tp, fp, fn, tn) at `scoreCol > threshold`, plus
+    * precision/recall/accuracy (exact-IEEE divisions; 0.0 on an empty
+    * denominator). Composable after [[score]] in the same plan — one
+    * hash aggregate, no shuffle beyond it.
+    */
+  def confusion(scored: DataFrame, label: Column, scoreCol: Column,
+      threshold: Long = 0L): DataFrame = {
+    val pred = scoreCol > lit(threshold)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def rate(num: Column, den: Column) =
+      when(den === 0L, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+    scored.agg(count(lit(1)).as("n"),
+        cnt(label && pred).as("tp"),
+        cnt(!label && pred).as("fp"),
+        cnt(label && !pred).as("fn"),
+        cnt(!label && !pred).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        rate(col("tp"), col("tp") + col("fp")).as("precision"),
+        rate(col("tp"), col("tp") + col("fn")).as("recall"),
+        rate(col("tp") + col("tn"), col("n")).as("accuracy"))
+  }
+
   /** Score `docs` with the committed model generation at `path`:
     * adds `n_terms` (int) and `score_q` (BIGINT fixed-point dot
     * product) — one codegen'd kernel pass, zero shuffle. */

@@ -673,6 +673,37 @@ class PipelineSpec extends SparkSpec {
     } finally Bucketed.dropBucketed(spark, table)
   }
 
+  test("model confusion frame: known-answer counts and rates; " +
+      "media leakage split: no perceptual pair straddles a split") {
+    import graft.operators.{Sampling, TextModel}
+    val scored = Seq(
+      (1L, true, 5L), (2L, true, -1L),  // tp, fn
+      (3L, false, 3L), (4L, false, 0L), // fp, tn (threshold is strict >)
+      (5L, true, 1L)                    // tp
+    ).toDF("id", "lab", "score_q")
+    val c = TextModel.confusion(scored, $"lab", $"score_q").head()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+      c.getLong(4)) === ((5L, 2L, 1L, 1L, 1L)))
+    assert(c.getDouble(5) === 2.0 / 3.0)  // precision
+    assert(c.getDouble(6) === 2.0 / 3.0)  // recall
+    assert(c.getDouble(7) === 3.0 / 5.0)  // accuracy
+
+    val media = Multimodal.demoPerturbedMedia(docs)
+    val pairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualSig(media), maxDist = 8)
+      .select($"id_a", $"id_b")
+    val split = Sampling.leakageSafeSplit(media.select($"media_id"),
+      "media_id", pairs)
+    val straddle = pairs
+      .join(split.select($"media_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(split.select($"media_id".as("id_b"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddle === 0L,
+      "a perceptual near-dup pair must never straddle a split boundary")
+    assert(split.select($"split").distinct().count() >= 2,
+      "the split must actually partition")
+  }
+
   test("curationAudit: known-answer per-stage accounting; dropped rows " +
       "never re-enter a later stage") {
     import graft.operators.Audit

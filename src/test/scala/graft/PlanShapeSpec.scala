@@ -232,4 +232,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"text_dup_spans: product plan appeared:\n$p")
   }
+
+  test("round-16 kernels: trainer is ONE bucket-keyed exchange with " +
+      "map-side partial aggregation; curation audit is ONE exchange " +
+      "bounded by stages x groups") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf001, "documents")
+    val tr = graft.operators.TextModel.trainLogOdds(docs, "text",
+      col("lang") === "en", buckets = 4096)
+    assert(graft.operators.Bucketed.countExchanges(tr) === 1,
+      s"trainer must shuffle exactly once:\n${finalPlan(tr)}")
+    val trPlan = finalPlan(tr)
+    assert(trPlan.contains("partial_sum"),
+      s"trainer lost map-side combine (the shuffle would carry terms, " +
+        s"not bucket sums):\n$trPlan")
+    val aud = graft.operators.Audit.curationAudit(
+      docs.withColumn("k1", col("doc_id") % 2 === 0)
+        .withColumn("k2", col("n_chars") > 100),
+      "source", col("n_chars"),
+      Seq("s1" -> col("k1"), "s2" -> col("k2")))
+    assert(graft.operators.Bucketed.countExchanges(aud) === 1,
+      s"audit must shuffle exactly once:\n${finalPlan(aud)}")
+  }
 }

@@ -495,6 +495,28 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // The PERSISTED IVF index (build-once/probe-many — the deployment
+    // shape every per-run quantizer fit above amortizes into): versioned
+    // build committed through the IndexVersions pointer, sidecar
+    // self-config, cell-pruned vectors scan, bounded-heap rank. Probed
+    // with nprobe = nlist so every cell is scanned — the k-means
+    // assignment provably cannot affect the result and the brute-force
+    // SQL is a true oracle (the sim_topk_ivf argument) while the
+    // measured plan keeps the full persisted cycle. Production
+    // nprobe < nlist (pruning, twin recall, refusals, drift) is pinned
+    // in IvfIndexSpec. Index path per-SF/per-process under tmpdir
+    // (tmpIndexPath contract).
+    "sim_topk_ivf_disk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      val path = tmpIndexPath(dir, "graft_ivf_index")
+      graft.operators.IvfIndex.write(e, path, dims = 64, nlist = 8)
+      graft.operators.IvfIndex.probe(s, path, queries, k = 5, nprobe = 8)
+        .select($"qid", $"id", $"rank")
+    },
+
     // PQ with rerank >= the verify-SF corpus (sim_topk_sq8 pattern):
     // the exact rerank re-scores every candidate, so the trained
     // codebook only orders the ADC scan and cannot affect the result —
@@ -3200,6 +3222,19 @@ object PipelineQueries {
         |FROM x GROUP BY user_id""".stripMargin,
 
     "sim_topk_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // full probe (nprobe == nlist) scans every cell of the persisted
+    // index, so neither the quantizer nor the committed layout can
+    // affect the output — brute oracle (the sim_topk_ivf argument).
+    "sim_topk_ivf_disk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid, c.vec_id AS id,
         |        list_cosine_similarity(c.embedding, q.qv) AS cos

@@ -323,6 +323,32 @@ object PipelineQueries {
       Dedup.clusterRepresentatives(docs, pairs, "doc_id", $"n_chars")
     },
 
+    // ENSEMBLE (multi-signal) dedup: a document is a duplicate if its
+    // TEXT is a near-dup (exact trigram jaccard ≥ 0.5) OR its EMBEDDING
+    // is (banded sign-LSH, cosine ≥ 0.4) — the union pair set collapsed
+    // to one keep-list. Production curation runs exactly this: lexical
+    // dedup misses paraphrases, semantic dedup misses short-text
+    // near-copies with noisy embeddings; the union catches both, and
+    // clusters BRIDGE across signals (a text-pair and an embed-pair
+    // sharing a doc merge into one cluster — one representative
+    // survives, not two). Pure composition of the gated pair operators
+    // + the gated min-propagation components; the oracle replays both
+    // pair constructions AND the bridged reachability end-to-end.
+    // Scale shape: the two pair sets are each anti-quadratic (PPJoin
+    // prefix filter / banded LSH); the union is a slim id-pair frame.
+    "dedup_ensemble" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val textPairs = Dedup.ngramJaccardPairs(docs,
+        "doc_id", "text", n = 3, threshold = 0.5).select($"id_a", $"id_b")
+      val embPairs = Dedup.embeddingNearDupPairs(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", dims = 64,
+          threshold = 0.4, bands = 16, planesPerBand = 6, seed = 42L)
+        .select($"id_a", $"id_b")
+      val pairs = textPairs.unionByName(embPairs).distinct()
+      Dedup.clusterRepresentatives(docs, pairs, "doc_id", $"n_chars")
+    },
+
     // Near-dup graph degree: how many partners each duplicate doc has —
     // the triage stat that separates pairwise dupes from boilerplate
     // hubs (a hub's degree explodes quadratically; its CLUSTER is what
@@ -3116,6 +3142,68 @@ object PipelineQueries {
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
         |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
         |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT comp.id, comp.comp, documents.n_chars
+        |  FROM comp JOIN documents ON comp.id = documents.doc_id),
+        |ranked AS (
+        |  SELECT id AS keep_id, comp AS cluster_id,
+        |    row_number() OVER (PARTITION BY comp
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, id ASC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+        |  FROM scored)
+        |SELECT keep_id, cluster_id, cluster_size FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, doc_id, CAST(1 AS BIGINT) FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin),
+
+    // ENSEMBLE dedup oracle: both pair constructions replayed (the
+    // dedup_representatives jaccard CTE verbatim + the dedup_embed_pairs
+    // banding CTE verbatim), unioned, bridged through ONE recursive
+    // reachability, then the representative rule + singleton tail.
+    "dedup_ensemble" -> (Shingles.replaceFirst("WITH sh", "WITH RECURSIVE sh") +
+      """,
+        |tpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.5),
+        |signs AS (
+        |  SELECT b.i AS band, p.i AS p, d.i AS dim,
+        |    CASE WHEN (('0x'||substr(md5((42 + b.i*7919)||':'||p.i||':'||d.i),1,15))::BIGINT
+        |               & 1) = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(16) b(i), range(6) p(i), range(64) d(i)),
+        |quant AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+        |      AS BIGINT) AS t
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id, s.band, s.p, SUM(q.t * s.s) AS d
+        |  FROM quant q JOIN signs s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.band, s.p),
+        |sigs AS (
+        |  SELECT vec_id, band,
+        |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |epairs AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.id_a
+        |  JOIN embeddings eb ON eb.vec_id = c.id_b
+        |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4),
+        |pairs AS (SELECT id_a, id_b FROM tpairs UNION
+        |          SELECT id_a, id_b FROM epairs),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach(id, lab) AS (

@@ -821,6 +821,44 @@ class PipelineSpec extends SparkSpec {
     } finally Bucketed.dropBucketed(spark, table)
   }
 
+  test("ensemble dedup bridges signals: a text-pair and an embed-pair " +
+      "sharing a doc collapse to ONE cluster; either signal alone keeps " +
+      "two") {
+    // A ~text~ B (identical text, orthogonal embeddings);
+    // B ~embed~ C (identical embedding, unrelated text). Ensemble must
+    // merge {A,B,C}; the single-signal keep-lists each hold two
+    // clusters over the trio.
+    val txtAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtC = "one two three four five six seven eight nine ten"
+    val docs3 = Seq(
+      (1L, txtAB, 10L), (2L, txtAB, 11L), (3L, txtC, 12L)
+    ).toDF("doc_id", "text", "n_chars")
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == axis) 1.0f else 0.0f)
+    val emb3 = Seq(
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(1))
+    ).toDF("vec_id", "embedding")
+    val tp = Dedup.ngramJaccardPairs(docs3, "doc_id", "text",
+      n = 3, threshold = 0.5).select($"id_a", $"id_b")
+    val ep = Dedup.embeddingNearDupPairs(emb3, "vec_id", "embedding",
+        dims = 8, threshold = 0.9, bands = 4, planesPerBand = 4)
+      .select($"id_a", $"id_b")
+    assert(tp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)))
+    assert(ep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((2L, 3L)))
+    def keeps(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.clusterRepresentatives(docs3, pairs, "doc_id", $"n_chars")
+        .select($"keep_id", $"cluster_size")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ensemble: one bridged cluster of all three, keeper = longest
+    // n_chars (doc 3), no singletons left
+    assert(keeps(tp.unionByName(ep).distinct()) === Set((3L, 3L)))
+    // single signals: a 2-cluster + the third doc as a singleton
+    assert(keeps(tp) === Set((2L, 2L), (3L, 1L)))
+    assert(keeps(ep) === Set((3L, 2L), (1L, 1L)))
+  }
+
   test("cosine expression matches a reference implementation") {
     val rows = embeddings.limit(3).select($"embedding").as[Seq[Float]].collect()
     val sparkCos = embeddings.limit(3)

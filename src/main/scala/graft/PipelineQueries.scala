@@ -207,6 +207,35 @@ object PipelineQueries {
         $"lang" === "en", $"score_q")
     },
 
+    // MODEL PROMOTION GUARD end-to-end: round 1 trains on true labels
+    // and promotes into an empty root (nothing to regress); round 2
+    // retrains on POISONED labels (inverted), evaluates WORSE on the
+    // held-out truth, and is REFUSED — the committed generation stays
+    // 1 and every scorer reading through the pointer never sees the
+    // bad model. Fresh root per invocation (the two-round story starts
+    // cold; output is path-independent); the oracle replays BOTH
+    // trainings, both held-out confusions, and the decision rule.
+    "text_quality_promote" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val train = d.filter(pmod($"doc_id", lit(5)) =!= 0)
+      val held = d.filter(pmod($"doc_id", lit(5)) === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_promote").toString
+      try {
+        val r1 = graft.operators.TextModel.promoteIfBetter(s, train, held,
+            "text", $"lang" === "en", $"lang" === "en", path)
+          .withColumn("round", lit(1L))
+        val r2 = graft.operators.TextModel.promoteIfBetter(s, train, held,
+            "text", $"lang" =!= "en", $"lang" === "en", path)
+          .withColumn("round", lit(2L))
+        // promoteIfBetter rows are driver-local (the decision already
+        // ran) — safe to drop the scratch root before returning
+        r1.unionByName(r2).select($"round", $"cand_accuracy",
+          $"inc_accuracy", $"promoted", $"generation")
+      } finally rmTree(new java.io.File(path))
+    },
+
     // MODEL-SCORED curation budget — the composition the learned
     // scorer exists for: model scores ORDER each language's documents,
     // token counts (n_chars) BUDGET them — keep the best-scoring half
@@ -2732,6 +2761,78 @@ object PipelineQueries {
         |  CASE WHEN n = 0 THEN 0.0
         |       ELSE CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy
         |FROM c""".stripMargin,
+
+    // Promotion-guard replay: both trainings (true + inverted labels)
+    // over the shared term stream, both held-out accuracies against
+    // the TRUE label, then the decision rule itself — round 1 promotes
+    // into the empty root, round 2 is the acc2 >= acc1 comparison
+    // (exact IEEE on identical inputs in both engines).
+    "text_quality_promote" ->
+      """WITH tr AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> '' AND doc_id % 5 <> 0),
+        |trt AS (
+        |  SELECT doc_id, lang, unnest(toks) AS w FROM tr
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |  FROM tr),
+        |cnt AS (
+        |  SELECT ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS neg
+        |  FROM trt GROUP BY 1),
+        |wts1 AS (
+        |  SELECT bucket,
+        |    CAST(round(10000000.0 * ln((pos + 1.0) / (neg + 1.0)))
+        |      AS BIGINT) AS wt
+        |  FROM cnt),
+        |wts2 AS (
+        |  SELECT bucket,
+        |    CAST(round(10000000.0 * ln((neg + 1.0) / (pos + 1.0)))
+        |      AS BIGINT) AS wt
+        |  FROM cnt),
+        |te AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |  FROM documents WHERE trim(text) <> '' AND doc_id % 5 = 0),
+        |tet AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket
+        |  FROM (
+        |    SELECT doc_id, unnest(toks) AS w FROM te
+        |    UNION ALL
+        |    SELECT doc_id,
+        |      unnest([toks[i]||' '||toks[i+1] FOR i IN range(1, len(toks))])
+        |    FROM te)),
+        |sc1 AS (
+        |  SELECT t.doc_id, CAST(SUM(COALESCE(wts1.wt, 0)) AS BIGINT) AS score_q
+        |  FROM tet t LEFT JOIN wts1 USING (bucket) GROUP BY t.doc_id),
+        |sc2 AS (
+        |  SELECT t.doc_id, CAST(SUM(COALESCE(wts2.wt, 0)) AS BIGINT) AS score_q
+        |  FROM tet t LEFT JOIN wts2 USING (bucket) GROUP BY t.doc_id),
+        |acc1 AS (
+        |  SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+        |    ELSE CAST(SUM(CASE WHEN (d.lang = 'en') =
+        |        (COALESCE(sc1.score_q, 0) > 0) THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) END AS a
+        |  FROM documents d LEFT JOIN sc1 USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0),
+        |acc2 AS (
+        |  SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+        |    ELSE CAST(SUM(CASE WHEN (d.lang = 'en') =
+        |        (COALESCE(sc2.score_q, 0) > 0) THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) END AS a
+        |  FROM documents d LEFT JOIN sc2 USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0)
+        |SELECT CAST(1 AS BIGINT) AS round, acc1.a AS cand_accuracy,
+        |  -1.0 AS inc_accuracy, TRUE AS promoted,
+        |  CAST(1 AS BIGINT) AS generation
+        |FROM acc1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), acc2.a, acc1.a, acc2.a >= acc1.a,
+        |  CASE WHEN acc2.a >= acc1.a THEN CAST(2 AS BIGINT)
+        |       ELSE CAST(1 AS BIGINT) END
+        |FROM acc1, acc2""".stripMargin,
 
     // The scorer replay feeding the per-language budget window: order
     // by (score_q DESC, idScore, doc_id), accumulate n_chars, keep

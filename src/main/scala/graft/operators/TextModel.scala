@@ -165,6 +165,74 @@ object TextModel {
         rate(col("tp") + col("tn"), col("n")).as("accuracy"))
   }
 
+  /** Densify a (bucket, weight) frame driver-side — bounded by the
+    * bucket count (the [[readWeights]] collect class); absent buckets
+    * score 0. */
+  private def dense(weights: DataFrame, buckets: Int): IndexedSeq[Long] = {
+    val arr = new Array[Long](buckets)
+    weights.select(col("bucket").cast("int"), col("weight").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < buckets,
+          s"weight row for bucket $b outside [0, $buckets)")
+        arr(b) = r.getLong(1)
+      }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+  }
+
+  /** Train→eval→PROMOTE guard: publish the candidate trained on
+    * `train` as the next model generation ONLY when its held-out
+    * accuracy beats the committed generation's by at least `minGain`
+    * (a fresh path with no committed model always promotes — there is
+    * nothing to regress). This is the gate a production scorer rolls
+    * through: a retrain on poisoned/drifted labels evaluates WORSE on
+    * the held-out frame and is refused — the committed generation (and
+    * every scorer reading through the pointer) never sees it; a
+    * genuine improvement flips the pointer atomically ([[writeModel]]'s
+    * IndexVersions commit) with rollback retained.
+    *
+    * `trainLabel` supervises the candidate; `evalLabel` is the
+    * held-out truth BOTH models are judged against (they differ
+    * exactly when the training labels are the thing you distrust).
+    * Decisions compare at `scoreCol > threshold` accuracy — swap in a
+    * different figure of merit by composing [[confusion]] yourself.
+    *
+    * Returns one row: (cand_accuracy, inc_accuracy — −1 when no
+    * incumbent, promoted, generation — the COMMITTED version after the
+    * decision). Driver-side work is two 1-row accuracy collects plus
+    * the ≤`buckets` candidate-weight collect; the corpus itself
+    * crosses only the trainer's bucket-keyed aggregate and two scoring
+    * kernel passes.
+    */
+  def promoteIfBetter(spark: SparkSession, train: DataFrame,
+      heldOut: DataFrame, textCol: String, trainLabel: Column,
+      evalLabel: Column, path: String, buckets: Int = 4096,
+      bigrams: Boolean = true, minGain: Double = 0.0,
+      threshold: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val cand = trainLogOdds(train, textCol, trainLabel, buckets, bigrams)
+      .localCheckpoint(true) // scored now, written on promote — one train
+    val candW = dense(cand, buckets)
+    def accuracy(weights: IndexedSeq[Long], big: Boolean): Double =
+      confusion(
+        heldOut.withColumn("m",
+            TextExprs.linearTextScore(col(textCol), weights, big))
+          .withColumn("score_q", col("m.score_q")).drop("m"),
+        evalLabel, col("score_q"), threshold)
+        .select(col("accuracy")).as[Double].head()
+    val candAcc = accuracy(candW, bigrams)
+    val incAcc: Option[Double] =
+      if (modelMeta(spark, path).isDefined) {
+        val (w, big) = readWeights(spark, path)
+        Some(accuracy(w, big))
+      } else None
+    val promoted = incAcc.forall(candAcc >= _ + minGain)
+    if (promoted) writeModel(cand, path, buckets, bigrams)
+    val gen = IndexVersions.currentVersion(spark, path).getOrElse(0)
+    Seq((candAcc, incAcc.getOrElse(-1.0), promoted, gen.toLong))
+      .toDF("cand_accuracy", "inc_accuracy", "promoted", "generation")
+  }
+
   /** Score `docs` with the committed model generation at `path`:
     * adds `n_terms` (int) and `score_q` (BIGINT fixed-point dot
     * product) — one codegen'd kernel pass, zero shuffle. */

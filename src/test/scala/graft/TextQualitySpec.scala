@@ -538,4 +538,58 @@ class TextQualitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not a model artifact"))
   }
+
+  test("promoteIfBetter: cold root promotes, a poisoned retrain is " +
+      "refused and the committed model is untouched, minGain demands " +
+      "a strict improvement") {
+    import graft.operators.{IndexVersions, TextModel}
+    val labeled = (1L to 40L).map { i =>
+      val pos = i % 2 == 0
+      val body = if (pos) "goodtok" else "badtok"
+      (i, s"$body neutraltok $body neutraltok $body", pos)
+    }.toDF("doc_id", "text", "lab")
+    val train = labeled.filter($"doc_id" % 4 =!= 0)
+    val held = labeled.filter($"doc_id" % 4 === 0)
+    val path = tmpDir("textmodel-promote")
+
+    // round 1: nothing committed — always promotes
+    val r1 = TextModel.promoteIfBetter(spark, train, held, "text",
+      $"lab", $"lab", path, buckets = 512).collect().head
+    assert(r1.getAs[Boolean]("promoted") &&
+      r1.getAs[Long]("generation") === 1L &&
+      r1.getAs[Double]("inc_accuracy") === -1.0)
+    assert(r1.getAs[Double]("cand_accuracy") === 1.0,
+      "the planted signal is perfectly separable on the held-out split")
+    val committedScore = TextModel.score(spark,
+        Seq((100L, "goodtok goodtok")).toDF("doc_id", "text"), "text", path)
+      .collect().head.getLong(3)
+    assert(committedScore > 0L)
+
+    // round 2: poisoned labels evaluate at 0 accuracy vs the truth —
+    // refused, pointer stays on generation 1, committed scores intact
+    val r2 = TextModel.promoteIfBetter(spark, train, held, "text",
+      !$"lab", $"lab", path, buckets = 512).collect().head
+    assert(!r2.getAs[Boolean]("promoted") &&
+      r2.getAs[Long]("generation") === 1L)
+    assert(r2.getAs[Double]("cand_accuracy") <
+      r2.getAs[Double]("inc_accuracy"))
+    assert(IndexVersions.currentVersion(spark, path) === Some(1))
+    val after = TextModel.score(spark,
+        Seq((100L, "goodtok goodtok")).toDF("doc_id", "text"), "text", path)
+      .collect().head.getLong(3)
+    assert(after === committedScore,
+      "a refused candidate must never reach the committed artifact")
+
+    // an equal candidate passes at minGain = 0 (ties promote — fresher
+    // model, same quality) but is refused when a strict gain is
+    // demanded
+    val r3 = TextModel.promoteIfBetter(spark, train, held, "text",
+      $"lab", $"lab", path, buckets = 512, minGain = 0.01).collect().head
+    assert(!r3.getAs[Boolean]("promoted") &&
+      r3.getAs[Long]("generation") === 1L)
+    val r4 = TextModel.promoteIfBetter(spark, train, held, "text",
+      $"lab", $"lab", path, buckets = 512).collect().head
+    assert(r4.getAs[Boolean]("promoted") &&
+      r4.getAs[Long]("generation") === 2L)
+  }
 }

@@ -58,12 +58,33 @@ object IngestStream {
     * default because it pays the symmetric batch×batch pair cost per
     * arrival, which most crawl frontiers (exact re-emits only) never
     * need.
+    *
+    * `modelPath` opts into stage 0 — MODEL-SCORED quality filtering
+    * with the COMMITTED scorer generation at that path
+    * ([[graft.operators.TextModel.score]]): arrivals at or below
+    * `modelThreshold` drop before any dedup work. First because it is
+    * the cheapest stage (one zero-shuffle codegen kernel pass — no
+    * fingerprint agg, no index probe paid for docs the scorer
+    * rejects), and read through the version pointer EVERY batch, so a
+    * promotion committed mid-stream ([[graft.operators.TextModel
+    * .promoteIfBetter]]) applies from the next micro-batch with no
+    * stream restart — the weights collect it pays per batch is
+    * bounded by the sidecar's bucket count.
     */
   private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
       accepted: Option[DataFrame], indexTablePrefix: String,
       idCol: String, textCol: String, n: Int,
-      threshold: Double, nearWithinBatch: Boolean = false): DataFrame = {
-    val b1e = exactWithinBatch(batch, idCol, textCol)
+      threshold: Double, nearWithinBatch: Boolean = false,
+      modelPath: Option[String] = None,
+      modelThreshold: Long = 0L): DataFrame = {
+    val b0 = modelPath match {
+      case None => batch
+      case Some(p) =>
+        graft.operators.TextModel.score(spark, batch, textCol, p)
+          .filter(col("score_q") > modelThreshold)
+          .drop("n_terms", "score_q")
+    }
+    val b1e = exactWithinBatch(b0, idCol, textCol)
     val b1 =
       if (!nearWithinBatch) b1e
       else {
@@ -109,7 +130,9 @@ object IngestStream {
       compactMaxBytes: Long = Long.MaxValue,
       compactMaxRows: Long = Long.MaxValue,
       nearWithinBatch: Boolean = false,
-      compactCorpusCount: Long = -1L): Unit = {
+      compactCorpusCount: Long = -1L,
+      modelPath: Option[String] = None,
+      modelThreshold: Long = 0L): Unit = {
     require(
       Dedup.attachNgramIndexBucketed(spark, indexTablePrefix, indexBuckets),
       s"no bucketed n-gram index under table prefix $indexTablePrefix")
@@ -136,7 +159,8 @@ object IngestStream {
           if (acceptedDirs.isEmpty) None
           else Some(spark.read.parquet(acceptedDirs: _*))
         applyBatch(spark, batch, accepted, indexTablePrefix,
-          idCol, textCol, n, threshold, nearWithinBatch)
+          idCol, textCol, n, threshold, nearWithinBatch,
+          modelPath, modelThreshold)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // opt-in auto-compact: when the accepted set outgrows its
         // thresholds, fold it into the next index version BETWEEN

@@ -622,6 +622,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("model-scored quality stage (opt-in stage 0): low-scoring " +
+      "arrivals drop before dedup; a mid-stream promotion applies on " +
+      "the next batch through the pointer") {
+    import graft.operators.{Dedup, TextModel}
+    import graft.streaming.IngestStream
+    val docs = Tables(spark, sf001, "documents")
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val idxPrefix = "ingest_model_test_idx"
+    Dedup.writeNgramIndexBucketed(corpus, idxPrefix, "doc_id", "text",
+      n = 3, threshold = 0.5, buckets = 4)
+    val modelPath = tmpDir("ingest-model")
+    // planted scorer: goodtok-positive, badtok-negative
+    val labeled = (1L to 40L).map { i =>
+      val pos = i % 2 == 0
+      val body = if (pos) "goodtok" else "badtok"
+      (i, s"$body filler$i $body filler$i $body", pos)
+    }.toDF("doc_id", "text", "lab")
+    TextModel.writeModel(
+      TextModel.trainLogOdds(labeled, "text", $"lab", buckets = 512),
+      modelPath, buckets = 512, bigrams = true)
+    try {
+      val batch = Seq(
+        (6000001L, (0 until 20).map(i => s"goodtok zq$i").mkString(" ")),
+        (6000002L, (0 until 20).map(i => s"badtok zq$i").mkString(" "))
+      ).toDF("doc_id", "text")
+      // default: no stage 0 — both survive (neither is a dup)
+      val off = IngestStream.applyBatch(spark, batch, None, idxPrefix,
+        "doc_id", "text", 3, 0.5)
+      assert(off.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(6000001L, 6000002L))
+      // opted in: the badtok doc scores below threshold and never
+      // reaches the dedup probes; output schema is unchanged
+      val on = IngestStream.applyBatch(spark, batch, None, idxPrefix,
+        "doc_id", "text", 3, 0.5, modelPath = Some(modelPath))
+      assert(on.columns.toSeq === batch.columns.toSeq)
+      assert(on.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(6000001L))
+      // a promotion committed between batches flips the decision with
+      // no restart: stage 0 reads the pointer per batch
+      TextModel.writeModel(
+        TextModel.trainLogOdds(labeled, "text", !$"lab", buckets = 512),
+        modelPath, buckets = 512, bigrams = true)
+      val after = IngestStream.applyBatch(spark, batch, None, idxPrefix,
+        "doc_id", "text", 3, 0.5, modelPath = Some(modelPath))
+      assert(after.select($"doc_id").collect().map(_.getLong(0)).toSet
+        === Set(6000002L))
+    } finally {
+      Seq("df", "prefix", "shingles").foreach { s =>
+        graft.operators.Bucketed.dropBucketed(spark, s"${idxPrefix}_$s")
+      }
+    }
+  }
+
   test("embed within-batch NEAR-dup resolution (opt-in stage 1.5): " +
       "min-id keeper per near-dup cluster; default keeps near twins") {
     import graft.operators.Similarity

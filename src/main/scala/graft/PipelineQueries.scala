@@ -1074,6 +1074,29 @@ object PipelineQueries {
           "cap_per_source" -> $"__k".isNotNull))
     },
 
+    // The audit frame over the CURATE capstone's stages (exact-dedup
+    // keeper → token floor → alpha floor), grouped by lang and massed
+    // by n_chars — the second capstone instrumented by the same
+    // one-aggregate operator, proving curationAudit generalizes past
+    // the hygiene stages it was gated on. `in_docs` telescopes: stage
+    // N+1's entrants are exactly stage N's kept set.
+    "pipeline_audit_curate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val keep = Dedup.exact(docs, "doc_id", "text")
+        .select($"keep_id".as("doc_id")).withColumn("__e", lit(true))
+      val stats = docs.select($"doc_id", $"lang", $"n_chars",
+        TF.tokenCount($"text").as("n_tokens"),
+        (length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double") /
+          length($"text").cast("double")).as("alpha"))
+      graft.operators.Audit.curationAudit(
+        stats.join(keep, Seq("doc_id"), "left"),
+        "lang", $"n_chars", Seq(
+          "exact_dedup" -> $"__e".isNotNull,
+          "min_tokens" -> ($"n_tokens" >= 20),
+          "alpha" -> ($"alpha" > 0.5)))
+    },
+
     // Context-window chunking: 50-token windows, stride 40 (overlap
     // 10) — narrow generator expansion, chunk text reassembled with
     // builtin slice/concat_ws.
@@ -3657,6 +3680,41 @@ object PipelineQueries {
         |SELECT * FROM aud0 UNION ALL
         |SELECT * FROM aud1 UNION ALL
         |SELECT * FROM aud2""".stripMargin),
+
+    // Curate-capstone audit replay: the exact-dedup keeper and both
+    // quality floors recomputed per doc, the three stages telescoped
+    // (stage N+1 counts only stage N's kept rows), one aggregate per
+    // stage over (lang, n_chars).
+    "pipeline_audit_curate" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(regexp_replace(trim(text),'\s+',' ','g')))),
+        |fl AS (
+        |  SELECT d.lang, d.n_chars,
+        |    d.doc_id IN (SELECT doc_id FROM keep) AS k1,
+        |    d.doc_id IN (SELECT doc_id FROM keep)
+        |      AND len(regexp_split_to_array(trim(d.text),'\s+')) >= 20 AS k2,
+        |    d.doc_id IN (SELECT doc_id FROM keep)
+        |      AND len(regexp_split_to_array(trim(d.text),'\s+')) >= 20
+        |      AND CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |        / CAST(length(d.text) AS DOUBLE) > 0.5 AS k3
+        |  FROM documents d),
+        |stg AS (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'exact_dedup' AS stage,
+        |    lang, k1 AS kept, n_chars FROM fl
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'min_tokens', lang, k2, n_chars
+        |  FROM fl WHERE k1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'alpha', lang, k3, n_chars
+        |  FROM fl WHERE k2)
+        |SELECT stage_idx, stage, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS in_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+        |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_mass,
+        |  CAST(SUM(CASE WHEN NOT kept THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_mass
+        |FROM stg GROUP BY 1, 2, 3""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id AS id,

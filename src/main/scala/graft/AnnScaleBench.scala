@@ -149,7 +149,10 @@ object AnnScaleBench {
     // (the per-band probability the banding math starts from) and the
     // banded default; the anti-quadratic wall is only meaningful if the
     // default's number holds up
-    locally {
+    // the recall rows honor the ONLY filter too (match "recall"): a
+    // single-family re-measure must not pay — or OOM on — the full
+    // kNN-join recall sweep at decades the family never touches
+    if (!onlyFilter.exists(f => !"recall".contains(f))) {
       val sProbes = e.filter($"vec_id" < 200)
         .select($"vec_id".as("qid"), $"embedding")
       val brute = Similarity.bruteForceTopK(e, sProbes, k = 3)
@@ -204,6 +207,52 @@ object AnnScaleBench {
         val (pc, newRows) = probeOnce()
         val (pw1, _) = probeOnce(); val (pw2, _) = probeOnce()
         println(f"""{"label":"$label","n":$n,"config":"embed_ingest_disk_p${planes}h1_auto","n_batch":$nB,"build_sec":$buildWall%.2f,"probe_cold_sec":$pc%.2f,"probe_warm_sec":${math.min(pw1, pw2)}%.2f,"genuinely_new":$newRows}""")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(idxPath))
+      }
+    }
+
+    // Persisted-IVF decade (the serving mirror of embed_ingest): index
+    // built ONCE (auto √n cells, capped 4096), then (a) the 10-query
+    // ANN probe at nprobe 8 — per-probe work ~ nprobe/nlist of the
+    // corpus, vectors scan pruned to the probed cell dirs; (b) arrival
+    // assignment of the vec_id%10 batch under the FROZEN centroids —
+    // the streaming writer's per-batch cost; (c) the drift frame.
+    // Build wall includes the k-means fit + the partitioned write +
+    // the versioned commit: the amortized-once half of the trade every
+    // per-run quantizer row above pays per call.
+    if (!recallOnly && !onlyFilter.exists(f => !"ivf_disk".contains(f))) {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_ivf_disk_bench").toString
+      try {
+        val tb = System.nanoTime()
+        graft.operators.IvfIndex.write(e, idxPath, dims = 64,
+          nlist = 0, knownCount = n)
+        val buildWall = (System.nanoTime() - tb) / 1e9
+        val nlist = graft.operators.IvfIndex.meta(spark, idxPath)
+          .map(_._1).getOrElse(-1)
+        def probeOnce(): (Double, Long) = {
+          val t = System.nanoTime()
+          val r = graft.operators.IvfIndex.probe(spark, idxPath,
+            queries, k = 5, nprobe = 8).count()
+          ((System.nanoTime() - t) / 1e9, r)
+        }
+        val (pc, rows) = probeOnce()
+        val (pw1, _) = probeOnce(); val (pw2, _) = probeOnce()
+        val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+        val nB = batch.count()
+        val ta = System.nanoTime()
+        graft.operators.IvfIndex.assignCells(spark, idxPath, batch)
+          .write.format("noop").mode("overwrite").save()
+        val assignWall = (System.nanoTime() - ta) / 1e9
+        val td = System.nanoTime()
+        val ratio = graft.operators.IvfIndex.drift(spark, idxPath, batch)
+          .collect().head.getAs[Double]("ratio")
+        val driftWall = (System.nanoTime() - td) / 1e9
+        println(f"""{"label":"$label","n":$n,"config":"ivf_disk_l${nlist}p8_k5","build_sec":$buildWall%.2f,"probe_cold_sec":$pc%.2f,"probe_warm_sec":${math.min(pw1, pw2)}%.2f,"probe_rows":$rows,"n_batch":$nB,"assign_sec":$assignWall%.2f,"drift_sec":$driftWall%.2f,"drift_ratio":$ratio%.3f}""")
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -572,6 +572,38 @@ object PipelineQueries {
         .select($"qid", $"id", $"rank")
     },
 
+    // The IVF index's INGEST lifecycle (segment-LSM): base built on
+    // 2/3 of the corpus, the remaining third arrives as two O(batch)
+    // segment appends (frozen-centroid assignment, manifest pointer
+    // commit), probed exactly over base ∪ segments; then a compaction
+    // folds the segments into base generation 2 (quantizer retrained,
+    // `segs_upto` subsumption) and the re-probe must not move. Both
+    // probes run nprobe = nlist, so each equals brute force over the
+    // FULL corpus regardless of centroids or layout (the
+    // sim_topk_ivf_disk argument) — the two-phase union is the
+    // dedup_compaction shape for ANN.
+    "sim_topk_ivf_seg" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      val path = tmpIndexPath(dir, "graft_ivf_seg")
+      val I = graft.operators.IvfIndex
+      I.write(e.filter($"vec_id" % 3 =!= 0), path, dims = 64, nlist = 8)
+      I.appendVectors(s, path, e.filter($"vec_id" % 6 === 0))
+      I.appendVectors(s, path, e.filter($"vec_id" % 6 === 3))
+      // snapshot BEFORE the fold deletes the probed segment files —
+      // the commitManifest/readCorpus discipline: a plan over
+      // about-to-be-compacted sources must materialize first
+      val onSegs = I.probe(s, path, queries, k = 5, nprobe = 8)
+        .select(lit("segs").as("phase"), $"qid", $"id", $"rank")
+        .localCheckpoint(true)
+      I.compact(s, path, nlist = 8)
+      val onBase = I.probe(s, path, queries, k = 5, nprobe = 8)
+        .select(lit("base").as("phase"), $"qid", $"id", $"rank")
+      onSegs.unionByName(onBase)
+    },
+
     // PQ with rerank >= the verify-SF corpus (sim_topk_sq8 pattern):
     // the exact rerank re-scores every candidate, so the trained
     // codebook only orders the ADC scan and cannot affect the result —
@@ -3455,6 +3487,21 @@ object PipelineQueries {
         |  SELECT qid, id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // base(2/3) ∪ two appended segments ≡ the full corpus, and both
+    // probes run every cell — brute force over ALL embeddings is a
+    // true oracle for BOTH phases (pre- and post-compaction).
+    "sim_topk_ivf_seg" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid),
+        |r AS (SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5)
+        |SELECT p.phase, r.qid, r.id, r.rank
+        |FROM r CROSS JOIN (VALUES ('segs'), ('base')) AS p(phase)""".stripMargin,
 
     // rerank >= corpus makes the exact rerank provably equal to brute
     // force (see the queries() comment) — same oracle as sq8/ivf.

@@ -47,6 +47,22 @@ import graft.functions.VectorFunctions
   *    quantizer?" monitoring signal (distribution shift inflates the
   *    ratio; a rebuild publishes the next generation without pausing
   *    probes).
+  *  - SEGMENTS (the ingest path): [[appendVectors]] folds an arrival
+  *    batch in at O(batch) — assign under the FROZEN committed
+  *    centroids, write `<root>/segments/segN/cell=K/` (the base
+  *    layout's shape), commit a segment MANIFEST through a second
+  *    [[IndexVersions]] pointer (`<root>/_graft_segs`). Probes read
+  *    base ∪ live segments with the same cell prune on every leg.
+  *    Rebuilding the base per batch would be O(corpus) per append —
+  *    the LSM/segment shape (Lucene/Milvus-style) bounds each append
+  *    by its batch and defers the O(corpus) fold to [[compact]] on a
+  *    cadence. The base sidecar's `segs_upto` records the highest
+  *    segment a compaction subsumed, so every crash window keeps
+  *    probes exact: a segment dir without a manifest row is invisible
+  *    (crashed append), and a manifest row ≤ `segs_upto` is ignored
+  *    (compaction flipped the base but hadn't pruned the manifest
+  *    yet); the next mutation heals both. Arrival ids must be new —
+  *    the Shards/incremental-index contract; probes do not dedup.
   *
   * The `sim_topk_ivf_disk` gate probes with nprobe = nlist, making the
   * result provably equal to brute force (the sim_topk_ivf oracle
@@ -87,17 +103,35 @@ object IvfIndex {
     * hash-repartitioned on its cell before the partitioned write (one
     * exchange, then directory-local sequential writes — the
     * [[Similarity.writeSignIndex]] file-count argument). Scale shape:
-    * one k-means fit (MLlib, sampled iterations over the corpus), one
+    * one k-means fit (MLlib, over a BOUNDED training sample), one
     * assignment pass, one shuffle-by-cell, one bounded centroid write,
     * one quantization-error aggregate. Returns the committed version.
+    *
+    * `fitSamplePerCell` bounds the k-means TRAINING set at
+    * `fitSamplePerCell × nlist` vectors (the public FAISS training
+    * guidance: a coarse quantizer saturates around a few hundred
+    * points per centroid; Johnson et al. 2017 / the FAISS FAQ train on
+    * 39–256 × nlist). Training on the full corpus is O(corpus ×
+    * nlist × iters) — the measured 2M-vector fit was ~95% of a
+    * 1367 s build (BASELINE.md round 16) for centroids a 256×/cell
+    * sample reproduces to within quantizer noise. The sample is
+    * DETERMINISTIC (ordered by `xxhash64(id)`, a seed-free total order
+    * on unique ids — same corpus, same sample) and only moves
+    * centroid POSITIONS: assignment, probe, and drift still run over
+    * the FULL corpus through the exact shared kernel, and a
+    * nprobe = nlist probe is brute-force-exact under ANY centroids
+    * (the `sim_topk_ivf_disk` oracle argument). `0` disables the cap
+    * (train on everything).
     */
   def write(corpus: DataFrame, path: String, dims: Int, nlist: Int = 0,
       seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding", knownCount: Long = -1L): Int = {
+      vecCol: String = "embedding", knownCount: Long = -1L,
+      fitSamplePerCell: Int = 256, subsumedUpto: Long = -1L): Int = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     require(dims > 0, s"dims: $dims")
+    require(fitSamplePerCell >= 0, s"fitSamplePerCell: $fitSamplePerCell")
     val cells =
       if (nlist > 0) nlist
       else {
@@ -107,8 +141,18 @@ object IvfIndex {
       }
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Embeddings.normalize(col(vecCol)).as("nvec"))
+    val trainCap = math.min(Int.MaxValue.toLong,
+      fitSamplePerCell.toLong * cells).toInt
+    val trainSet =
+      if (fitSamplePerCell == 0) c
+      else c.orderBy(xxhash64(col("id"))).limit(trainCap)
+        // TakeOrderedAndProject lands the sample on one partition;
+        // spread it back out so the fit's per-iteration passes use
+        // every core
+        .repartition(spark.sparkContext.defaultParallelism)
     val model = Similarity.fitQuantizer(
-      c.select(array_to_vector(col("nvec")).as("features")), cells, seed)
+      trainSet.select(array_to_vector(col("nvec")).as("features")),
+      cells, seed)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
@@ -130,23 +174,34 @@ object IvfIndex {
       .join(broadcast(centroids), Seq("cell"))
       .select(sqDist(col("nvec"), col("centroid")).as("d2"))
       .agg(avg(col("d2"))).as[Double].head()
+    // segs_upto: a compaction passes the highest live segment it
+    // folded in; a plain rebuild carries the previous base's value
+    // forward (its segments are still live arrivals it did NOT fold)
+    val upto =
+      if (subsumedUpto >= 0L) subsumedUpto
+      else metaFull(spark, path).map(_.segsUpto).getOrElse(0L)
     val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
     val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(p, true)
     try out.write(
       (s"""{"nlist":$cells,"dims":$dims,"seed":$seed,""" +
-        s""""kernel":"$Kernel","build_mse":$buildMse}""").getBytes("UTF-8"))
+        s""""kernel":"$Kernel","build_mse":$buildMse,""" +
+        s""""segs_upto":$upto}""").getBytes("UTF-8"))
     finally out.close()
     IndexVersions.commit(spark, path, v)
     IndexVersions.dropOldPathVersions(spark, path, keepPrevious = 1): Unit
     v
   }
 
-  /** (nlist, dims, build_mse) of the COMMITTED generation's sidecar —
-    * None when the resolved generation has no sidecar (not an IVF
-    * index). Kernel mismatch refuses: same key shape, none of the
-    * semantics (the phash-index rule). */
-  def meta(spark: SparkSession, path: String): Option[(Int, Int, Double)] = {
+  private[graft] case class Meta(nlist: Int, dims: Int, buildMse: Double,
+    segsUpto: Long)
+
+  /** Full sidecar of the COMMITTED generation — None when the resolved
+    * generation has no sidecar (not an IVF index). Kernel mismatch
+    * refuses: same key shape, none of the semantics (the phash-index
+    * rule). Pre-segment sidecars parse with `segs_upto` = 0. */
+  private[graft] def metaFull(spark: SparkSession,
+      path: String): Option[Meta] = {
     val p = new org.apache.hadoop.fs.Path(
       IndexVersions.resolvePath(spark, path), MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,23 +211,31 @@ object IvfIndex {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val re = (""""nlist":(\d+),"dims":(\d+),"seed":(-?\d+),""" +
-        """"kernel":"([^"]*)","build_mse":([-0-9.eE]+)""").r
+        """"kernel":"([^"]*)","build_mse":([-0-9.eE]+)""" +
+        """(?:,"segs_upto":(\d+))?""").r
       re.findFirstMatchIn(txt).map { m =>
         require(m.group(4) == Kernel,
           s"IVF index at $path was built with kernel `${m.group(4)}`; " +
             s"this probe computes `$Kernel` assignments")
-        (m.group(1).toInt, m.group(2).toInt, m.group(5).toDouble)
+        Meta(m.group(1).toInt, m.group(2).toInt, m.group(5).toDouble,
+          Option(m.group(6)).map(_.toLong).getOrElse(0L))
       }
     }
   }
 
+  /** (nlist, dims, build_mse) of the committed sidecar — the public
+    * shape [[metaFull]] extends. */
+  def meta(spark: SparkSession, path: String): Option[(Int, Int, Double)] =
+    metaFull(spark, path).map(m => (m.nlist, m.dims, m.buildMse))
+
   private def requireMeta(spark: SparkSession, path: String,
-      dims: Int): (Int, Int, Double) = {
-    val m = meta(spark, path).getOrElse(throw new IllegalArgumentException(
-      s"no $MetaFile under the committed generation of $path — " +
-        "not an IVF index"))
-    if (dims > 0) require(m._2 == dims,
-      s"IVF index at $path was built with dims=${m._2}; " +
+      dims: Int): Meta = {
+    val m = metaFull(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $MetaFile under the committed generation of $path — " +
+          "not an IVF index"))
+    if (dims > 0) require(m.dims == dims,
+      s"IVF index at $path was built with dims=${m.dims}; " +
         s"probe called with dims=$dims")
     m
   }
@@ -180,6 +243,139 @@ object IvfIndex {
   private def readCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(
       s"${IndexVersions.resolvePath(spark, path)}/centroids")
+
+  private def segsRoot(path: String): String = s"$path/_graft_segs"
+  private def segDir(path: String, n: Long): String =
+    s"$path/segments/seg$n"
+
+  /** Every segment number the committed manifest lists — INCLUDING
+    * rows a compaction already subsumed but hadn't pruned (callers
+    * filter by the base sidecar's `segs_upto`). Empty before the first
+    * append. Bounded driver-side: one row per segment. */
+  private def committedSegs(spark: SparkSession,
+      path: String): Seq[Long] = {
+    val root = segsRoot(path)
+    IndexVersions.currentVersion(spark, root) match {
+      case None => Seq.empty
+      case Some(v) =>
+        spark.read.parquet(IndexVersions.versionDir(root, v))
+          .select(col("seg")).collect().map(_.getLong(0)).toSeq.sorted
+    }
+  }
+
+  /** Segment numbers probes must read: committed manifest rows newer
+    * than the committed base's `segs_upto`. */
+  private[graft] def liveSegs(spark: SparkSession,
+      path: String): Seq[Long] = {
+    val upto = metaFull(spark, path).map(_.segsUpto).getOrElse(0L)
+    committedSegs(spark, path).filter(_ > upto)
+  }
+
+  private def commitSegManifest(spark: SparkSession, path: String,
+      segs: Seq[Long]): Unit = {
+    import spark.implicits._
+    val root = segsRoot(path)
+    val v = IndexVersions.nextVersion(spark, root)
+    segs.toDF("seg").coalesce(1).write.mode("overwrite")
+      .parquet(IndexVersions.versionDir(root, v))
+    IndexVersions.commit(spark, root, v)
+    IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
+  }
+
+  private def segDirsOnDisk(spark: SparkSession,
+      path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("seg") && n.stripPrefix("seg").nonEmpty &&
+        n.stripPrefix("seg").forall(_.isDigit))
+      .map(_.stripPrefix("seg").toLong)
+  }
+
+  /** Delete segment dirs not in `live` — a crashed append's orphan
+    * (written, never committed) or a compaction's subsumed sources
+    * (folded into the base, prune interrupted). Dead by the
+    * manifest/`segs_upto` contract, so removal never changes a probe. */
+  private def healSegs(spark: SparkSession, path: String,
+      live: Seq[Long]): Unit = {
+    val keep = live.toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    segDirsOnDisk(spark, path).filterNot(keep).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(segDir(path, n)), true): Unit
+    }
+  }
+
+  /** The probe/compaction read: base vectors ∪ live segments. Every
+    * leg is written `cell=`-partitioned, so a probe's bounded IN
+    * prune pushes into each leg's directory listing. */
+  private[graft] def vectorsView(spark: SparkSession,
+      path: String): DataFrame = {
+    val base = spark.read.parquet(
+      s"${IndexVersions.resolvePath(spark, path)}/vectors")
+    liveSegs(spark, path).foldLeft(base) { (acc, n) =>
+      acc.unionByName(spark.read.parquet(segDir(path, n)))
+    }
+  }
+
+  /** Fold an arrival batch into the index at O(batch): assign under
+    * the COMMITTED generation's FROZEN centroids (the shared
+    * build/arrival kernel — a duplicate of a corpus vector provably
+    * lands in its twin's cell), write the batch as the next
+    * `cell=`-partitioned segment, and commit the segment manifest
+    * through its own [[IndexVersions]] pointer. Probes see the batch
+    * exactly when the manifest flips — a crash before the flip leaves
+    * an invisible orphan dir the next mutation heals. The quantizer is
+    * NOT retrained ([[drift]] is the retrain signal; [[compact]] the
+    * retrain). Arrival ids must be new — probes do not dedup. Returns
+    * the segment number, or -1 for an empty batch (committed no-op).
+    */
+  def appendVectors(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 0): Long = {
+    val m = requireMeta(spark, path, dims)
+    val committed = committedSegs(spark, path)
+    val live = committed.filter(_ > m.segsUpto)
+    healSegs(spark, path, live)
+    if (live != committed) commitSegManifest(spark, path, live)
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Embeddings.normalize(col(vecCol)).as("nvec"))
+    if (b.isEmpty) return -1L
+    val n = (committed :+ m.segsUpto).max + 1
+    assignWith(b, readCentroids(spark, path))
+      .select(col("id"), col("vec"), col("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(segDir(path, n))
+    commitSegManifest(spark, path, live :+ n)
+    n
+  }
+
+  /** Fold base ∪ live segments into base generation N+1 — the
+    * O(corpus) half of the LSM trade, paid on the compaction cadence
+    * while [[appendVectors]] keeps every ingest batch O(batch). The
+    * quantizer RETRAINS over the folded corpus (bounded sample), the
+    * new sidecar's `segs_upto` subsumes every folded segment BEFORE
+    * the manifest prune — so a crash between base flip and prune
+    * still probes exactly (subsumed rows are ignored), and the next
+    * mutation heals the leftover dirs. `nlist` 0 re-derives the √n
+    * occupancy rule over the grown corpus. Returns the new base
+    * version. */
+  def compact(spark: SparkSession, path: String, dims: Int = 0,
+      nlist: Int = 0, seed: Long = 42L,
+      fitSamplePerCell: Int = 256): Int = {
+    val m = requireMeta(spark, path, dims)
+    val live = liveSegs(spark, path)
+    val view = vectorsView(spark, path)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+    val upto = (live :+ m.segsUpto).max
+    val v = write(view, path, m.dims, nlist, seed,
+      fitSamplePerCell = fitSamplePerCell, subsumedUpto = upto)
+    commitSegManifest(spark, path, Seq.empty)
+    healSegs(spark, path, Seq.empty)
+    v
+  }
 
   /** Nearest-cell assignment of `batch` under FROZEN `centroids`: the
     * shared build/arrival kernel. Keeps (id, vec, nvec, cell). */
@@ -223,7 +419,7 @@ object IvfIndex {
       vecCol: String = "embedding",
       maxCellLiterals: Int = 1024): DataFrame = {
     require(maxCellLiterals >= 0, s"maxCellLiterals: $maxCellLiterals")
-    val (nlist, _, _) = requireMeta(spark, path, dims)
+    val nlist = requireMeta(spark, path, dims).nlist
     val centroids = readCentroids(spark, path)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
       Embeddings.normalize(col(vecCol)).as("qn"))
@@ -238,8 +434,7 @@ object IvfIndex {
     // regardless
     val cellLits = probeCells.select(col("cell")).distinct()
       .limit(maxCellLiterals + 1).collect().map(_.getInt(0))
-    val raw = spark.read.parquet(
-      s"${IndexVersions.resolvePath(spark, path)}/vectors")
+    val raw = vectorsView(spark, path)
     val pruned =
       if (cellLits.length <= maxCellLiterals)
         raw.filter(col("cell").isin(cellLits.map(Int.box): _*))
@@ -264,7 +459,7 @@ object IvfIndex {
   def drift(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = 0): DataFrame = {
-    val (_, _, buildMse) = requireMeta(spark, path, dims)
+    val buildMse = requireMeta(spark, path, dims).buildMse
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Embeddings.normalize(col(vecCol)).as("nvec"))
     assignWith(b, readCentroids(spark, path))

@@ -115,6 +115,84 @@ class IvfIndexSpec extends SparkSpec {
       "assignCells must replay the build-side assignment exactly")
   }
 
+  private def bruteAll =
+    Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("qid", "id", "rank").orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+
+  private def probeAll(dir: String) =
+    IvfIndex.probe(spark, dir, queries, k = 5, nprobe = 8)
+      .select("qid", "id", "rank").orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+
+  test("segment appends are O(batch) and probe exactly over " +
+      "base ∪ segments; empty append is a no-op; compaction folds " +
+      "into the next base generation and the re-probe does not move") {
+    val dir = tmpDir("ivfseg")
+    IvfIndex.write(e.filter($"vec_id" % 3 =!= 0), dir, dims = 64,
+      nlist = 8)
+    assert(IvfIndex.appendVectors(spark, dir,
+      e.filter($"vec_id" % 6 === 0)) == 1L)
+    assert(IvfIndex.appendVectors(spark, dir,
+      e.filter($"vec_id" % 6 === 3)) == 2L)
+    assert(IvfIndex.appendVectors(spark, dir,
+      e.filter($"vec_id" < 0)) == -1L, "empty batch must be a no-op")
+    assert(IvfIndex.liveSegs(spark, dir) == Seq(1L, 2L))
+    // base ∪ segments == the full corpus; nprobe = nlist probes are
+    // brute-force-exact, so the union must reproduce brute force
+    assert(probeAll(dir) == bruteAll,
+      "probe over base ∪ segments must equal brute force")
+    // each segment holds exactly its batch (the O(batch) evidence:
+    // nothing of the base is rewritten by an append)
+    val seg1 = spark.read.parquet(s"$dir/segments/seg1")
+    assert(seg1.count() == e.filter($"vec_id" % 6 === 0).count())
+    // compaction: next base generation, segments subsumed + pruned
+    val v = IvfIndex.compact(spark, dir, nlist = 8)
+    assert(v == 2 && IndexVersions.currentVersion(spark, dir).contains(2))
+    assert(IvfIndex.liveSegs(spark, dir).isEmpty)
+    assert(!new java.io.File(s"$dir/segments/seg1").exists(),
+      "folded segment dirs must be reclaimed")
+    assert(probeAll(dir) == bruteAll,
+      "post-compaction probe must not move")
+  }
+
+  test("segment crash windows: an uncommitted segment dir is " +
+      "invisible, a manifest row the base subsumed is ignored, and " +
+      "the next mutation heals both") {
+    val dir = tmpDir("ivfcrash")
+    IvfIndex.write(e.filter($"vec_id" % 3 =!= 0), dir, dims = 64,
+      nlist = 8)
+    IvfIndex.appendVectors(spark, dir, e.filter($"vec_id" % 3 === 0))
+    assert(probeAll(dir) == bruteAll)
+    // crashed append: segment written, manifest never flipped
+    val orphan = s"$dir/segments/seg9"
+    e.limit(5).select(($"vec_id" + 900000L).as("id"),
+        $"embedding".as("vec"), lit(0).as("cell"))
+      .write.partitionBy("cell").parquet(orphan)
+    assert(IvfIndex.liveSegs(spark, dir) == Seq(1L))
+    assert(probeAll(dir) == bruteAll,
+      "an uncommitted segment must be invisible to probes")
+    // interrupted compaction: base flipped (segs_upto = 1) but the
+    // manifest prune crashed — recommit a manifest still listing seg 1
+    IvfIndex.compact(spark, dir, nlist = 8)
+    val root = s"$dir/_graft_segs"
+    val mv = IndexVersions.nextVersion(spark, root)
+    Seq(1L).toDF("seg").write
+      .parquet(IndexVersions.versionDir(root, mv))
+    IndexVersions.commit(spark, root, mv)
+    assert(IvfIndex.liveSegs(spark, dir).isEmpty,
+      "a manifest row at or below segs_upto must be ignored")
+    assert(probeAll(dir) == bruteAll,
+      "the unpruned-manifest window must probe exactly")
+    // an empty append heals: stale manifest row dropped, orphan
+    // segment dir reclaimed
+    IvfIndex.appendVectors(spark, dir, e.filter($"vec_id" < 0))
+    assert(!new java.io.File(orphan).exists(),
+      "heal must reclaim the crashed append's orphan dir")
+    assert(IvfIndex.liveSegs(spark, dir).isEmpty)
+    assert(probeAll(dir) == bruteAll)
+  }
+
   test("rebuild publishes the next generation behind the pointer; " +
       "drift under frozen centroids flags a shifted batch") {
     val dir = tmpDir("ivfgen")

@@ -261,6 +261,54 @@ object AnnScaleBench {
       }
     }
 
+    // Persisted IVF-PQ decade (the compressed-codes serving shape):
+    // build (coarse fit + residual-codebook fit + encode + partitioned
+    // write + versioned commit), the 10-query probe at nprobe 8 /
+    // rerank 200 (ADC scan over m-byte codes, exact rerank joined back
+    // to the corpus), an O(batch) frozen-codebook segment append, and
+    // the pure fold. codes_bytes is the committed codes dir's on-disk
+    // size — the compression the layout buys vs 256 B/vector raw
+    // float32×64 (the IvfIndex vectors layout).
+    if (!recallOnly && !onlyFilter.exists(f => !"ivfpq_disk".contains(f))) {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_disk_bench").toString
+      try {
+        val I = graft.operators.IvfPqIndex
+        val tb = System.nanoTime()
+        I.write(e, idxPath, dims = 64, nlist = 0, knownCount = n)
+        val buildWall = (System.nanoTime() - tb) / 1e9
+        val nlist = I.meta(spark, idxPath).map(_._1).getOrElse(-1)
+        def probeOnce(): (Double, Long) = {
+          val t = System.nanoTime()
+          val r = I.probe(spark, idxPath, queries, rerankFrom = e,
+            k = 5, nprobe = 8, rerank = 200).count()
+          ((System.nanoTime() - t) / 1e9, r)
+        }
+        val (pc, rows) = probeOnce()
+        val (pw1, _) = probeOnce(); val (pw2, _) = probeOnce()
+        val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
+          .select(($"vec_id" + 2000000000L).as("vec_id"), $"embedding")
+        val nB = batch.count()
+        val ta = System.nanoTime()
+        I.append(spark, idxPath, batch)
+        val appendWall = (System.nanoTime() - ta) / 1e9
+        val tc = System.nanoTime()
+        I.compact(spark, idxPath)
+        val compactWall = (System.nanoTime() - tc) / 1e9
+        val codesDir = new org.apache.hadoop.fs.Path(
+          s"${graft.operators.IndexVersions.resolvePath(spark, idxPath)}/codes")
+        val codesBytes = codesDir
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(codesDir).getLength
+        println(f"""{"label":"$label","n":$n,"config":"ivfpq_disk_l${nlist}p8_k5_rr200","build_sec":$buildWall%.2f,"probe_cold_sec":$pc%.2f,"probe_warm_sec":${math.min(pw1, pw2)}%.2f,"probe_rows":$rows,"n_batch":$nB,"append_sec":$appendWall%.2f,"compact_sec":$compactWall%.2f,"codes_bytes":$codesBytes}""")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(idxPath))
+      }
+    }
+
     if (n <= 50000)
       run("embed_pairs_fixed_b16p6", () =>
         Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", dims = 64,

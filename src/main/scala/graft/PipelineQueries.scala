@@ -604,6 +604,37 @@ object PipelineQueries {
       onSegs.unionByName(onBase)
     },
 
+    // The PERSISTED IVF-PQ index (the compressed-codes billion-vector
+    // layout — m bytes/vector of residual PQ codes on disk, NO raw
+    // vectors in the index; exact rerank joins candidates back to the
+    // source corpus): base built on 2/3 of the corpus, the last third
+    // arrives as a frozen-codebook O(batch) segment append, probed
+    // over base ∪ segment; then a pure-fold compaction (every code
+    // byte unchanged) and the re-probe must not move. Both probes run
+    // nprobe = nlist AND rerank >= the verify corpus, so each equals
+    // brute force over the FULL corpus regardless of quantizer,
+    // codebook, or layout (the sim_topk_ivfpq argument). Production
+    // nprobe < nlist / small rerank is pinned in IvfPqIndexSpec.
+    "sim_topk_ivfpq_disk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding")
+      val path = tmpIndexPath(dir, "graft_ivfpq_index")
+      val I = graft.operators.IvfPqIndex
+      I.write(e.filter($"vec_id" % 3 =!= 0), path, dims = 64, nlist = 8)
+      I.append(s, path, e.filter($"vec_id" % 3 === 0))
+      val onSegs = I.probe(s, path, queries, rerankFrom = e, k = 5,
+          nprobe = 8, rerank = 2000)
+        .select(lit("segs").as("phase"), $"qid", $"id", $"rank")
+        .localCheckpoint(true)
+      I.compact(s, path)
+      val onBase = I.probe(s, path, queries, rerankFrom = e, k = 5,
+          nprobe = 8, rerank = 2000)
+        .select(lit("base").as("phase"), $"qid", $"id", $"rank")
+      onSegs.unionByName(onBase)
+    },
+
     // PQ with rerank >= the verify-SF corpus (sim_topk_sq8 pattern):
     // the exact rerank re-scores every candidate, so the trained
     // codebook only orders the ADC scan and cannot affect the result —
@@ -3492,6 +3523,22 @@ object PipelineQueries {
     // probes run every cell — brute force over ALL embeddings is a
     // true oracle for BOTH phases (pre- and post-compaction).
     "sim_topk_ivf_seg" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS id,
+        |        list_cosine_similarity(c.embedding, q.qv) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.qid),
+        |r AS (SELECT qid, id, rank FROM (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+        |  FROM s) WHERE rank <= 5)
+        |SELECT p.phase, r.qid, r.id, r.rank
+        |FROM r CROSS JOIN (VALUES ('segs'), ('base')) AS p(phase)""".stripMargin,
+
+    // base(2/3) ∪ appended segment ≡ the full corpus; both probes run
+    // every cell and rerank >= corpus re-scores every candidate on
+    // original vectors — brute force over ALL embeddings is a true
+    // oracle for BOTH phases (pre- and post-fold).
+    "sim_topk_ivfpq_disk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid, c.vec_id AS id,
         |        list_cosine_similarity(c.embedding, q.qv) AS cos

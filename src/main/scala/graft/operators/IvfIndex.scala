@@ -83,7 +83,7 @@ object IvfIndex {
   /** Exact squared L2 distance between two float vectors, computed from
     * three native dot products — the identity ‖a−b‖² = a·a − 2a·b + b·b
     * keeps every leg inside the codegen'd DotProd kernel. */
-  private def sqDist(a: Column, b: Column): Column =
+  private[operators] def sqDist(a: Column, b: Column): Column =
     VectorFunctions.dotProduct(a, a) -
       lit(2.0) * VectorFunctions.dotProduct(a, b) +
       VectorFunctions.dotProduct(b, b)
@@ -91,7 +91,7 @@ object IvfIndex {
   /** Cell-ranking score: maximizing 2a·c − c·c over cells minimizes
     * ‖a−c‖² (the a·a term is constant per row) — one broadcast pass,
     * scores ranked by the bounded-heap aggregate downstream. */
-  private def negDist(a: Column, c: Column): Column =
+  private[operators] def negDist(a: Column, c: Column): Column =
     lit(2.0) * VectorFunctions.dotProduct(a, c) -
       VectorFunctions.dotProduct(c, c)
 
@@ -127,35 +127,14 @@ object IvfIndex {
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", knownCount: Long = -1L,
       fitSamplePerCell: Int = 256, subsumedUpto: Long = -1L): Int = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     require(dims > 0, s"dims: $dims")
     require(fitSamplePerCell >= 0, s"fitSamplePerCell: $fitSamplePerCell")
-    val cells =
-      if (nlist > 0) nlist
-      else {
-        val n = if (knownCount >= 0) knownCount
-          else corpus.select(col(idCol)).count()
-        math.min(4096, math.max(8, math.sqrt(n.toDouble).toInt))
-      }
+    val cells = deriveNlist(corpus, idCol, nlist, knownCount)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Embeddings.normalize(col(vecCol)).as("nvec"))
-    val trainCap = math.min(Int.MaxValue.toLong,
-      fitSamplePerCell.toLong * cells).toInt
-    val trainSet =
-      if (fitSamplePerCell == 0) c
-      else c.orderBy(xxhash64(col("id"))).limit(trainCap)
-        // TakeOrderedAndProject lands the sample on one partition;
-        // spread it back out so the fit's per-iteration passes use
-        // every core
-        .repartition(spark.sparkContext.defaultParallelism)
-    val model = Similarity.fitQuantizer(
-      trainSet.select(array_to_vector(col("nvec")).as("features")),
-      cells, seed)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
+    val centroids = fitCentroids(c, cells, seed, fitSamplePerCell)
 
     val v = IndexVersions.nextVersion(spark, path)
     val dir = IndexVersions.versionDir(path, v)
@@ -244,24 +223,53 @@ object IvfIndex {
     spark.read.parquet(
       s"${IndexVersions.resolvePath(spark, path)}/centroids")
 
-  private def segsRoot(path: String): String = s"$path/_graft_segs"
-  private def segDir(path: String, n: Long): String =
-    s"$path/segments/seg$n"
-
-  /** Every segment number the committed manifest lists — INCLUDING
-    * rows a compaction already subsumed but hadn't pruned (callers
-    * filter by the base sidecar's `segs_upto`). Empty before the first
-    * append. Bounded driver-side: one row per segment. */
-  private def committedSegs(spark: SparkSession,
-      path: String): Seq[Long] = {
-    val root = segsRoot(path)
-    IndexVersions.currentVersion(spark, root) match {
-      case None => Seq.empty
-      case Some(v) =>
-        spark.read.parquet(IndexVersions.versionDir(root, v))
-          .select(col("seg")).collect().map(_.getLong(0)).toSeq.sorted
+  /** Derive nlist: caller's value, or the √n occupancy rule (capped at
+    * 4096); `knownCount` skips the count job. */
+  private[operators] def deriveNlist(corpus: DataFrame, idCol: String,
+      nlist: Int, knownCount: Long): Int =
+    if (nlist > 0) nlist
+    else {
+      val n = if (knownCount >= 0) knownCount
+        else corpus.select(col(idCol)).count()
+      math.min(4096, math.max(8, math.sqrt(n.toDouble).toInt))
     }
+
+  /** Fit the coarse quantizer on a bounded DETERMINISTIC sample of
+    * `c` (id, nvec — see [[write]]'s fitSamplePerCell doc) and return
+    * the (cell, centroid) frame — shared by the raw-vector and PQ
+    * ([[IvfPqIndex]]) builds. */
+  private[operators] def fitCentroids(c: DataFrame, cells: Int,
+      seed: Long, fitSamplePerCell: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = c.sparkSession
+    import spark.implicits._
+    val trainCap = math.min(Int.MaxValue.toLong,
+      fitSamplePerCell.toLong * cells).toInt
+    val trainSet =
+      if (fitSamplePerCell == 0) c
+      else c.orderBy(xxhash64(col("id"))).limit(trainCap)
+        // TakeOrderedAndProject lands the sample on one partition;
+        // spread it back out so the fit's per-iteration passes use
+        // every core
+        .repartition(spark.sparkContext.defaultParallelism)
+    val model = Similarity.fitQuantizer(
+      trainSet.select(array_to_vector(col("nvec")).as("features")),
+      cells, seed)
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
   }
+
+  private def segDir(path: String, n: Long): String =
+    SegmentLog.segDir(path, n)
+  private def committedSegs(spark: SparkSession, path: String): Seq[Long] =
+    SegmentLog.committedSegs(spark, path)
+  private def commitSegManifest(spark: SparkSession, path: String,
+      segs: Seq[Long]): Unit =
+    SegmentLog.commitManifest(spark, path, segs)
+  private def healSegs(spark: SparkSession, path: String,
+      live: Seq[Long]): Unit =
+    SegmentLog.heal(spark, path, live)
 
   /** Segment numbers probes must read: committed manifest rows newer
     * than the committed base's `segs_upto`. */
@@ -269,42 +277,6 @@ object IvfIndex {
       path: String): Seq[Long] = {
     val upto = metaFull(spark, path).map(_.segsUpto).getOrElse(0L)
     committedSegs(spark, path).filter(_ > upto)
-  }
-
-  private def commitSegManifest(spark: SparkSession, path: String,
-      segs: Seq[Long]): Unit = {
-    import spark.implicits._
-    val root = segsRoot(path)
-    val v = IndexVersions.nextVersion(spark, root)
-    segs.toDF("seg").coalesce(1).write.mode("overwrite")
-      .parquet(IndexVersions.versionDir(root, v))
-    IndexVersions.commit(spark, root, v)
-    IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
-  }
-
-  private def segDirsOnDisk(spark: SparkSession,
-      path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("seg") && n.stripPrefix("seg").nonEmpty &&
-        n.stripPrefix("seg").forall(_.isDigit))
-      .map(_.stripPrefix("seg").toLong)
-  }
-
-  /** Delete segment dirs not in `live` — a crashed append's orphan
-    * (written, never committed) or a compaction's subsumed sources
-    * (folded into the base, prune interrupted). Dead by the
-    * manifest/`segs_upto` contract, so removal never changes a probe. */
-  private def healSegs(spark: SparkSession, path: String,
-      live: Seq[Long]): Unit = {
-    val keep = live.toSet
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    segDirsOnDisk(spark, path).filterNot(keep).foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(segDir(path, n)), true): Unit
-    }
   }
 
   /** The probe/compaction read: base vectors ∪ live segments. Every
@@ -379,7 +351,7 @@ object IvfIndex {
 
   /** Nearest-cell assignment of `batch` under FROZEN `centroids`: the
     * shared build/arrival kernel. Keeps (id, vec, nvec, cell). */
-  private def assignWith(batch: DataFrame,
+  private[operators] def assignWith(batch: DataFrame,
       centroids: DataFrame): DataFrame = {
     val scored = batch.crossJoin(broadcast(centroids))
       .select(col("id").as("qid"), col("cell").cast("long").as("id"),
@@ -469,5 +441,70 @@ object IvfIndex {
       .select(col("n"), lit(buildMse).as("build_mse"), col("batch_mse"),
         when(col("n") === 0L || lit(buildMse) === 0.0, lit(0.0))
           .otherwise(col("batch_mse") / lit(buildMse)).as("ratio"))
+  }
+}
+
+/** Segment-LSM bookkeeping shared by the persisted vector indexes
+  * ([[IvfIndex]], [[IvfPqIndex]]): a manifest of committed segment
+  * numbers under `<root>/_graft_segs` (its own [[IndexVersions]]
+  * pointer — pointer-flip-last, keep-last-2 retention) plus the
+  * heal pass that reclaims dead `segments/segN` dirs. The crash
+  * contract lives HERE so both indexes inherit it identically:
+  * a segment dir without a manifest row is invisible (crashed
+  * append); a manifest row ≤ the base sidecar's `segs_upto` is
+  * ignored (compaction flipped the base, prune interrupted); the
+  * next mutation heals both.
+  */
+private[operators] object SegmentLog {
+
+  def segsRoot(path: String): String = s"$path/_graft_segs"
+  def segDir(path: String, n: Long): String = s"$path/segments/seg$n"
+
+  /** Every segment number the committed manifest lists — INCLUDING
+    * rows a compaction already subsumed but hadn't pruned (callers
+    * filter by the base sidecar's `segs_upto`). Empty before the first
+    * append. Bounded driver-side: one row per segment. */
+  def committedSegs(spark: SparkSession, path: String): Seq[Long] = {
+    val root = segsRoot(path)
+    IndexVersions.currentVersion(spark, root) match {
+      case None => Seq.empty
+      case Some(v) =>
+        spark.read.parquet(IndexVersions.versionDir(root, v))
+          .select(col("seg")).collect().map(_.getLong(0)).toSeq.sorted
+    }
+  }
+
+  def commitManifest(spark: SparkSession, path: String,
+      segs: Seq[Long]): Unit = {
+    import spark.implicits._
+    val root = segsRoot(path)
+    val v = IndexVersions.nextVersion(spark, root)
+    segs.toDF("seg").coalesce(1).write.mode("overwrite")
+      .parquet(IndexVersions.versionDir(root, v))
+    IndexVersions.commit(spark, root, v)
+    IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
+  }
+
+  def dirsOnDisk(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("seg") && n.stripPrefix("seg").nonEmpty &&
+        n.stripPrefix("seg").forall(_.isDigit))
+      .map(_.stripPrefix("seg").toLong)
+  }
+
+  /** Delete segment dirs not in `live` — a crashed append's orphan
+    * (written, never committed) or a compaction's subsumed sources
+    * (folded into the base, prune interrupted). Dead by the
+    * manifest/`segs_upto` contract, so removal never changes a probe. */
+  def heal(spark: SparkSession, path: String, live: Seq[Long]): Unit = {
+    val keep = live.toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirsOnDisk(spark, path).filterNot(keep).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(segDir(path, n)), true): Unit
+    }
   }
 }

@@ -455,7 +455,7 @@ object IvfIndex {
   * ignored (compaction flipped the base, prune interrupted); the
   * next mutation heals both.
   */
-private[operators] object SegmentLog {
+private[graft] object SegmentLog {
 
   def segsRoot(path: String): String = s"$path/_graft_segs"
   def segDir(path: String, n: Long): String = s"$path/segments/seg$n"

@@ -234,13 +234,30 @@ object IvfPqIndex {
     * the [[SegmentLog]] manifest. Arrival ids must be new — probes do
     * not dedup. Returns the segment number, or -1 for an empty batch
     * (committed no-op).
+    *
+    * `atSeg` ≥ 0 pins the segment NUMBER instead of taking the next
+    * free one — the streaming writer's exactly-once hook: a retried
+    * micro-batch re-runs with the SAME number, so the retry overwrites
+    * the same segment dir with byte-identical codes (frozen kernel ⇒
+    * deterministic encode) and the manifest commit is a set-union —
+    * idempotent end state, no transaction log. If a compaction folded
+    * that number into the base between attempts (`atSeg` ≤ the
+    * committed `segs_upto`), the rows are ALREADY probe-able from the
+    * base: the append returns -2 without writing (a dead manifest row
+    * would be ignored anyway, but not writing keeps heal trivial).
+    * The caller owns the numbering: a pinned number must not collide
+    * with a live segment another writer produced (the single-writer
+    * contract every mutation here already assumes).
     */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dims: Int = 0): Long = {
+      dims: Int = 0, atSeg: Long = -1L): Long = {
     val meta = requireMeta(spark, path, dims)
+    if (atSeg >= 0 && atSeg <= meta.segsUpto) return -2L
     val committed = SegmentLog.committedSegs(spark, path)
     val live = committed.filter(_ > meta.segsUpto)
+    // a pinned retry's own dir must survive the heal only if committed;
+    // an uncommitted prior attempt is reclaimed and rewritten below
     SegmentLog.heal(spark, path, live)
     if (live != committed) SegmentLog.commitManifest(spark, path, live)
     val b = batch.select(col(idCol).as("id"),
@@ -249,7 +266,7 @@ object IvfPqIndex {
     val centroids = readCentroids(spark, path)
     val cb = readCodebook(spark, path)
     val dsub = meta.dims / meta.m
-    val n = (committed :+ meta.segsUpto).max + 1
+    val n = if (atSeg >= 0) atSeg else (committed :+ meta.segsUpto).max + 1
     IvfIndex.assignWith(b.withColumn("vec", col("nvec")), centroids)
       .select(col("id"), col("nvec"), col("cell"))
       .join(broadcast(centroids), Seq("cell"))
@@ -261,7 +278,7 @@ object IvfPqIndex {
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(SegmentLog.segDir(path, n))
-    SegmentLog.commitManifest(spark, path, live :+ n)
+    SegmentLog.commitManifest(spark, path, (live.toSet + n).toSeq.sorted)
     n
   }
 

@@ -286,6 +286,21 @@ object AnnScaleBench {
         }
         val (pc, rows) = probeOnce()
         val (pw1, _) = probeOnce(); val (pw2, _) = probeOnce()
+        // measured recall at the PRODUCTION configuration (nprobe 8 <
+        // nlist, rerank 200) vs brute force, 100-probe sample — the
+        // honest quality number next to the wall-clock decade. BEFORE
+        // the append below: the appended twins would steal top-k slots
+        // from the corpus rows brute force is scored against.
+        val rProbes = e.filter($"vec_id" < 100)
+          .select($"vec_id".as("qid"), $"embedding")
+        val brute = Similarity.bruteForceTopK(e, rProbes, k = 5)
+          .select($"qid", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = I.probe(spark, idxPath, rProbes, rerankFrom = e,
+            k = 5, nprobe = 8, rerank = 200)
+          .select($"qid", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = got.intersect(brute).size.toDouble / brute.size
         val batch = e.filter(pmod($"vec_id", lit(10)) === 0)
           .select(($"vec_id" + 2000000000L).as("vec_id"), $"embedding")
         val nB = batch.count()
@@ -300,7 +315,7 @@ object AnnScaleBench {
         val codesBytes = codesDir
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getContentSummary(codesDir).getLength
-        println(f"""{"label":"$label","n":$n,"config":"ivfpq_disk_l${nlist}p8_k5_rr200","build_sec":$buildWall%.2f,"probe_cold_sec":$pc%.2f,"probe_warm_sec":${math.min(pw1, pw2)}%.2f,"probe_rows":$rows,"n_batch":$nB,"append_sec":$appendWall%.2f,"compact_sec":$compactWall%.2f,"codes_bytes":$codesBytes}""")
+        println(f"""{"label":"$label","n":$n,"config":"ivfpq_disk_l${nlist}p8_k5_rr200","build_sec":$buildWall%.2f,"probe_cold_sec":$pc%.2f,"probe_warm_sec":${math.min(pw1, pw2)}%.2f,"probe_rows":$rows,"n_batch":$nB,"append_sec":$appendWall%.2f,"compact_sec":$compactWall%.2f,"codes_bytes":$codesBytes,"recall_s100":$recall%.3f}""")
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

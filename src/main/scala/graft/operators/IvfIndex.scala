@@ -141,18 +141,25 @@ object IvfIndex {
     // assignment through the SAME kernel arrivals use (not
     // model.transform): argmin cell by exact sqDist on the normalized
     // vector, ties to the lowest cell id — [[assignCells]] parity by
-    // construction
+    // construction. Persisted: both the partitioned write and the
+    // buildMse aggregate consume it, and re-executing the crossJoin +
+    // bounded-heap argmin per action doubles the build.
     val assigned = assignWith(c, centroids)
-    assigned.select(col("id"), col("vec"), col("cell"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    // build-time quantization error (mean ‖nvec − centroid‖² over the
-    // corpus): the drift baseline, one broadcast join + one agg row
-    val buildMse = assigned
-      .join(broadcast(centroids), Seq("cell"))
-      .select(sqDist(col("nvec"), col("centroid")).as("d2"))
-      .agg(avg(col("d2"))).as[Double].head()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buildMse = try {
+      assigned.select(col("id"), col("vec"), col("cell"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/vectors")
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      // build-time quantization error (mean ‖nvec − centroid‖² over the
+      // corpus): the drift baseline, one broadcast join + one agg row
+      assigned
+        .join(broadcast(centroids), Seq("cell"))
+        .select(sqDist(col("nvec"), col("centroid")).as("d2"))
+        .agg(avg(col("d2"))).as[Double].head()
+    } finally assigned.unpersist(blocking = false): Unit
     // segs_upto: a compaction passes the highest live segment it
     // folded in; a plain rebuild carries the previous base's value
     // forward (its segments are still live arrivals it did NOT fold)
@@ -302,11 +309,19 @@ object IvfIndex {
     * NOT retrained ([[drift]] is the retrain signal; [[compact]] the
     * retrain). Arrival ids must be new — probes do not dedup. Returns
     * the segment number, or -1 for an empty batch (committed no-op).
+    *
+    * `atSeg` ≥ 0 pins the segment number — the streaming writer's
+    * exactly-once hook, identical contract to [[IvfPqIndex.append]]:
+    * a retried micro-batch re-runs under the SAME number (frozen
+    * centroids ⇒ deterministic re-write over the same dir, set-union
+    * manifest commit), and a number a compaction already folded
+    * (≤ `segs_upto`) returns -2 without writing.
     */
   def appendVectors(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dims: Int = 0): Long = {
+      dims: Int = 0, atSeg: Long = -1L): Long = {
     val m = requireMeta(spark, path, dims)
+    if (atSeg >= 0 && atSeg <= m.segsUpto) return -2L
     val committed = committedSegs(spark, path)
     val live = committed.filter(_ > m.segsUpto)
     healSegs(spark, path, live)
@@ -314,13 +329,13 @@ object IvfIndex {
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Embeddings.normalize(col(vecCol)).as("nvec"))
     if (b.isEmpty) return -1L
-    val n = (committed :+ m.segsUpto).max + 1
+    val n = if (atSeg >= 0) atSeg else (committed :+ m.segsUpto).max + 1
     assignWith(b, readCentroids(spark, path))
       .select(col("id"), col("vec"), col("cell"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(segDir(path, n))
-    commitSegManifest(spark, path, live :+ n)
+    commitSegManifest(spark, path, (live.toSet + n).toSeq.sorted)
     n
   }
 

@@ -108,34 +108,42 @@ object IvfPqIndex {
     val assigned = IvfIndex
       .assignWith(c.withColumn("vec", col("nvec")), centroids)
       .select(col("id"), col("nvec"), col("cell"))
+    // three actions consume the assignment (codebook sample, codes
+    // write, buildMse agg) — persist it so the crossJoin + bounded-heap
+    // argmin runs ONCE, not per action (measured 3× the 200k build)
     val withRes = assigned.join(broadcast(centroids), Seq("cell"))
       .withColumn("res", residual(col("nvec"), col("centroid")))
-    val cb = Similarity.Pq.train(withRes, dims, m, ksub, seed,
-      sampleN = pqSampleN, vecCol = "res", preNormalized = true).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = Similarity.Pq.train(withRes, dims, m, ksub, seed,
+        sampleN = pqSampleN, vecCol = "res", preNormalized = true).toSeq
 
-    val v = IndexVersions.nextVersion(spark, path)
-    val dir = IndexVersions.versionDir(path, v)
-    withRes.select(col("id"),
-        VectorFunctions.pqEncode(col("res"), cb, m, ksub, dsub)
-          .as("codes"),
-        col("cell"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    Seq(Tuple1(cb)).toDF("codebook").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
-    // coarse quantization error — the drift baseline (the PQ codebook
-    // rides along on the rebuild drift triggers)
-    val buildMse = withRes
-      .select(IvfIndex.sqDist(col("nvec"), col("centroid")).as("d2"))
-      .agg(avg(col("d2"))).as[Double].head()
-    val upto =
-      if (subsumedUpto >= 0L) subsumedUpto
-      else metaFull(spark, path).map(_.segsUpto).getOrElse(0L)
-    writeMeta(spark, dir, Meta(cells, dims, m, ksub, seed, buildMse, upto))
-    IndexVersions.commit(spark, path, v)
-    IndexVersions.dropOldPathVersions(spark, path, keepPrevious = 1): Unit
-    v
+      val v = IndexVersions.nextVersion(spark, path)
+      val dir = IndexVersions.versionDir(path, v)
+      withRes.select(col("id"),
+          VectorFunctions.pqEncode(col("res"), cb, m, ksub, dsub)
+            .as("codes"),
+          col("cell"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      Seq(Tuple1(cb)).toDF("codebook").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/codebook")
+      // coarse quantization error — the drift baseline (the PQ codebook
+      // rides along on the rebuild drift triggers)
+      val buildMse = withRes
+        .select(IvfIndex.sqDist(col("nvec"), col("centroid")).as("d2"))
+        .agg(avg(col("d2"))).as[Double].head()
+      val upto =
+        if (subsumedUpto >= 0L) subsumedUpto
+        else metaFull(spark, path).map(_.segsUpto).getOrElse(0L)
+      writeMeta(spark, dir,
+        Meta(cells, dims, m, ksub, seed, buildMse, upto))
+      IndexVersions.commit(spark, path, v)
+      IndexVersions.dropOldPathVersions(spark, path, keepPrevious = 1): Unit
+      v
+    } finally withRes.unpersist(blocking = false): Unit
   }
 
   private[graft] case class Meta(nlist: Int, dims: Int, m: Int, ksub: Int,

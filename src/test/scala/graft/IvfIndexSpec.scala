@@ -193,6 +193,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(probeAll(dir) == bruteAll)
   }
 
+  test("pinned-segment appends (atSeg) converge under retry and " +
+      "refuse a number the base already subsumed") {
+    val dir = tmpDir("ivfatseg")
+    IvfIndex.write(e.filter($"vec_id" % 3 =!= 0), dir, dims = 64,
+      nlist = 8)
+    val b1 = e.filter($"vec_id" % 6 === 0)
+    val b2 = e.filter($"vec_id" % 6 === 3)
+    assert(IvfIndex.appendVectors(spark, dir, b1, atSeg = 1L) == 1L)
+    assert(IvfIndex.appendVectors(spark, dir, b2, atSeg = 2L) == 2L)
+    val want = probeAll(dir)
+    assert(want == bruteAll)
+    // retry of a committed batch: same number, same content, set-union
+    // manifest — nothing moves
+    assert(IvfIndex.appendVectors(spark, dir, b1, atSeg = 1L) == 1L)
+    assert(IvfIndex.liveSegs(spark, dir) == Seq(1L, 2L))
+    assert(probeAll(dir) == want, "a replayed append must change nothing")
+    // fold, then retry a folded number: refused with -2, probe intact
+    IvfIndex.compact(spark, dir, nlist = 8)
+    assert(IvfIndex.appendVectors(spark, dir, b2, atSeg = 2L) == -2L)
+    assert(IvfIndex.liveSegs(spark, dir).isEmpty,
+      "a retry of a folded number must not resurrect its segment")
+    assert(probeAll(dir) == want)
+  }
+
   test("rebuild publishes the next generation behind the pointer; " +
       "drift under frozen centroids flags a shifted batch") {
     val dir = tmpDir("ivfgen")

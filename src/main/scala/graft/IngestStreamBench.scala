@@ -409,6 +409,55 @@ object IngestStreamBench {
       println(f"""{"mode":"embed","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"replay_wall_sec":$replaySec%.1f,"accepted":$accepted,"batch_sec":${fmtBatches(batchTimes)}}""")
     }
 
+    // ANN-index maintenance stream: base IVF-PQ index over the corpus,
+    // arrivals folded in per micro-batch as pinned frozen-codebook
+    // segments through the REAL streaming engine; post-stream freshness
+    // probe (every arrival twin must surface its own id at rank 1 —
+    // exact-rerank guarantee), then the pure fold and the re-probe.
+    if (mode == "ann") {
+      val I = graft.operators.IvfPqIndex
+      val emb = Tables(spark, dir, "embeddings")
+      val corpus = emb.filter(pmod($"vec_id", lit(batchMod)) =!= 0)
+      val arrivals = emb.filter(pmod($"vec_id", lit(batchMod)) === 0)
+      val nC = corpus.count(); val nA = arrivals.count()
+      val idx = s"$scratch/ann_idx"
+      val tb = System.nanoTime()
+      I.write(corpus, idx, dims = 64, nlist = 0, knownCount = nC)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val srcDir = stageArrivals(arrivals, "vec_id", "ann_src")
+      val lst = new BatchTimes
+      spark.streams.addListener(lst)
+      val t0 = System.nanoTime()
+      graft.streaming.AnnIngestStream.run(spark, srcDir, idx,
+        checkpointDir = s"$scratch/ann_ckpt",
+        driftDir = s"$scratch/ann_drift")
+      val streamSec = (System.nanoTime() - t0) / 1e9
+      val batchTimes = lst.drain(nBatches)
+      spark.streams.removeListener(lst)
+      val liveSegs = I.liveSegs(spark, idx).size
+      val driftRows = graft.streaming.AnnIngestStream
+        .driftLog(spark, s"$scratch/ann_drift").map(_.count()).getOrElse(0L)
+      // freshness: 10 arrival twins re-id'd as probes — each must find
+      // its streamed-in original at rank 1 (cosine 1 through the exact
+      // rerank), proving the appended segments serve
+      val probes = arrivals.orderBy($"vec_id").limit(10)
+        .select(($"vec_id" + 900000000L).as("qid"), $"embedding")
+        .localCheckpoint(true)
+      def probeOnce(): (Double, Long) = {
+        val t = System.nanoTime()
+        val hits = I.probe(spark, idx, probes, rerankFrom = emb,
+            k = 1, nprobe = 8, rerank = 50)
+          .filter($"id" === $"qid" - 900000000L).count()
+        ((System.nanoTime() - t) / 1e9, hits)
+      }
+      val (probeSec, hits) = probeOnce()
+      val tc = System.nanoTime()
+      I.compact(spark, idx)
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      val (postProbeSec, postHits) = probeOnce()
+      println(f"""{"mode":"ann","n_corpus":$nC,"n_arrivals":$nA,"n_batches":$nBatches,"index_build_sec":$buildSec%.1f,"stream_wall_sec":$streamSec%.1f,"live_segments":$liveSegs,"drift_rows":$driftRows,"probe_hits":$hits,"probe_sec":$probeSec%.1f,"compact_sec":$compactSec%.1f,"post_probe_hits":$postHits,"post_probe_sec":$postProbeSec%.1f,"batch_sec":${fmtBatches(batchTimes)}}""")
+    }
+
     spark.stop()
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -1085,8 +1085,19 @@ object PipelineQueries {
       val d = Tables(s, dir, "documents")
       val corpus = d.filter($"doc_id" % 23 =!= 0)
       val bench = d.filter($"doc_id" % 23 === 0)
-      val clean = graft.operators.Decontaminate.clean(
-        corpus, bench, "doc_id", "text", n = 3, minShared = 3)
+      // the contaminated-id list is materialized ONCE (bounded by the
+      // collision count): `clean` feeds four lazy consumers (pair gen,
+      // representative scoring, the singleton anti-join, the cap) and
+      // Spark re-executes a shared subtree per reference — with the
+      // decontamination overlap join inlined, this one gate's plan held
+      // 36 parquet scans / 72 Exchanges and re-ran the overlap shuffle
+      // 4x. Each `clean` reference is now a scan + broadcast anti-join
+      // against the pinned id list; rows are unchanged (same ids, same
+      // anti-join as Decontaminate.clean).
+      val contaminatedIds = graft.operators.Decontaminate.overlapPairs(
+          corpus, bench, "doc_id", "text", n = 3, minShared = 3)
+        .select($"doc_id").distinct().localCheckpoint(true)
+      val clean = corpus.join(contaminatedIds, Seq("doc_id"), "left_anti")
       val pairs = Dedup.ngramJaccardPairs(clean, "doc_id", "text",
         n = 3, threshold = 0.5).select($"id_a", $"id_b")
       val keep = Dedup.clusterRepresentatives(clean, pairs, "doc_id",
@@ -1112,9 +1123,18 @@ object PipelineQueries {
       val d = Tables(s, dir, "documents")
       val corpus = d.filter($"doc_id" % 23 =!= 0)
       val bench = d.filter($"doc_id" % 23 === 0)
+      // same shared-subtree discipline as pipeline_hygiene, and the
+      // audit needs it MORE: the stage flags reference `contaminated`,
+      // `keep`, `capped` a second time in the final one-pass aggregate,
+      // which un-materialized re-ran the overlap join and the keep-list
+      // derivation per reference (measured plan: 54 parquet scans, 104
+      // Exchanges; isolated warm 5.5 s). The flag lists are bounded
+      // (ids only) — pin each once, every later reference is a
+      // broadcast-join probe.
       val contaminated = graft.operators.Decontaminate.overlapPairs(
           corpus, bench, "doc_id", "text", n = 3, minShared = 3)
         .select($"doc_id").distinct().withColumn("__c", lit(true))
+        .localCheckpoint(true)
       val clean = corpus.join(contaminated.select($"doc_id"),
         Seq("doc_id"), "left_anti")
       val pairs = Dedup.ngramJaccardPairs(clean, "doc_id", "text",
@@ -1122,6 +1142,7 @@ object PipelineQueries {
       val keep = Dedup.clusterRepresentatives(clean, pairs, "doc_id",
           $"n_chars")
         .select($"keep_id".as("doc_id")).withColumn("__r", lit(true))
+        .localCheckpoint(true)
       val capped = Sampling.capPerGroup(
           clean.join(keep.select($"doc_id"), "doc_id"),
           "source", "doc_id", $"n_chars", n = 10)

@@ -252,13 +252,22 @@ object IvfIndex {
     import spark.implicits._
     val trainCap = math.min(Int.MaxValue.toLong,
       fitSamplePerCell.toLong * cells).toInt
+    // TakeOrderedAndProject lands the sample on one partition; spread
+    // it back out — but size the spread from the SAMPLE, not the core
+    // count: every k-means|| init round and Lloyd iteration is one job
+    // over these partitions, and 32 near-empty tasks per pass made the
+    // fit scheduling-bound at small nlist (measured: the nlist=8 /
+    // 2048-point refit inside sim_topk_ivf_seg's compact was ~5 s of
+    // its 5.6 s warm wall at defaultParallelism partitions). ~50k
+    // sample points per partition keeps a production 256×4096 sample
+    // on 20+ tasks while a small fit runs 1-2.
+    val fitParts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism,
+        (trainCap / 50000) + 1))
     val trainSet =
       if (fitSamplePerCell == 0) c
       else c.orderBy(xxhash64(col("id"))).limit(trainCap)
-        // TakeOrderedAndProject lands the sample on one partition;
-        // spread it back out so the fit's per-iteration passes use
-        // every core
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(fitParts)
     val model = Similarity.fitQuantizer(
       trainSet.select(array_to_vector(col("nvec")).as("features")),
       cells, seed)

@@ -136,9 +136,20 @@ object Shards {
     * again. Every mutating entry point runs this first. Returns the
     * deleted shard ids.
     */
-  def healLayout(spark: SparkSession, outDir: String): Seq[Long] = {
-    val committed = readManifest(spark, outDir)
-      .select(col("shard").cast("long")).collect().map(_.getLong(0)).toSet
+  def healLayout(spark: SparkSession, outDir: String): Seq[Long] =
+    healWith(spark, outDir, committedIds(readManifest(spark, outDir)).toSet)
+
+  /** The committed shard ids of a (pinned) manifest frame — ≤ #shards
+    * rows, bounded driver-side collect. Mutating entry points collect
+    * this ONCE and share it between the heal pass and their own
+    * numbering math instead of re-reading the manifest per step (an
+    * append paid three manifest reads + an agg job for what is one
+    * bounded collect). */
+  private def committedIds(manifest: DataFrame): Array[Long] =
+    manifest.select(col("shard").cast("long")).collect().map(_.getLong(0))
+
+  private def healWith(spark: SparkSession, outDir: String,
+      committed: Set[Long]): Seq[Long] = {
     val fs = fsOf(spark, outDir)
     shardDirsOnDisk(spark, outDir).filterNot(committed).map { sid =>
       fs.delete(
@@ -175,10 +186,14 @@ object Shards {
       mass: Column, shardMass: Long, buckets: Int = 0,
       knownCount: Long = -1L, epoch: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    healLayout(spark, outDir): Unit
-    // coalesce: an empty manifest (bootstrap layout) numbers from 0
-    val base = readManifest(spark, outDir)
-      .agg(coalesce(max(col("shard")), lit(-1L))).head().getLong(0) + 1L
+    // ONE manifest read serves the heal pass, the numbering base, and
+    // the carried-forward rows below (pinned — the commit later in this
+    // method replaces the files it came from)
+    val manifest = readManifest(spark, outDir).localCheckpoint(true)
+    val ids = committedIds(manifest)
+    healWith(spark, outDir, ids.toSet): Unit
+    // empty manifest (bootstrap layout) numbers from 0
+    val base = (if (ids.isEmpty) -1L else ids.max) + 1L
     val assigned = shardByMass(df, idCol, mass, shardMass, buckets,
         knownCount, epoch)
       .withColumn("shard", col("shard") + lit(base))
@@ -196,10 +211,10 @@ object Shards {
       if (shardDirsOnDisk(spark, outDir).isEmpty) emptyManifest(spark)
       else manifestRows(
         spark.read.parquet(outDir).filter(col("shard") >= base))
-    val updated = readManifest(spark, outDir)
-      .filter(col("shard") < base).unionByName(newRows)
-      .localCheckpoint(true) // sever the read-before-commit cycle
-    commitManifest(spark, outDir, updated)
+    // `manifest` is pinned above, so the union cannot re-read files the
+    // commit is about to retire
+    commitManifest(spark, outDir,
+      manifest.filter(col("shard") < base).unionByName(newRows))
   }
 
   /** COMPACT the small tail a stream of [[appendShards]] batches
@@ -231,12 +246,17 @@ object Shards {
       epoch: Int = 0): DataFrame = {
     require(shardMass >= 1, s"shardMass must be >= 1: $shardMass")
     val threshold = if (minMass >= 0) minMass else shardMass / 2
-    healLayout(spark, outDir): Unit
+    // ONE manifest read + ONE bounded (shard, mass) collect serves the
+    // heal pass, the small-set selection, and the numbering base —
+    // previously three separate manifest scans plus an agg job
     val manifest = readManifest(spark, outDir).localCheckpoint(true)
-    val small = manifest.filter(col("mass") < threshold)
-      .select(col("shard").cast("long")).collect().map(_.getLong(0))
+    val rows = manifest
+      .select(col("shard").cast("long"), col("mass").cast("long"))
+      .collect()
+    healWith(spark, outDir, rows.map(_.getLong(0)).toSet): Unit
+    val small = rows.filter(_.getLong(1) < threshold).map(_.getLong(0))
     if (small.length < 2) return manifest
-    val base = manifest.agg(max(col("shard"))).head().getLong(0) + 1L
+    val base = rows.map(_.getLong(0)).max + 1L
     // stored rows already carry doc_mass; shardByMass re-derives it
     // from itself (withColumn replaces in place) on the fresh line
     val folded = shardByMass(
@@ -252,10 +272,9 @@ object Shards {
       .partitionBy("shard").parquet(outDir)
     val newRows = manifestRows(
       spark.read.parquet(outDir).filter(col("shard") >= base))
-    val updated = manifest
+    val committed = commitManifest(spark, outDir, manifest
       .filter(!col("shard").isin(small.toIndexedSeq: _*))
-      .unionByName(newRows).localCheckpoint(true)
-    val committed = commitManifest(spark, outDir, updated)
+      .unionByName(newRows))
     // sources are retracted from the committed manifest — delete LAST
     val fs = fsOf(spark, outDir)
     small.foreach { sid =>
@@ -298,12 +317,19 @@ object Shards {
   private def commitManifest(spark: SparkSession, outDir: String,
       rows: DataFrame): DataFrame = {
     val root = manifestRoot(outDir)
+    // pin BEFORE the write: the returned frame must survive a later
+    // append/compaction replacing the files, and pinning first also
+    // makes the write read from the snapshot — the old shape (write,
+    // then re-read the just-written files, then pin) paid one extra
+    // manifest scan per mutation for rows that are by construction the
+    // ones just materialized
+    val snap = rows.localCheckpoint(true)
     val v = IndexVersions.nextVersion(spark, root)
-    rows.write.mode("overwrite")
+    snap.write.mode("overwrite")
       .parquet(IndexVersions.versionDir(root, v))
     IndexVersions.commit(spark, root, v)
     IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
-    readManifest(spark, outDir).localCheckpoint(true)
+    snap
   }
 
   private def emptyManifest(spark: SparkSession): DataFrame =

@@ -384,6 +384,73 @@ object VecOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-cell IVF ranking score, bit-identical to the dataframe path it
+    * replaces (`2.0 * dot(v, c) − dot(c, c)` over [[dot]]'s double
+    * accumulation in ascending-index order): maximizing it minimizes
+    * ‖v−c‖². The two accumulators are independent, so fusing the loops
+    * changes no FP operation or order. */
+  private def negDistAt(v: ArrayData, centroids: Array[Float],
+      off: Int, dims: Int): Double = {
+    var d = 0.0; var cc = 0.0
+    var i = 0
+    while (i < dims) {
+      val c = centroids(off + i).toDouble
+      d += v.getFloat(i).toDouble * c
+      cc += c * c
+      i += 1
+    }
+    2.0 * d - cc
+  }
+
+  /** Nearest-centroid cell of `v` over a row-major [nlist][dims] matrix:
+    * argmax of [[negDistAt]], ties to the LOWEST cell (strict `>` over
+    * ascending cells) — exactly the `topKRank(k=1)` ordering (score
+    * desc, id asc) of the exchange-based assignment this kernel
+    * replaces. One narrow pass per row; no shuffle, no join-back. */
+  def nearestCell(v: ArrayData, centroids: Array[Float], nlist: Int,
+      dims: Int): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var cell = 0
+    while (cell < nlist) {
+      val s = negDistAt(v, centroids, cell * dims, dims)
+      if (s > bestS) { bestS = s; best = cell }
+      cell += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells of `v`, ordered by (score desc, cell
+    * asc) — the probe-side mirror of [[nearestCell]], replacing the
+    * per-query crossJoin + bounded-heap rank with one kernel pass.
+    * Selection is O(nlist · nprobe) over ≤4096 cells. */
+  def nearestCells(v: ArrayData, centroids: Array[Float], nlist: Int,
+      dims: Int, nprobe: Int): ArrayData = {
+    val n = math.min(nprobe, nlist)
+    val scores = new Array[Double](nlist)
+    var cell = 0
+    while (cell < nlist) {
+      scores(cell) = negDistAt(v, centroids, cell * dims, dims)
+      cell += 1
+    }
+    val taken = new Array[Boolean](nlist)
+    val out = new Array[Any](n)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < nlist) {
+        if (!taken(c) && scores(c) > bestS) { bestS = scores(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** minhash_sig(array<string>) → array<long> of k running minima, one pass. */
@@ -536,6 +603,55 @@ case class PqEncode(child: Expression, codebook: Seq[Float],
     copy(child = newChild)
 }
 
+/** nearest_cell(array<float>) → int: IVF coarse assignment against a
+  * plan-embedded row-major [nlist][dims] centroid matrix (≤ 4096×dims
+  * floats — the [[RotateVec]] broadcast-object pattern). One narrow
+  * codegen pass; replaces a crossJoin + bounded-heap argmin + join-back
+  * (two exchanges) with zero shuffles. Ranking score and tie-break are
+  * bit-identical to that path — see [[VecOps.nearestCell]].
+  */
+case class NearestCell(child: Expression, centroids: Seq[Float],
+    nlist: Int, dims: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val cents: Array[Float] = centroids.toArray
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.nearestCell(t.asInstanceOf[ArrayData], cents, nlist, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.nearestCell($t, $ref, $nlist, $dims)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** nearest_cells(array<float>) → array<int>: the `nprobe` nearest cells
+  * by the [[NearestCell]] ranking, ordered (score desc, cell asc) — the
+  * probe-side cell ranking as one kernel pass instead of a per-query
+  * crossJoin + bounded-heap rank exchange.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Float],
+    nlist: Int, dims: Int, nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nprobe > 0, s"nprobe must be positive: $nprobe")
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val cents: Array[Float] = centroids.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.nearestCells(t.asInstanceOf[ArrayData], cents, nlist, dims, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.nearestCells($t, $ref, $nlist, $dims, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_lut(array<float>) → array<double> ADC table for one query. */
 case class PqLut(child: Expression, codebook: Seq[Float],
     m: Int, ksub: Int, dsub: Int)
@@ -622,6 +738,12 @@ object VectorFunctions {
     toCol(CosineSim(toExpr(a), toExpr(b)))
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+  def nearestCell(v: Column, centroids: Seq[Float], nlist: Int,
+      dims: Int): Column =
+    toCol(NearestCell(toExpr(v), centroids, nlist, dims))
+  def nearestCells(v: Column, centroids: Seq[Float], nlist: Int,
+      dims: Int, nprobe: Int): Column =
+    toCol(NearestCells(toExpr(v), centroids, nlist, dims, nprobe))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def anyBandCollides(a: Column, b: Column, h: Int): Column =
     toCol(AnyBandCollides(toExpr(a), toExpr(b), h))

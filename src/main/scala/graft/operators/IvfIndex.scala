@@ -268,7 +268,10 @@ object IvfIndex {
       if (fitSamplePerCell == 0) c
       else c.orderBy(xxhash64(col("id"))).limit(trainCap)
         .repartition(fitParts)
-    val model = Similarity.fitQuantizer(
+    // content-keyed reuse: a compaction's refit trains over the folded
+    // layout's OWN files (a new path every generation), so the
+    // plan-hash cache can never hit — the content fingerprint does
+    val model = Similarity.fitQuantizerByContent(trainSet, "nvec",
       trainSet.select(array_to_vector(col("nvec")).as("features")),
       cells, seed)
     model.clusterCenters.zipWithIndex
@@ -373,16 +376,35 @@ object IvfIndex {
     v
   }
 
+  /** The (flat row-major matrix, nlist, dims) of a bounded centroid
+    * frame — ≤ nlist ≤ 4096 rows collected driver-side, cells required
+    * contiguous 0..n−1 (the build writes them that way). Shared by the
+    * narrow assignment and probe kernels. */
+  private[operators] def centroidMatrix(
+      centroids: DataFrame): (Seq[Float], Int, Int) = {
+    val rows = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty centroid frame")
+    require(rows.head._1 == 0 && rows.last._1 == rows.length - 1,
+      s"centroid cells must be contiguous 0..n-1, got " +
+        s"${rows.head._1}..${rows.last._1} over ${rows.length} rows")
+    val dims = rows.head._2.length
+    (rows.flatMap(_._2).toSeq, rows.length, dims)
+  }
+
   /** Nearest-cell assignment of `batch` under FROZEN `centroids`: the
-    * shared build/arrival kernel. Keeps (id, vec, nvec, cell). */
+    * shared build/arrival kernel, as ONE narrow codegen pass — the
+    * centroid matrix (≤ 4096 × dims floats) rides the plan as a
+    * broadcast object ([[graft.functions.NearestCell]]), bit-identical
+    * in score and tie-break to the former crossJoin + bounded-heap
+    * argmin + join-back, minus its two exchanges. Keeps
+    * (id, vec, nvec, cell). */
   private[operators] def assignWith(batch: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val scored = batch.crossJoin(broadcast(centroids))
-      .select(col("id").as("qid"), col("cell").cast("long").as("id"),
-        negDist(col("nvec"), col("centroid")).as("negd"))
-    val best = Similarity.topKRank(scored, 1, "negd")
-      .select(col("qid").as("id"), col("id").cast("int").as("cell"))
-    batch.join(best, Seq("id"))
+    val (flat, nlist, dims) = centroidMatrix(centroids)
+    batch.withColumn("cell",
+      VectorFunctions.nearestCell(col("nvec"), flat, nlist, dims))
   }
 
   /** Cell assignment of an arrival batch under the COMMITTED
@@ -419,17 +441,21 @@ object IvfIndex {
     val centroids = readCentroids(spark, path)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
       Embeddings.normalize(col(vecCol)).as("qn"))
-    val cellScores = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cell").cast("long").as("id"),
-        negDist(col("qn"), col("centroid")).as("negd"))
-    val probeCells = Similarity.topKRank(
-        cellScores, math.min(nprobe, nlist), "negd")
-      .select(col("qid"), col("id").cast("int").as("cell"))
+    // per-query cell ranking as one narrow kernel pass (score/tie-break
+    // identical to the former crossJoin + bounded-heap rank — see
+    // NearestCells); the query side never shuffles to pick its cells
+    val (cflat, cn, cdims) = centroidMatrix(centroids)
+    val probeCells = q.select(col("qid"),
+      explode(VectorFunctions.nearestCells(col("qn"), cflat, cn, cdims,
+        math.min(nprobe, nlist))).as("cell"))
     // bounded collect: distinct probed cells, capped — ≤ nlist ≤ 4096
     // by construction, limit(cap + 1) bounds the driver materialization
-    // regardless
-    val cellLits = probeCells.select(col("cell")).distinct()
-      .limit(maxCellLiterals + 1).collect().map(_.getInt(0))
+    // regardless. A full probe (nprobe ≥ nlist) needs no job at all:
+    // every cell is probed by construction.
+    val cellLits =
+      if (nprobe >= nlist) (0 until nlist).toArray
+      else probeCells.select(col("cell")).distinct()
+        .limit(maxCellLiterals + 1).collect().map(_.getInt(0))
     val raw = vectorsView(spark, path)
     val pruned =
       if (cellLits.length <= maxCellLiterals)
@@ -484,27 +510,46 @@ private[graft] object SegmentLog {
   def segsRoot(path: String): String = s"$path/_graft_segs"
   def segDir(path: String, n: Long): String = s"$path/segments/seg$n"
 
+  private val ManifestFile = "segs.txt"
+
   /** Every segment number the committed manifest lists — INCLUDING
     * rows a compaction already subsumed but hadn't pruned (callers
     * filter by the base sidecar's `segs_upto`). Empty before the first
-    * append. Bounded driver-side: one row per segment. */
+    * append. The manifest is a bounded line-per-segment text file read
+    * driver-side (zero Spark jobs — the former one-row-per-segment
+    * parquet read cost a schema-inference pass plus a collect job per
+    * mutation/probe); a version dir without the text file falls back to
+    * the legacy parquet rows so pre-existing indexes stay readable. */
   def committedSegs(spark: SparkSession, path: String): Seq[Long] = {
     val root = segsRoot(path)
     IndexVersions.currentVersion(spark, root) match {
       case None => Seq.empty
       case Some(v) =>
-        spark.read.parquet(IndexVersions.versionDir(root, v))
-          .select(col("seg")).collect().map(_.getLong(0)).toSeq.sorted
+        val dir = IndexVersions.versionDir(root, v)
+        val p = new org.apache.hadoop.fs.Path(dir, ManifestFile)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+            .map(_.toLong).toSeq.sorted
+        } else
+          spark.read.parquet(dir)
+            .select(col("seg")).collect().map(_.getLong(0)).toSeq.sorted
     }
   }
 
   def commitManifest(spark: SparkSession, path: String,
       segs: Seq[Long]): Unit = {
-    import spark.implicits._
     val root = segsRoot(path)
     val v = IndexVersions.nextVersion(spark, root)
-    segs.toDF("seg").coalesce(1).write.mode("overwrite")
-      .parquet(IndexVersions.versionDir(root, v))
+    val p = new org.apache.hadoop.fs.Path(
+      IndexVersions.versionDir(root, v), ManifestFile)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(segs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
     IndexVersions.commit(spark, root, v)
     IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
   }

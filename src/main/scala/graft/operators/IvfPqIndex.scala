@@ -347,14 +347,16 @@ object IvfPqIndex {
     val centroids = readCentroids(spark, path)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
       Embeddings.normalize(col(vecCol)).as("qn"))
-    val cellScores = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cell").cast("long").as("id"),
-        IvfIndex.negDist(col("qn"), col("centroid")).as("negd"))
-    val probeCells = Similarity.topKRank(
-        cellScores, math.min(nprobe, meta.nlist), "negd")
-      .select(col("qid"), col("id").cast("int").as("cell"))
-    val cellLits = probeCells.select(col("cell")).distinct()
-      .limit(maxCellLiterals + 1).collect().map(_.getInt(0))
+    // narrow per-query cell ranking — the [[IvfIndex.probe]] kernel
+    // (identical score/tie-break to the former crossJoin + heap rank)
+    val (cflat, cn, cdims) = IvfIndex.centroidMatrix(centroids)
+    val probeCells = q.select(col("qid"),
+      explode(VectorFunctions.nearestCells(col("qn"), cflat, cn, cdims,
+        math.min(nprobe, meta.nlist))).as("cell"))
+    val cellLits =
+      if (nprobe >= meta.nlist) (0 until meta.nlist).toArray
+      else probeCells.select(col("cell")).distinct()
+        .limit(maxCellLiterals + 1).collect().map(_.getInt(0))
     val raw = codesView(spark, path)
     val pruned =
       if (cellLits.length <= maxCellLiterals)

@@ -35,6 +35,37 @@ object Similarity {
   private val quantizerCache = scala.collection.concurrent.TrieMap
     .empty[(Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
 
+  /** Second-chance quantizer cache keyed by training-sample CONTENT
+    * (a 5-long multiset fingerprint + k + seed) instead of plan hash.
+    * The plan-hash key misses whenever the same corpus content arrives
+    * through a different plan — the IVF compaction refit is the
+    * canonical case: it trains over `<root>/_ixvN/vectors`, and N
+    * increments per generation, so every fold re-ran a full MLlib fit
+    * over content it had already clustered (measured ~3 s of a 4.1 s
+    * warm fold at sf0.1). One bounded agg over the sample replaces the
+    * fit on a hit. Correctness: centroids steer only layout/recall —
+    * gate probes run nprobe = nlist (provably exact under ANY
+    * centroids) — and the fingerprint collision risk over 5 independent
+    * 64-bit aggregates is negligible. */
+  private val quantizerContentCache = scala.collection.concurrent.TrieMap
+    .empty[(Seq[Long], Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+
+  /** Fit (or reuse) a quantizer for `trainSet` keyed by the CONTENT of
+    * its `vecCol` multiset. `features` must be the array_to_vector
+    * projection of the same trainSet. */
+  private[operators] def fitQuantizerByContent(trainSet: DataFrame,
+      vecCol: String, features: DataFrame, nlist: Int,
+      seed: Long): org.apache.spark.ml.clustering.KMeansModel = {
+    // bit_xor/min/max/count never overflow; the additive leg sums the
+    // hash folded into [0, 2^31) so ANSI mode stays safe to ~2^32 rows
+    val h = xxhash64(col(vecCol))
+    val r = trainSet.agg(sum(pmod(h, lit(1L << 31))), bit_xor(h),
+      count(lit(1)), min(h), max(h)).head()
+    val key = (0 until 5).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    quantizerContentCache.getOrElseUpdate((key, nlist, seed),
+      fitQuantizer(features, nlist, seed))
+  }
+
   /** Order-independent bounded training sample: rank rows by a hash of
     * the vector itself and take the top-N. A bare `.limit(N)` is
     * partition-order dependent — the same corpus written with a

@@ -93,14 +93,41 @@ object Shards {
     commitManifest(spark, outDir, rows)
   }
 
+  private val ManifestFile = "manifest.csv"
+
   /** The committed manifest of a [[writeShards]] layout: resolves the
     * [[IndexVersions]] pointer to the current generation (a legacy
     * pre-pointer layout's flat `_graft_manifest` files are generation
     * zero and stay readable unchanged).
+    *
+    * The manifest is BOUNDED (one row per shard), so the current
+    * generation is a driver-written `shard,docs,mass` text file
+    * surfaced as a local relation — reading it schedules NO Spark job
+    * and collects from it for free, where the former one-row-per-shard
+    * parquet paid a schema-inference read plus a cluster job per
+    * manifest consult (every mutation consults it at least once, and
+    * an ingest loop mutates per micro-batch). Legacy parquet
+    * generations stay readable through the fallback.
     */
-  def readManifest(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(
-      IndexVersions.resolvePath(spark, manifestRoot(outDir)))
+  def readManifest(spark: SparkSession, outDir: String): DataFrame = {
+    val dir = IndexVersions.resolvePath(spark, manifestRoot(outDir))
+    val p = new org.apache.hadoop.fs.Path(dir, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return spark.read.parquet(dir)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val rows = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val f = line.split(",")
+        org.apache.spark.sql.Row(f(0).toLong, f(1).toLong, f(2).toLong)
+      }.toSeq
+    // a java-list createDataFrame plans as a LocalRelation: collects,
+    // joins and broadcasts over the manifest never schedule a job
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      manifestSchema)
+  }
 
   /** Manifest-directed corpus read: exactly the shards the committed
     * manifest describes. Correct in EVERY crash window — orphan dirs
@@ -187,9 +214,11 @@ object Shards {
       knownCount: Long = -1L, epoch: Int = 0): DataFrame = {
     val spark = df.sparkSession
     // ONE manifest read serves the heal pass, the numbering base, and
-    // the carried-forward rows below (pinned — the commit later in this
-    // method replaces the files it came from)
-    val manifest = readManifest(spark, outDir).localCheckpoint(true)
+    // the carried-forward rows below (a local relation — the commit
+    // later in this method collects before retiring anything, so no
+    // pin is needed; a legacy parquet manifest is read through at most
+    // twice, once here and once by the commit's collect)
+    val manifest = readManifest(spark, outDir)
     val ids = committedIds(manifest)
     healWith(spark, outDir, ids.toSet): Unit
     // empty manifest (bootstrap layout) numbers from 0
@@ -249,7 +278,7 @@ object Shards {
     // ONE manifest read + ONE bounded (shard, mass) collect serves the
     // heal pass, the small-set selection, and the numbering base —
     // previously three separate manifest scans plus an agg job
-    val manifest = readManifest(spark, outDir).localCheckpoint(true)
+    val manifest = readManifest(spark, outDir)
     val rows = manifest
       .select(col("shard").cast("long"), col("mass").cast("long"))
       .collect()
@@ -311,32 +340,42 @@ object Shards {
     * but an append-per-micro-batch ingest loop commits one generation
     * PER BATCH, so unbounded retention accumulates unbounded small
     * dirs under `_graft_manifest`; current + one rollback target is
-    * the bound. Returns the read-back committed manifest, snapshotted
-    * (localCheckpoint) so the returned frame survives a LATER
-    * append/compaction replacing the files. */
+    * the bound. The rows are collected (bounded: one per shard) and
+    * written driver-side as the text manifest [[readManifest]] serves —
+    * the collect also snapshots them, so the returned frame survives a
+    * later append/compaction retiring the files the rows derived from
+    * (what the former localCheckpoint + parquet write + re-read cycle
+    * bought with three extra jobs per mutation). */
   private def commitManifest(spark: SparkSession, outDir: String,
       rows: DataFrame): DataFrame = {
     val root = manifestRoot(outDir)
-    // pin BEFORE the write: the returned frame must survive a later
-    // append/compaction replacing the files, and pinning first also
-    // makes the write read from the snapshot — the old shape (write,
-    // then re-read the just-written files, then pin) paid one extra
-    // manifest scan per mutation for rows that are by construction the
-    // ones just materialized
-    val snap = rows.localCheckpoint(true)
+    val data = rows.select(col("shard").cast("long"),
+        col("docs").cast("long"), col("mass").cast("long"))
+      .collect().sortBy(_.getLong(0))
     val v = IndexVersions.nextVersion(spark, root)
-    snap.write.mode("overwrite")
-      .parquet(IndexVersions.versionDir(root, v))
+    val p = new org.apache.hadoop.fs.Path(
+      IndexVersions.versionDir(root, v), ManifestFile)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(data.iterator
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
     IndexVersions.commit(spark, root, v)
     IndexVersions.dropOldPathVersions(spark, root, keepPrevious = 1): Unit
-    snap
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(data.toSeq).asJava,
+      manifestSchema)
   }
+
+  private val manifestSchema = StructType(Seq(
+    StructField("shard", LongType), StructField("docs", LongType),
+    StructField("mass", LongType)))
 
   private def emptyManifest(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("shard", LongType),
-        StructField("docs", LongType), StructField("mass", LongType))))
+      manifestSchema)
 
   /** The `shard=N` ids present on disk (one FS listing — #shards
     * entries, no data read). */

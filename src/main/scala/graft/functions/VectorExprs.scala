@@ -434,6 +434,63 @@ object VecOps {
       scores(cell) = negDistAt(v, centroids, cell * dims, dims)
       cell += 1
     }
+    selectTop(scores, nlist, n)
+  }
+
+  /** The `nprobe` cells nearest to `v` by COSINE to the centroid,
+    * ordered (cosine desc, cell asc) — the raw-space mirror of
+    * [[nearestCells]] for the in-memory IVF operators, arithmetic
+    * bit-identical to [[cosine]] per cell. */
+  def nearestCellsCosine(v: ArrayData, centroids: Array[Float], nlist: Int,
+      dims: Int, nprobe: Int): ArrayData = {
+    val n = math.min(nprobe, nlist)
+    val scores = new Array[Double](nlist)
+    var cell = 0
+    while (cell < nlist) {
+      val off = cell * dims
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dims) {
+        val x = v.getFloat(i).toDouble
+        val y = centroids(off + i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      scores(cell) =
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      cell += 1
+    }
+    selectTop(scores, nlist, n)
+  }
+
+  /** The `nprobe` cells nearest to `v` by DOT product with the centroid
+    * ([[dot]]'s arithmetic per cell), ordered (dot desc, cell asc) —
+    * the residual-PQ cell ranking (query pre-normalized, centroid dot
+    * is the exact half of the ADC score). */
+  def nearestCellsDot(v: ArrayData, centroids: Array[Float], nlist: Int,
+      dims: Int, nprobe: Int): ArrayData = {
+    val n = math.min(nprobe, nlist)
+    val scores = new Array[Double](nlist)
+    var cell = 0
+    while (cell < nlist) {
+      val off = cell * dims
+      var s = 0.0
+      var i = 0
+      while (i < dims) {
+        s += v.getFloat(i).toDouble * centroids(off + i).toDouble
+        i += 1
+      }
+      scores(cell) = s
+      cell += 1
+    }
+    selectTop(scores, nlist, n)
+  }
+
+  /** Top-`n` indices of `scores` by (score desc, index asc) — strict
+    * `>` over an ascending scan replicates the bounded-heap rank's
+    * tie-break exactly. */
+  private def selectTop(scores: Array[Double], nlist: Int,
+      n: Int): ArrayData = {
     val taken = new Array[Boolean](nlist)
     val out = new Array[Any](n)
     var r = 0
@@ -652,6 +709,55 @@ case class NearestCells(child: Expression, centroids: Seq[Float],
     copy(child = newChild)
 }
 
+/** nearest_cells_cosine(array<float>) → array<int>: the `nprobe`
+  * nearest cells by COSINE to the centroid, ordered (cosine desc, cell
+  * asc) — the raw-space cell ranking of the in-memory IVF operators as
+  * one kernel pass ([[NearestCells]]'s pattern).
+  */
+case class NearestCellsCosine(child: Expression, centroids: Seq[Float],
+    nlist: Int, dims: Int, nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nprobe > 0, s"nprobe must be positive: $nprobe")
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val cents: Array[Float] = centroids.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.nearestCellsCosine(
+      t.asInstanceOf[ArrayData], cents, nlist, dims, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.nearestCellsCosine($t, $ref, $nlist, $dims, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** nearest_cells_dot(array<float>) → array<int>: the `nprobe` nearest
+  * cells by dot product with the centroid, ordered (dot desc, cell
+  * asc) — the residual-PQ cell ranking as one kernel pass.
+  */
+case class NearestCellsDot(child: Expression, centroids: Seq[Float],
+    nlist: Int, dims: Int, nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nprobe > 0, s"nprobe must be positive: $nprobe")
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ExprBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+  @transient private lazy val cents: Array[Float] = centroids.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.nearestCellsDot(
+      t.asInstanceOf[ArrayData], cents, nlist, dims, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "float[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VecOps.nearestCellsDot($t, $ref, $nlist, $dims, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_lut(array<float>) → array<double> ADC table for one query. */
 case class PqLut(child: Expression, codebook: Seq[Float],
     m: Int, ksub: Int, dsub: Int)
@@ -744,6 +850,12 @@ object VectorFunctions {
   def nearestCells(v: Column, centroids: Seq[Float], nlist: Int,
       dims: Int, nprobe: Int): Column =
     toCol(NearestCells(toExpr(v), centroids, nlist, dims, nprobe))
+  def nearestCellsCosine(v: Column, centroids: Seq[Float], nlist: Int,
+      dims: Int, nprobe: Int): Column =
+    toCol(NearestCellsCosine(toExpr(v), centroids, nlist, dims, nprobe))
+  def nearestCellsDot(v: Column, centroids: Seq[Float], nlist: Int,
+      dims: Int, nprobe: Int): Column =
+    toCol(NearestCellsDot(toExpr(v), centroids, nlist, dims, nprobe))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def anyBandCollides(a: Column, b: Column, h: Int): Column =
     toCol(AnyBandCollides(toExpr(a), toExpr(b), h))

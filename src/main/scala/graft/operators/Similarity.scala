@@ -334,18 +334,19 @@ object Similarity {
     val model = fitQuantizer(c.select("features"), cells, seed)
     val assigned = model.transform(c)
       .select(col("id"), col("prediction").cast("long").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
-    // nprobe nearest cells per probe, via the map-side-combine top-k
-    // aggregate over slim rows (a per-qid row_number window would put
-    // one task per qid on the table — the ceiling topKRank exists for)
+    // nprobe nearest cells per probe as one narrow kernel pass over the
+    // plan-embedded centroid matrix — ordering identical to the former
+    // crossJoin + bounded-heap rank (cosine desc, cell asc), minus its
+    // exchange: probes never shuffle to pick their cells
+    val cflat = model.clusterCenters
+      .flatMap(_.toArray.map(_.toFloat)).toSeq
+    val ncells = model.clusterCenters.length
+    val dims = model.clusterCenters.head.size
     val q = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
-    val cellScores = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cell").as("id"),
-        VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("ccos"))
-    val probeCells = topKRank(cellScores, math.min(nprobe, cells), "ccos")
-      .select(col("qid"), col("id").as("cell"))
+    val probeCells = q.select(col("qid"),
+        explode(VectorFunctions.nearestCellsCosine(col("qvec"), cflat,
+          ncells, dims, math.min(nprobe, ncells))).as("celli"))
+      .select(col("qid"), col("celli").cast("long").as("cell"))
     val cand = assigned.join(probeCells, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"))
@@ -536,22 +537,18 @@ object Similarity {
     val assigned = model.transform(c)
       .select(col("id"), col("cvec"), col("prediction").as("cell"))
 
-    // centroids as a small broadcastable frame
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
-
-    // each query → nprobe nearest cells by cosine to the centroid
+    // each query → nprobe nearest cells by cosine to the centroid, as
+    // ONE narrow kernel pass over the plan-embedded centroid matrix
+    // (ordering identical to the former per-query row_number window:
+    // cosine desc, cell asc) — the query side never shuffles
+    val cflat = model.clusterCenters
+      .flatMap(_.toArray.map(_.toFloat)).toSeq
+    val ncells = model.clusterCenters.length
+    val dims = model.clusterCenters.head.size
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("ccos").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFunctions.cosineSim(col("qvec"), col("centroid")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cell"))
+    val probes = q.select(col("qid"), col("qvec"),
+      explode(VectorFunctions.nearestCellsCosine(col("qvec"), cflat,
+        ncells, dims, math.min(nprobe, ncells))).as("cell"))
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("id"),
@@ -877,15 +874,20 @@ object Similarity {
         VectorFunctions.pqEncode(col("res"), cb, m, ksub, dsub).as("codes"))
 
       // 3. per-query: nprobe nearest cells by centroid dot + shared LUT
+      // — cell pick as one narrow kernel pass over the plan-embedded
+      // centroid matrix (ordering identical to the former per-query
+      // row_number window: dot desc, cell asc); the broadcast join back
+      // to centroids recomputes the exact qdotc the scoring needs
       val qn = queries.select(col(qidCol).as("qid"),
         Embeddings.normalize(col(vecCol)).as("qn"), col(vecCol).as("qvec"))
-      val wProbe = Window.partitionBy(col("qid"))
-        .orderBy(col("qdotc").desc, col("cell").asc)
-      val probes = qn.crossJoin(broadcast(centroids))
-        .withColumn("qdotc", VectorFunctions.dotProduct(col("qn"), col("centroid")))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter(col("prk") <= nprobe)
-        .select(col("qid"), col("cell"), col("qdotc"),
+      val cflat = km.clusterCenters.flatMap(_.toArray.map(_.toFloat)).toSeq
+      val ncells = km.clusterCenters.length
+      val probes = qn.select(col("qid"), col("qn"),
+          explode(VectorFunctions.nearestCellsDot(col("qn"), cflat,
+            ncells, dims, math.min(nprobe, ncells))).as("cell"))
+        .join(broadcast(centroids), Seq("cell"))
+        .select(col("qid"), col("cell"),
+          VectorFunctions.dotProduct(col("qn"), col("centroid")).as("qdotc"),
           VectorFunctions.pqLut(col("qn"), cb, m, ksub, dsub).as("lut"))
 
       // 4. compressed-domain scoring within probed cells only

@@ -334,19 +334,28 @@ object Similarity {
     val model = fitQuantizer(c.select("features"), cells, seed)
     val assigned = model.transform(c)
       .select(col("id"), col("prediction").cast("long").as("cell"))
-    // nprobe nearest cells per probe as one narrow kernel pass over the
-    // plan-embedded centroid matrix — ordering identical to the former
-    // crossJoin + bounded-heap rank (cosine desc, cell asc), minus its
-    // exchange: probes never shuffle to pick their cells
-    val cflat = model.clusterCenters
-      .flatMap(_.toArray.map(_.toFloat)).toSeq
-    val ncells = model.clusterCenters.length
-    val dims = model.clusterCenters.head.size
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    // nprobe nearest cells per probe, via the map-side-combine top-k
+    // aggregate over slim rows (a per-qid row_number window would put
+    // one task per qid on the table — the ceiling topKRank exists for).
+    // DELIBERATELY kept on the exchange path rather than the
+    // NearestCellsCosine kernel: this operator's candidate join streams
+    // probeCells (the corpus side broadcasts when small / can't
+    // broadcast at scale), so the rank exchange is what WIDTHS the
+    // downstream cosine-verify stage — measured: the kernel variant
+    // collapsed the 4M-candidate verify onto the probe scan's partition
+    // count (one file ⇒ one task locally; 2.1 s → 2.9 s warm, and the
+    // core-count scaling the driver measures flatlines). The exchange
+    // moves |probes|·nprobe slim rows — negligible against the verify
+    // it parallelizes.
     val q = probes.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
-    val probeCells = q.select(col("qid"),
-        explode(VectorFunctions.nearestCellsCosine(col("qvec"), cflat,
-          ncells, dims, math.min(nprobe, ncells))).as("celli"))
-      .select(col("qid"), col("celli").cast("long").as("cell"))
+    val cellScores = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cell").as("id"),
+        VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("ccos"))
+    val probeCells = topKRank(cellScores, math.min(nprobe, cells), "ccos")
+      .select(col("qid"), col("id").as("cell"))
     val cand = assigned.join(probeCells, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"))

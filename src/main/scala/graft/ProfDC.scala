@@ -1,7 +1,9 @@
 package graft
 
-// Temporary profiling main for the optimization round — NOT part of the
-// driver contract; removed before round close.
+// Phase-level profiling main for the optimization rounds — NOT part of
+// the driver contract (no JSON line, not a registered query). Kept so
+// the per-phase numbers in OPTIMIZATION_r16.md are reproducible and the
+// next optimization round can re-measure the same lifecycle.
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
